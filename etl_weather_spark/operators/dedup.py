@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all designed so the shuffle payload stays tiny relative to
+document size (the 100 TB rule: never shuffle document bodies when a
+fingerprint will do):
+
+- :func:`exact_dedup` — group on a 128-bit content fingerprint.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding: shingle → H independent min-hashes per doc → band buckets →
+  candidate pairs only within buckets (no O(n²) pairwise scan).
+- :func:`simhash64` — 64-bit SimHash per doc via xxhash64 bit-votes.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via shingle
+  explode + self-join on shingle (blocked, no cross join).
+
+Hashing strategy: production paths use ``xxhash64`` (JVM built-in, fast).
+``hash_family='md5'`` switches to md5-hex string mins — slower but
+byte-portable across engines, used by the oracle-checked queries so
+DuckDB can reproduce signatures exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_weather_spark.functions.text import doc_fingerprint
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc per exact (normalized) content; returns survivors.
+
+    Shuffle carries (fingerprint, id) — 40 bytes/doc regardless of size.
+    """
+    fp = docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, on=id_col, how="leftsemi")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of normalized lowercase text."""
+    return F.split(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " ")
+
+
+def shingles(text: Column, n: int = 2) -> Column:
+    """Word n-gram shingles as an array of strings (distinct not enforced)."""
+    toks = tokens(text)
+    if n <= 1:
+        return toks
+    # zip token array against its shifted self: shingle i = toks[i..i+n-1]
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _hash_expr(shingle: Column, seed: int, family: str) -> Column:
+    if family == "md5":
+        # engine-portable: md5 of seeded string; MIN over hex strings is a
+        # valid min-hash (hash order = random permutation)
+        return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+    # fast path: 64-bit xxhash with per-function seed
+    return F.xxhash64(shingle, F.lit(seed))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 2,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc MinHash signature: columns ``s0..s{H-1}``.
+
+    One explode + one groupBy(doc): the shuffle carries
+    (doc_id, shingle-hash) pairs; signatures are H mins computed
+    map-side-partially. At 100 TB, H mins per doc ≈ H*8 bytes/doc state.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh")
+    )
+    aggs = [
+        F.min(_hash_expr(F.col("sh"), i, hash_family)).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) with estimated Jaccard similarity.
+
+    Signature → ``bands`` bands of ``num_hashes/bands`` rows each; docs
+    sharing any band bucket become candidates. The self-join keys on
+    (band_index, band_value), so comparisons happen only inside buckets —
+    the scalable alternative to an O(n²) cross join. Estimated similarity
+    = fraction of matching signature components.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    sig = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, hash_family=hash_family,
+    )
+    band_cols = [
+        F.concat_ws("#", *[F.col(f"s{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *[F.col(f"s{i}") for i in range(num_hashes)], *band_cols)
+
+    buckets = banded.select(
+        id_col,
+        *[F.col(f"s{i}") for i in range(num_hashes)],
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(b) for b in range(bands)]).alias("band"),
+                F.array(*[F.col(f"b{b}") for b in range(bands)]).alias("bucket"),
+            )
+        ).alias("bb"),
+    ).select(id_col, *[f"s{i}" for i in range(num_hashes)], F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("bucket"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("bucket"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *[F.col(f"a{i}") for i in range(num_hashes)], *[F.col(f"b{i}") for i in range(num_hashes)])
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return pairs.select(
+        "id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (near-dup fingerprint).
+
+    Each token votes its xxhash64 bits; the signature's bit i is the
+    sign of the vote sum. Implemented as explode → per-bit conditional
+    sums → bit reassembly, all JVM-side (no UDF).
+    """
+    def bit_mask(i: int):
+        # bit 63 as two's-complement: 1<<63 overflows a signed long literal
+        return F.lit(1 << i if i < 63 else -(1 << 63))
+
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_votes = [
+        F.sum(F.when(h.bitwiseAND(bit_mask(i)) != 0, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    votes = tok.groupBy(id_col).agg(*bit_votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, bit_mask(i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle.
+
+    shingle-explode → self-join on shingle → per-pair intersection count;
+    union size from per-doc distinct counts (|A|+|B|−|A∩B|). Pairs with
+    zero shared shingles never materialize. ``block_col`` (e.g. source or
+    an LSH bucket) further restricts the join at scale.
+    """
+    keys = [id_col] + ([block_col] if block_col else [])
+    sh = docs.select(*keys, F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"))
+    sizes = sh.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    join_keys = ["sh"] + ([block_col] if block_col else [])
+    a = sh.select(F.col(id_col).alias("id_a"), *([F.col(block_col)] if block_col else []), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), *([F.col(block_col)] if block_col else []), "sh")
+    inter = (
+        a.join(b, on=join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

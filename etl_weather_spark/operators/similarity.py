@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- :func:`cosine_topk_bruteforce` — exact top-k: broadcast the (small)
+  query set against the corpus, dot products via JVM array ops
+  (``zip_with`` + ``aggregate``), per-query ``row_number`` top-k. At
+  100 TB the corpus side stays partitioned; only queries broadcast.
+- :func:`cosine_topk_lsh` — random-hyperplane LSH: sign-bit bucket per
+  plane set, candidates only within matching buckets (plus optional
+  multi-probe), exact re-rank inside buckets. The scale path when the
+  query set is itself large: bucket-join replaces the cross product.
+
+Norms are precomputed once per side (cheap projection) so the join
+computes one dot product per candidate pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_weather_spark.functions.rounding import rnd
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two double arrays, JVM-side, sequential sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def as_double_array(col: Column) -> Column:
+    """array<float> → array<double> so all math runs in float64 (matches
+    a DuckDB oracle casting to DOUBLE[])."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    Self-matches excluded. Deterministic: rank orders by rounded sim
+    desc, then neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+
+    sim = rnd(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), sim_decimals)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplane normals for sign-LSH (public numpy RNG)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bits.append(F.when(dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` independent plane sets hashes every vector to a
+    2^n_planes bucket; candidates = pairs agreeing in ≥1 table. Exact
+    cosine re-rank inside the candidate set. Recall grows with
+    ``n_tables``; cost per table is one narrow (id, table, bucket)
+    shuffle — this is the 100 TB path because nothing is ever all-pairs.
+    """
+    tables = [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        v = as_double_array(F.col(vec_col))
+        rows = df.select(
+            F.col(id_col).alias(out_id),
+            v.alias("v"),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("t"), _bucket_expr(v, planes).alias("bkt"))
+                    for t, planes in enumerate(tables)
+                ])
+            ).alias("tb"),
+        )
+        return rows.select(out_id, "v", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+
+    qb = bucketed(queries, "query_id").withColumnRenamed("v", "qv")
+    cb = bucketed(corpus, "neighbor_id").withColumnRenamed("v", "cv")
+
+    cand = (
+        cb.join(F.broadcast(qb), on=["t", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    sim = rnd(
+        dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+        sim_decimals,
+    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dupes(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with cosine ≥ threshold.
+
+    Blocked pairwise: only pairs within the same ``block_col`` group
+    (a cluster id, LSH bucket, or shard key) are compared — the exact
+    comparison never goes all-pairs. With block_col=None it degrades to
+    a full self-join: only for small corpora.
+    """
+    v = as_double_array(F.col(vec_col))
+    base = emb.select(F.col(id_col), *( [F.col(block_col)] if block_col else [] ), v.alias("v")).withColumn("n", norm(F.col("v")))
+    a = base.select(
+        F.col(id_col).alias("id_a"), *([F.col(block_col)] if block_col else []),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), *([F.col(block_col)] if block_col else []),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    on = [block_col] if block_col else None
+    pairs = (a.join(b, on=on) if on else a.crossJoin(b)).filter(F.col("id_a") < F.col("id_b"))
+    sim = rnd(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), sim_decimals)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)

@@ -783,3 +783,362 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (beyond-reference: training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk) - 2),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+)"""
+
+
+@query(
+    "ngram_jaccard",
+    f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       FLOOR((ni * 1.0 / (sa.n + sb.n - ni)) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+""",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.5).
+
+    Shingle-explode + self-join on shingle: pairs sharing no shingle never
+    materialize (operators/dedup.py). Finds the corpus's planted
+    near-duplicates.
+    """
+    from etl_weather_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
+    return pairs.select("id_a", "id_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
+
+
+_MINHASH_SIG_SQL = ",\n".join(
+    f"       MIN(md5('{i}|' || sh)) AS s{i}" for i in range(8)
+)
+_MINHASH_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@query(
+    "minhash_lsh",
+    f"""
+WITH {_SHINGLE_SQL},
+sig AS (
+  SELECT doc_id,
+{_MINHASH_SIG_SQL}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *, s0 || '#' || s1 AS b0, s2 || '#' || s3 AS b1,
+            s4 || '#' || s5 AS b2, s6 || '#' || s7 AS b3
+  FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ({_MINHASH_MATCH_SQL}) / 8.0 AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+""",
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(H=8) + LSH(4 bands × 2 rows) candidate pairs with estimated
+    Jaccard — the scalable near-dup path (no O(n²) comparison).
+
+    Uses the engine-portable md5 hash family so DuckDB reproduces the
+    signatures bit-for-bit; the production default is xxhash64
+    (operators/dedup.py, exercised in tests).
+    """
+    from etl_weather_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, hash_family="md5"
+    )
+
+
+@query("simhash_sigs")  # rows-only: xxhash64 is Spark-specific (no portable oracle)
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (near-dup fingerprinting).
+
+    No SQL oracle: the signature depends on Spark's xxhash64; the driver
+    records a rows-only check. Bit-vote correctness is unit-tested
+    (tests/test_dedup.py) on documents with known token overlap.
+    """
+    from etl_weather_spark.operators.dedup import simhash64
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash64(docs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         FLOOR((list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+               * 1000000 + 0.5) / 1000000 AS sim
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors against the corpus.
+
+    Exact baseline for similarity search: broadcast queries × partitioned
+    corpus, JVM array math, per-query window top-k. The LSH variant
+    (ann_cosine_lsh) is the approximate scale path.
+    """
+    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    )
+
+
+@query("ann_cosine_lsh")  # rows-only: approximate by design (recall < 1)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-10 for the same 5 queries.
+
+    No oracle: the result is approximate by construction; recall against
+    the brute-force baseline is asserted in tests/test_similarity.py.
+    """
+    from etl_weather_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "embedding_near_dupes",
+    """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       FLOOR((list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+             * 1000000 + 0.5) / 1000000 AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE FLOOR((list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+            * 1000000 + 0.5) / 1000000 >= 0.3
+""",
+)
+def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (cosine ≥ 0.3).
+
+    Blocked pairwise comparison — at 100 TB the block key is an LSH
+    bucket or cluster id so the exact comparison never goes all-pairs.
+    """
+    from etl_weather_spark.operators.similarity import embedding_near_dupes as nd
+
+    emb = load(spark, sf_dir, "embeddings")
+    return nd(emb, block_col="label", threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality scoring, token counting
+# ---------------------------------------------------------------------------
+
+@query(
+    "lang_quality",
+    r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                   - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
+              END AS n_tokens,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+         length(text) AS n_chars_x,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_bpe_tokens,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+            WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+            ELSE 'und' END AS lang_pred,
+       FLOOR((0.4 * least(n_tokens / 100.0, 1.0)
+              + 0.3 * (1.0 - (CASE WHEN n_chars_x > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_x ELSE 0.0 END))
+              + 0.3 * least((CASE WHEN n_tokens > 0 THEN CAST(s_en AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0))
+             * 10000 + 0.5) / 10000 AS quality
+FROM scored
+""",
+)
+def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language-ID (stopword heuristic) + quality score + token counts."""
+    from etl_weather_spark.operators.textops import doc_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return doc_profile(docs).select(
+        "doc_id", "lang", "n_tokens", "n_bpe_tokens", "lang_pred", "quality"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage: semi/anti joins, rollup, distinct, as-of
+# ---------------------------------------------------------------------------
+
+@query(
+    "semi_anti_customers",
+    """
+SELECT 'with_orders' AS kind, COUNT(*) AS n
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS kind, COUNT(*) AS n
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins (free Spark ops the reference lacks —
+    SURVEY §2.5 note)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "leftsemi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("kind"), "n")
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "leftanti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_orders").alias("kind"), "n")
+    return semi.unionByName(anti)
+
+
+@query(
+    "status_rollup",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total) — native Spark
+    rollup, absent from the reference but free (SURVEY §2.6 note)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(dsum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "distinct_daily_users",
+    """
+SELECT CAST(ts AS DATE) AS date,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (U2-adjacent); approx_count_distinct is the
+    100 TB variant (exercised rows-only in tests to avoid cross-engine
+    sketch mismatch)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "nearest_event",
+    """
+SELECT event_id, ts, event_type,
+       FLOOR((value) * 100 + 0.5) / 100 AS value
+FROM events
+ORDER BY ABS(EPOCH(ts) - EPOCH(TIMESTAMP '2024-01-15 12:00:00')), event_id
+LIMIT 1
+""",
+)
+def nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: top-1 nearest-timestamp row for a fixed 'now' (app.js:755-761;
+    wall-clock parameterized out for determinism, SURVEY §7.3)."""
+    ev = load(spark, sf_dir, "events")
+    delta = F.abs(
+        F.col("ts").cast("double")
+        - F.lit("2024-01-15 12:00:00").cast("timestamp").cast("double")
+    )
+    return (
+        ev.select("event_id", "ts", "event_type", rnd("value", 2).alias("value"))
+        .orderBy(delta, "event_id")
+        .limit(1)
+    )
+
+
+@query(
+    "next_events",
+    """
+SELECT event_id, ts, FLOOR((value) * 100 + 0.5) / 100 AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
+ORDER BY ts, event_id
+LIMIT 6
+""",
+)
+def next_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+O5: next-6 rows at/after a fixed 'now' (app.js:800-801)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-15 12:00:00").cast("timestamp"))
+        .select("event_id", "ts", rnd("value", 2).alias("value"))
+        .orderBy("ts", "event_id")
+        .limit(6)
+    )

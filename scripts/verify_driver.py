@@ -1,5 +1,6 @@
 """Local replica of the driver's correctness gate (sf0.01, plain session)."""
-import math, sys, duckdb
+import math, os, sys, duckdb
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 import __spark_entry__ as e
 

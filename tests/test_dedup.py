@@ -1,0 +1,69 @@
+"""Semantic unit tests for the dedup operator family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (5, "THE  quick   brown fox jumps over the lazy dog"),  # normalizes to dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    ids = sorted(r.doc_id for r in out.collect())
+    # 1, 4, 5 normalize identically -> keep min id 1
+    assert ids == [1, 2, 3]
+
+
+def test_minhash_signature_identity(spark):
+    sig = minhash_signatures(_docs(spark), num_hashes=8, shingle_n=2)
+    rows = {r.doc_id: tuple(r)[1:] for r in sig.collect()}
+    assert rows[1] == rows[4] == rows[5]  # identical content → identical signature
+    assert rows[1] != rows[3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), num_hashes=8, bands=4, shingle_n=2)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0 and got[(1, 5)] == 1.0
+    assert (1, 2) in got and got[(1, 2)] >= 0.5  # near-dup caught by some band
+    assert (1, 3) not in got  # unrelated docs don't collide
+
+
+def test_simhash_distance(spark):
+    sig = simhash64(_docs(spark))
+    by_id = {r.doc_id: r.simhash for r in sig.collect()}
+    df = spark.createDataFrame(
+        [(by_id[1], by_id[4]), (by_id[1], by_id[2]), (by_id[1], by_id[3])],
+        "a long, b long",
+    ).select(hamming64(F.col("a"), F.col("b")).alias("d"))
+    d_dup, d_near, d_far = [r.d for r in df.collect()]
+    assert d_dup == 0
+    assert d_near < d_far  # near-dup closer than unrelated doc
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1 vs doc2: 7 distinct 3-gram shingles each, 6 shared
+    pairs = ngram_jaccard_pairs(_docs(spark), shingle_n=3).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert abs(got[(1, 2)] - 6 / 8) < 1e-9
+    assert got[(1, 4)] == 1.0
+    assert (1, 3) not in got

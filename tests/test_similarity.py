@@ -1,0 +1,66 @@
+"""Semantic tests for similarity search: exact baseline + LSH recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dupes,
+)
+
+
+def test_bruteforce_known_neighbors(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 3]
+    assert out[0].sim <= 1.0 and min(r.sim for r in out) >= -1.0
+
+
+def test_identical_vectors_sim_one(spark):
+    vecs = [(0, [0.5, 0.5, 0.5]), (1, [0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(df, df, k=1).collect()
+    assert all(abs(r.sim - 1.0) < 1e-9 for r in out)
+
+
+def test_lsh_recall_against_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    approx = cosine_topk_lsh(emb, queries, k=10, n_planes=6, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # multi-table LSH on 64-dim vectors: expect decent recall, far above random
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_near_dupes_blocked(spark):
+    vecs = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.001]),   # same block, near-dup
+        (2, 1, [1.0, 0.0]),     # near-dup of 0 but different block → not compared
+        (3, 0, [0.0, 1.0]),     # same block, orthogonal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, label int, embedding array<float>")
+    out = embedding_near_dupes(df, threshold=0.95).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs  # blocked away
+    assert (0, 3) not in pairs  # below threshold

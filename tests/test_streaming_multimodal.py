@@ -1,0 +1,77 @@
+"""Streaming daily agg matches batch; multimodal plumbing round-trips."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_weather_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+)
+from etl_weather_spark.streaming.daily_stream import (
+    daily_stream_agg,
+    read_event_stream,
+    run_available_now,
+)
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "view", "value": 10.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T05:00:00", "user_id": 2, "event_type": "view", "value": 20.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-02T01:00:00", "user_id": 1, "event_type": "click", "value": 5.0, "props": "{}"},
+]
+
+
+def test_streaming_daily_matches_batch(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "part1.json").write_text("\n".join(json.dumps(e) for e in EVENTS))
+
+    stream = read_event_stream(spark, str(src), fmt="json")
+    assert stream.isStreaming
+    rows = run_available_now(daily_stream_agg(stream), query_name="t_daily_stream")
+    by_date = {str(r.date): r for r in rows}
+    assert by_date["2024-01-01"].vmin == 10.0
+    assert by_date["2024-01-01"].vmax == 20.0
+    assert by_date["2024-01-01"].vsum == 30.0
+    assert by_date["2024-01-01"].vavg == 15.0
+    assert by_date["2024-01-02"].n == 1
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", ("image/png", 4, 4, None, None)),
+        (2, "audio", b"RIFF fake wav", ("audio/wav", None, None, 2500, 16000)),
+        (3, "video", b"\x00\x00ftyp fake mp4", ("video/mp4", 640, 480, 3500, None)),
+        (4, "image", None, ("image/png", 1, 1, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media)
+    got = {r.media_id: r for r in feats.collect()}
+    assert got[1].n_bytes == len(b"\x89PNG fake bytes")
+    assert len(got[1].feature) == 16
+    assert all(0.0 <= v <= 1.0 for v in got[1].feature)
+    # deterministic: same payload → same feature/hash
+    feats2 = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats2[1].content_sha == got[1].content_sha
+    assert feats2[1].feature == got[1].feature
+    # null payload survives with null feature
+    assert got[4].n_bytes == 0 and got[4].feature is None
+
+
+def test_decode_is_explicit_stub():
+    from etl_weather_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "image/png")
+
+
+def test_frame_sample_plan(spark):
+    rows = [(3, "video", None, ("video/mp4", 640, 480, 3500, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    plan = frame_sample_plan(media, every_ms=1000)
+    frames = sorted(r.frame_ms for r in plan.collect())
+    assert frames == [0, 1000, 2000, 3000]
