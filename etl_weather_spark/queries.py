@@ -1142,3 +1142,116 @@ def next_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .limit(6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining scalar/serving parity: C10-C12, O4, J4
+# ---------------------------------------------------------------------------
+
+@query(
+    "hour_labels",
+    """
+SELECT (((EXTRACT(hour FROM ts) + 11) % 12) + 1)
+       || ' ' || (CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 'am' ELSE 'pm' END) AS hour_label,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def hour_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: 12-hour clock labels ('1 am', '4 pm'; app.js:160-166) —
+    date_format in Spark, arithmetic mirror in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.lower(F.date_format("ts", "h a")).alias("hour_label"))
+        .groupBy("hour_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "split_part_types",
+    """
+SELECT tok, COUNT(*) AS n FROM (
+  SELECT trim(UNNEST(string_split(p_type, ' '))) AS tok FROM part
+)
+WHERE length(tok) > 0
+GROUP BY tok
+""",
+)
+def split_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11+D4: string split → explode (table-function surface) → trim →
+    non-empty filter (web.py:520, app.js:1002) → token counts."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("raw"))
+        .select(F.trim("raw").alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "regex_customer_ids",
+    """
+SELECT c_name,
+       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_id,
+       regexp_replace(c_name, '^Customer#0*', '') AS short_id
+FROM customer
+""",
+)
+def regex_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: regex extraction + prefix strip (app.js:100,418-421, web.py:89-90)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_name",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("name_id"),
+        F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_id"),
+    )
+
+
+@query(
+    "sorted_nations",
+    """
+SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) AS pos
+FROM nation
+""",
+)
+def sorted_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: lexicographic sort with stable positions (app.js:45,91;
+    binary collation on both engines)."""
+    n = load(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name")
+    return n.select("n_name").withColumn("pos", F.row_number().over(w))
+
+
+@query(
+    "today_lookup",
+    f"""
+WITH daily AS ({_DAILY_SQL}),
+hit AS (
+  SELECT *, 0 AS pref FROM daily WHERE date = DATE '2024-01-15'
+),
+fallback AS (
+  SELECT *, 1 AS pref FROM daily ORDER BY date LIMIT 1
+)
+SELECT date, vmin, vmax, vsum, vavg, n
+FROM (SELECT * FROM hit UNION ALL SELECT * FROM fallback)
+ORDER BY pref LIMIT 1
+""",
+)
+def today_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: key lookup by date with first-row fallback (app.js:764-765;
+    'today' parameterized to a fixed date for determinism)."""
+    d = _daily(spark, sf_dir)
+    hit = d.filter(F.col("date") == F.lit("2024-01-15").cast("date")).withColumn(
+        "pref", F.lit(0)
+    )
+    fallback = d.orderBy("date").limit(1).withColumn("pref", F.lit(1))
+    return (
+        hit.unionByName(fallback)
+        .orderBy("pref")
+        .limit(1)
+        .select("date", "vmin", "vmax", "vsum", "vavg", "n")
+    )

