@@ -1255,3 +1255,43 @@ def today_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("date", "vmin", "vmax", "vsum", "vavg", "n")
     )
+
+
+@query(
+    "format_dates",
+    """
+SELECT strftime(o_orderdate, '%Y%m%dT%H%M%S') AS file_tag,
+       strftime(o_orderdate, '%Y-%m-%d') AS day_label,
+       COUNT(*) AS n
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: timestamp formatting — the reference's file tags
+    (fetch.py:101, '%Y%m%dT%H%M%S') and tooltip dates (viz.py:36)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+        .select(
+            F.date_format("o_orderdate", "yyyyMMdd'T'HHmmss").alias("file_tag"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_label"),
+        )
+        .groupBy("file_tag", "day_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("approx_stats")  # rows-only: sketch internals are engine-specific
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB interactive profiling:
+    approx_count_distinct (HyperLogLog++) and approx_percentile
+    (KLL-style). No oracle — sketch estimates are engine-specific by
+    design; tests bound the error against exact counts."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(1000)).alias("p99"),
+    )
