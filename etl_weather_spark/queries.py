@@ -33,7 +33,14 @@ from etl_weather_spark.functions.categorize import (
     wind_compass,
 )
 from etl_weather_spark.functions.recommend import recommendation
-from etl_weather_spark.functions.rounding import davg, dsum, rnd
+from etl_weather_spark.functions.rounding import (
+    davg,
+    dsum,
+    rnd,
+    sql_davg,
+    sql_dsum,
+    sql_round,
+)
 from etl_weather_spark.functions.text import doc_fingerprint, slugify_ascii, token_count
 from etl_weather_spark.operators.joins import asof_join_union
 from etl_weather_spark.operators.windows import (
@@ -1294,4 +1301,338 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50"),
         F.approx_percentile("value", F.lit(0.99), F.lit(1000)).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytic widening (SURVEY §2.5/§2.6 join+agg patterns at
+# scale: pushed-down filter-aggs, semi/anti joins, broadcast dim joins,
+# having-filters, scalar subqueries, compound OR predicates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_revenue",
+    f"""
+SELECT {sql_round(sql_dsum('l_extendedprice * l_discount', 4), 2)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: the pure pushdown benchmark — filter-heavy scan,
+    single-group agg, zero shuffle rows beyond one partial per mapper.
+
+    Scale: all three predicates push to the parquet scan (PushedFilters
+    on shipdate/discount/quantity); at 100 TB this is the query where
+    row-group statistics skip most of the file.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "priority_order_counts",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: EXISTS → left-semi join, then tiny agg.
+
+    Scale: the semi join shuffles only (orderkey) pairs and
+    short-circuits per probe match; the 5-group agg collapses map-side.
+    """
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "returned_item_report",
+    f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {sql_round(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 6), 2)} AS revenue
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: who returned the most revenue last year.
+
+    Scale: nation broadcasts; orders is date-filtered before the
+    lineitem join (filter above the join pushes through); final top-20
+    is TakeOrderedAndProject — no global sort of the agg output.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rnd(dsum(rev, 6), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    f"""
+SELECT {sql_round(
+        "100.0 * "
+        + sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 6)
+        + " / " + sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 6), 4)} AS promo_share,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: conditional revenue share over a broadcast join.
+
+    Scale: part is a dimension → broadcast hash join, no shuffle of the
+    (date-pruned) lineitem side; both sums ride one aggregation pass.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            rnd(F.lit(100.0) * dsum(promo_rev, 6) / dsum(rev, 6), 4).alias(
+                "promo_share"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity', 2)} AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity', 2)} > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: agg → HAVING filter → join back to dims.
+
+    Scale: the heavy lineitem agg happens FIRST (map-side partials on
+    orderkey), so the joins see only the few surviving order keys; the
+    shrunken big-order set broadcasts into orders.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "brand_filter_revenue",
+    f"""
+SELECT {sql_round(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 6), 2)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def brand_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: compound OR-of-ANDs predicate across both join
+    sides.
+
+    Scale: part is broadcast; Catalyst splits the OR into a residual
+    join filter while the common conjuncts (quantity bounds, brand IN)
+    still prune the scans.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    q_ = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & q_.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & q_.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & q_.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(
+        rnd(dsum(rev, 6), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "top_supplier",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {sql_round(sql_dsum('l_extendedprice * (1 - l_discount)', 6), 2)} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_rev
+FROM rev
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+ORDER BY rev.total_rev DESC, s.s_suppkey
+LIMIT 1
+""",
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: windowed revenue per supplier, argmax supplier.
+
+    Scale: agg on suppkey first (small output), broadcast it into the
+    supplier dim; top-1 with a suppkey tie-break is deterministic.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = l.groupBy("l_suppkey").agg(rnd(dsum(rev, 6), 2).alias("total_rev"))
+    return (
+        s.join(F.broadcast(per_supp), s["s_suppkey"] == per_supp["l_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy(F.col("total_rev").desc(), F.col("s_suppkey"))
+        .limit(1)
+    )
+
+
+@query(
+    "dormant_customers",
+    f"""
+WITH cutoff AS (
+  SELECT {sql_davg('c_acctbal', 2)} AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name, COUNT(*) AS n_cust,
+       {sql_round(sql_dsum('c.c_acctbal', 2), 2)} AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT avg_bal FROM cutoff)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: scalar-subquery threshold + NOT EXISTS anti
+    join — rich customers with no recent orders, by nation.
+
+    Scale: the scalar avg is one tiny job whose result folds into the
+    filter; the anti join shuffles only (custkey) pairs of the
+    date-pruned orders side; nation broadcasts.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o_recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    # scalar subquery: decimal-exact avg so the > comparison cannot
+    # flip between engines on accumulation order
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", ))
+        .collect()[0][0]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(o_recent, c["c_custkey"] == o_recent["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            rnd(dsum("c_acctbal", 2), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
     )
