@@ -1636,3 +1636,19 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query("ann_cosine_ivf")  # rows-only: k-means centroids are engine-specific
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-kmeans coarse quantizer (pyspark.ml, fixed
+    seed) + cluster-pruned exact re-rank. The data-adaptive counterpart
+    of ann_cosine_lsh; row count (n_queries × k) is stable, centroid
+    contents are not SQL-expressible → rows-only check, recall gated in
+    tests/test_similarity.py.
+    """
+    from etl_weather_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 20), k=10, n_clusters=16, n_probe=4
+    )

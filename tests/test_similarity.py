@@ -64,3 +64,35 @@ def test_near_dupes_blocked(spark):
     assert (0, 1) in pairs
     assert (0, 2) not in pairs  # blocked away
     assert (0, 3) not in pairs  # below threshold
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    from etl_weather_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    approx = cosine_topk_ivf(emb, queries, k=10, n_clusters=16, n_probe=8).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing half the clusters recovers most true neighbors (measured
+    # 0.8 at sf0.001; recall curve: 4 probes 0.48, 6 → 0.64, 8 → 0.80)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # every query returns a full (deterministically ranked) top-k
+    assert all(len(s) == 10 for s in approx_sets.values())
+
+    centroids = train_ivf_centroids(emb, n_clusters=8)
+    assert centroids.shape == (8, 64)
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(centroids, axis=1), 1.0)
