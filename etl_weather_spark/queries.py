@@ -1652,3 +1652,38 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < 20), k=10, n_clusters=16, n_probe=4
     )
+
+
+@query(
+    "user_sessions",
+    """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 2 HOUR AS session_end,
+       COUNT(*) AS n_events,
+       FLOOR((COALESCE(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 0.0)) * 100 + 0.5) / 100 AS vsum
+FROM sess
+GROUP BY user_id, sess_id
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 2h) per user over events — F.session_window
+    in batch mode; the identical expression streams with a watermark
+    (streaming/stateful.session_user_agg, equality tested). Oracle: the
+    classic LAG-gap + cumulative-sum session reconstruction.
+    """
+    from etl_weather_spark.streaming.stateful import session_user_agg
+
+    ev = load(spark, sf_dir, "events")
+    return session_user_agg(ev, gap="2 hours")

@@ -1,0 +1,92 @@
+"""Stateful streaming: session windows (stream == batch) and
+applyInPandasWithState running totals across micro-batches."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_weather_spark.streaming.daily_stream import read_event_stream
+from etl_weather_spark.streaming.stateful import (
+    running_user_totals,
+    session_user_agg,
+)
+
+BATCH1 = [
+    {"event_id": 1, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "view", "value": 10.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T01:30:00", "user_id": 1, "event_type": "click", "value": 5.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 2, "event_type": "view", "value": 7.0, "props": "{}"},
+]
+BATCH2 = [
+    # user 1: new session (>2h after the last), user 2: extends session
+    {"event_id": 4, "ts": "2024-01-01T06:00:00", "user_id": 1, "event_type": "view", "value": 2.0, "props": "{}"},
+    {"event_id": 5, "ts": "2024-01-01T02:00:00", "user_id": 2, "event_type": "view", "value": 3.0, "props": "{}"},
+    # watermark sentinel: far future so every real session closes
+    {"event_id": 99, "ts": "2024-02-01T00:00:00", "user_id": -1, "event_type": "view", "value": 0.0, "props": "{}"},
+]
+
+
+def _write_batches(tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in BATCH1))
+    (src / "b2.json").write_text("\n".join(json.dumps(e) for e in BATCH2))
+    return src
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    src = _write_batches(tmp_path)
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    agg = session_user_agg(stream, gap="2 hours", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.session_start.isoformat()): (r.n_events, r.vsum)
+        for r in spark.sql("SELECT * FROM t_sessions WHERE user_id >= 0").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in BATCH1 + BATCH2[:-1]],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r.user_id, r.session_start.isoformat()): (r.n_events, r.vsum)
+        for r in session_user_agg(batch_df, gap="2 hours").collect()
+    }
+
+    assert streamed == batch
+    # user 1: two sessions (01:00 block, 06:00 singleton); user 2: one
+    assert len([k for k in batch if k[0] == 1]) == 2
+    assert len([k for k in batch if k[0] == 2]) == 1
+    assert batch[(1, "2024-01-01T01:00:00")] == (2, 15.0)
+
+
+def test_running_user_totals_across_batches(spark, tmp_path):
+    src = _write_batches(tmp_path)
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM t_running WHERE user_id >= 0").collect()
+
+    # user 1 appears in both triggers → two emissions with growing totals
+    u1 = sorted((r for r in rows if r.user_id == 1), key=lambda r: r.n_events)
+    assert [r.n_events for r in u1] == [2, 3]
+    assert u1[-1].total == 17.0 and u1[-1].vmax == 10.0
+    assert [r.batch_rows for r in u1] == [2, 1]
+    # final state equals the batch aggregate for every user
+    finals = {r.user_id: r for r in rows if r.n_events == max(x.n_events for x in rows if x.user_id == r.user_id)}
+    assert finals[2].n_events == 2 and finals[2].total == 10.0 and finals[2].vmax == 7.0
