@@ -1,0 +1,77 @@
+"""Python UDTFs — the table-function surface (SURVEY.md §2.13 D4).
+
+The reference's closest analogue is the columnar-arrays→rows
+normalization (P1, `transform.py:18-29`): one input document expands to
+many rows. Spark ≥3.5 exposes exactly that shape as a Python UDTF:
+``eval`` yields zero-or-more rows per input row, usable from SQL via
+``LATERAL`` join after ``spark.udtf.register``.
+
+Scale notes:
+- UDTFs run Python per input row; both classes here yield bounded
+  row counts per input (hours per doc / tokens per doc), so the
+  expansion is data-proportional, never driver-materialized.
+- For hot paths prefer the native equivalents (``explode`` +
+  ``arrays_zip``; ``split`` + ``explode``): those stay in codegen.
+  The UDTF surface is for logic that genuinely needs imperative
+  per-row expansion (the tolerant null-padding below).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql.functions import udtf
+
+#: tokenization rule shared with the DuckDB oracle in queries.word_freq:
+#: lowercase, split on non-alphanumeric runs, drop empties
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+@udtf(returnType="doc_id bigint, pos int, word string")
+class TokenizeUDTF:
+    """text → one row per token with position.
+
+    SQL: ``SELECT t.* FROM documents, LATERAL tokenize(doc_id, text) t``.
+    """
+
+    def eval(self, doc_id: int, text: str):
+        if text is None:
+            return
+        pos = 0
+        for tok in _TOKEN_RE.split(text.lower()):
+            if tok:
+                yield doc_id, pos, tok
+                pos += 1
+
+
+@udtf(returnType="time string, temperature_2m double, precipitation double")
+class HourlyExplodeUDTF:
+    """Open-Meteo columnar JSON document → one row per hour (P1,
+    transform.py:18-29 as a table function).
+
+    Tolerant like the reference's ``_safe_hourly_frame``: a missing or
+    length-mismatched metric array null-pads to the length of ``time``.
+    """
+
+    FIELDS = ("temperature_2m", "precipitation")
+
+    def eval(self, doc: str):
+        if doc is None:
+            return
+        hourly = json.loads(doc).get("hourly", {})
+        times = hourly.get("time") or []
+        cols = []
+        for f in self.FIELDS:
+            arr = hourly.get(f)
+            if not isinstance(arr, list) or len(arr) != len(times):
+                arr = [None] * len(times)
+            cols.append(arr)
+        for row in zip(times, *cols):
+            yield row
+
+
+def register_udtfs(spark) -> None:
+    """Register the table functions for SQL use."""
+    spark.udtf.register("tokenize", TokenizeUDTF)
+    spark.udtf.register("hourly_explode", HourlyExplodeUDTF)

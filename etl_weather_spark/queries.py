@@ -1687,3 +1687,38 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return session_user_agg(ev, gap="2 hours")
+
+
+@query(
+    "word_freq",
+    """
+SELECT word, COUNT(*) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> len(x) > 0)) AS word
+  FROM documents
+)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+""",
+)
+def word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: Python UDTF (Spark ≥3.5 table function) — tokenize via
+    LATERAL join, then count. The UDTF surface demo; the codegen path
+    for the same shape is split+explode (doc_stats).
+    """
+    from etl_weather_spark.functions.table_functions import register_udtfs
+
+    register_udtfs(spark)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT t.word, COUNT(*) AS n
+        FROM __docs_for_udtf, LATERAL tokenize(doc_id, text) t
+        GROUP BY t.word
+        ORDER BY n DESC, t.word
+        LIMIT 20
+        """
+    )
