@@ -20,7 +20,11 @@ def _frame_avg(value_col: str, frame, exact_scale: int | None):
     functions/rounding.py)."""
     if exact_scale is None:
         return F.avg(value_col).over(frame)
-    s = F.sum(F.col(value_col).cast(f"decimal(28,{exact_scale})")).over(frame).cast("double")
+    # scaled-long decimal accumulation: same value, compact-decimal fast
+    # path (see functions/rounding.dsum)
+    sc = 10 ** exact_scale
+    scaled = F.floor(F.col(value_col) * sc + F.lit(0.5)).cast("long").cast("decimal(28,0)")
+    s = F.sum(scaled).over(frame).cast("double") / sc
     return s / F.count(value_col).over(frame)
 
 
