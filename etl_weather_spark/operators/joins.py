@@ -142,3 +142,52 @@ def nearest_row(df: DataFrame, ts_col: str, target, by: list[str] | None = None)
         return df.orderBy(delta.asc()).limit(1)
     w = Window.partitionBy(*by).orderBy(delta.asc())
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_ts: str,
+    by: list[str] | None = None,
+    lower_sec: int = 0,
+    upper_sec: int = 600,
+) -> DataFrame:
+    """Time-band (interval) join: pair rows where
+    ``right_ts - left_ts ∈ [lower_sec, upper_sec]``, optionally within
+    ``by`` groups.
+
+    A naive inequality join degenerates to a per-key cross product
+    (Spark plans theta joins as BroadcastNestedLoop without an equi
+    key). This bucketizes both sides to ``width = upper - lower``
+    seconds and equi-joins on (by, bucket) for each of the two buckets a
+    band can span — the candidate set is bounded by bucket occupancy,
+    never |L|×|R|, and the equi key keeps it a hash/sort-merge join that
+    shuffles and scales. The exact band predicate filters candidates.
+    """
+    width = max(upper_sec - lower_sec, 1)
+    by = by or []
+
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
+    lt = left.withColumn("__lsec", lsec)
+    rt = right.withColumn("__rsec", rsec).withColumn(
+        "__bkt", F.floor((F.col("__rsec") - F.lit(lower_sec)) / width).cast("long")
+    )
+    # each left row's band [l+lower, l+upper] spans ≤2 buckets of size width
+    lt = lt.withColumn(
+        "__bkt",
+        F.explode(
+            F.array(
+                F.floor(F.col("__lsec") / width).cast("long"),
+                (F.floor(F.col("__lsec") / width) + 1).cast("long"),
+            )
+        ),
+    )
+    delta = F.col("__rsec") - F.col("__lsec")
+    return (
+        lt.join(rt, on=[*by, "__bkt"])
+        .filter((delta >= lower_sec) & (delta <= upper_sec))
+        .drop("__bkt", "__lsec", "__rsec")
+    )

@@ -1722,3 +1722,171 @@ def word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "pivot_event_values",
+    """
+SELECT CAST(ts AS DATE) AS date,
+       FLOOR((COALESCE(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'view') AS DOUBLE) / 100, 0.0)) * 100 + 0.5) / 100 AS view_sum,
+       FLOOR((COALESCE(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'click') AS DOUBLE) / 100, 0.0)) * 100 + 0.5) / 100 AS click_sum,
+       FLOOR((COALESCE(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'error') AS DOUBLE) / 100, 0.0)) * 100 + 0.5) / 100 AS error_sum,
+       FLOOR((COALESCE(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / 100, 0.0)) * 100 + 0.5) / 100 AS purchase_sum
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 inverse: PIVOT — long events to one wide column per event
+    type (the reference's fold/unpivot run backwards).
+
+    Scale: explicit value list means one pass (no distinct-values
+    pre-query) and a fixed output schema; the agg is a plain hash agg
+    with one shuffle on date.
+    """
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.to_date("ts").alias("date"))
+        .pivot("event_type", ["view", "click", "error", "purchase"])
+        .agg(rnd(F.coalesce(dsum("value"), F.lit(0.0)), 2))
+    )
+    return piv.select(
+        "date",
+        F.col("view").alias("view_sum"),
+        F.col("click").alias("click_sum"),
+        F.col("error").alias("error_sum"),
+        F.col("purchase").alias("purchase_sum"),
+    )
+
+
+@query(
+    "hourly_gap_fill",
+    """
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL 1 HOUR)) AS hour
+),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+         FLOOR((COALESCE(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 0.0)) * 100 + 0.5) / 100 AS vsum
+  FROM events
+  GROUP BY 1
+)
+SELECT spine.hour, COALESCE(counts.n, 0) AS n, COALESCE(counts.vsum, 0.0) AS vsum
+FROM spine LEFT JOIN counts ON spine.hour = counts.hour
+""",
+)
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: hourly grain with zero rows
+    for empty hours (the hypertable/rollup pattern; reference charts
+    assume a dense hourly axis).
+
+    Scale: the spine is sequence+explode of a bounded literal range
+    (720 rows) and BROADCASTS into the left join against the hourly
+    pre-aggregate — events are aggregated BEFORE the join, so the join
+    touches one row per hour, not one per event.
+    """
+    ev = load(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.coalesce(dsum("value"), F.lit(0.0)), 2).alias("vsum"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(counts, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("vsum", F.lit(0.0)).alias("vsum"),
+        )
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+SELECT event_type,
+       FLOOR(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+       FLOOR(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+       FLOOR(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — Spark
+    ``percentile`` ≙ DuckDB ``quantile_cont``, parity verified at
+    sf0.01). The exact complement of approx_stats' KLL sketch: use this
+    when the group cardinality is bounded, the sketch when it isn't.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            rnd(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            rnd(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            rnd(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "error_after_click",
+    """
+SELECT c.user_id, c.ts AS click_ts, e.ts AS error_ts,
+       FLOOR((EPOCH(e.ts) - EPOCH(c.ts)) * 100 + 0.5) / 100 AS delta_sec
+FROM events c
+JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND EPOCH(e.ts) - EPOCH(c.ts) BETWEEN 0 AND 3600
+""",
+)
+def error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: error events within 1 h after a click by the
+    same user — operators/joins.range_join_bucketed.
+
+    Scale: the band condition is folded into an equi-join on
+    (user_id, time-bucket); Spark would otherwise plan the pure
+    inequality as a nested-loop. One hash-join shuffle, candidates
+    bounded by bucket occupancy. Plan asserted nested-loop-free in
+    tests/test_plans.py.
+    """
+    from etl_weather_spark.operators.joins import range_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"), F.col("ts").alias("error_ts")
+    )
+    joined = range_join_bucketed(
+        clicks,
+        errors.withColumnRenamed("e_user_id", "user_id"),
+        left_ts="click_ts",
+        right_ts="error_ts",
+        by=["user_id"],
+        lower_sec=0,
+        upper_sec=3600,
+    )
+    return joined.select(
+        "user_id",
+        "click_ts",
+        "error_ts",
+        rnd(
+            F.col("error_ts").cast("double") - F.col("click_ts").cast("double"), 2
+        ).alias("delta_sec"),
+    )

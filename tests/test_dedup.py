@@ -67,3 +67,34 @@ def test_ngram_jaccard_exact_value(spark):
     assert abs(got[(1, 2)] - 6 / 8) < 1e-9
     assert got[(1, 4)] == 1.0
     assert (1, 3) not in got
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    """Bucketed band join == naive filtered cross join on a small corpus."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.joins import range_join_bucketed
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(u, base + dt.timedelta(seconds=s)) for u in (1, 2) for s in range(0, 4000, 37)]
+    rrows = [(u, base + dt.timedelta(seconds=s)) for u in (1, 2) for s in range(13, 4200, 41)]
+    left = spark.createDataFrame(lrows, "user_id long, lts timestamp")
+    right = spark.createDataFrame(rrows, "user_id long, rts timestamp")
+
+    got = range_join_bucketed(
+        left, right, left_ts="lts", right_ts="rts", by=["user_id"],
+        lower_sec=0, upper_sec=600,
+    )
+    naive = (
+        left.join(right, "user_id")
+        .filter(
+            (F.col("rts").cast("double") - F.col("lts").cast("double")).between(0, 600)
+        )
+    )
+    assert got.count() == naive.count()
+    assert got.count() > 0
+    g = {(r.user_id, r.lts, r.rts) for r in got.collect()}
+    n = {(r.user_id, r.lts, r.rts) for r in naive.collect()}
+    assert g == n

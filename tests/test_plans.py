@@ -78,3 +78,26 @@ def test_slugify_ascii_no_python(spark, sf_dir):
     df = q.slugify_parts(spark, sf_dir)
     plan = formatted_plan(df)
     assert "EvalPython" not in plan, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # bucketed band join must plan as a hash/sort-merge equi join —
+    # a nested-loop over events×events would be quadratic at scale
+    df = q.error_after_click(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gap_fill_spine_broadcasts(spark, sf_dir):
+    # the 720-row hour spine broadcasts; events are pre-aggregated
+    # before the join (join input rows = hours, not events)
+    df = q.hourly_gap_fill(spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+    assert has_partial_aggregation(df), formatted_plan(df)
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    # EXISTS must not expand: the plan keeps a LeftSemi join type
+    df = q.priority_order_counts(spark, sf_dir)
+    assert "LeftSemi" in formatted_plan(df), formatted_plan(df)
