@@ -1890,3 +1890,207 @@ def error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("error_ts").cast("double") - F.col("click_ts").cast("double"), 2
         ).alias("delta_sec"),
     )
+
+
+@query(
+    "nation_trade_volume",
+    f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(year FROM l.l_shipdate) AS ship_year,
+       {sql_round(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 6), 2)} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: bilateral trade volume between two nations per
+    ship year — fact table joined to BOTH role-playing nation dims.
+
+    Scale: supplier/customer/nation broadcast; orders↔lineitem is the
+    only shuffle; the nation-pair predicate prunes before the agg.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(rnd(dsum(rev, 6), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "market_share",
+    f"""
+WITH base AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT order_year,
+       {sql_round(
+           sql_dsum("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END", 6)
+           + " / " + sql_dsum('volume', 6), 4)} AS mkt_share
+FROM base
+GROUP BY order_year
+ORDER BY order_year
+""",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of a region's import volume
+    per order year — conditional-sum ratio over a two-dim-chain join.
+
+    Scale: every dimension chain broadcasts (region→nation→customer is
+    pre-joined and pruned to one region before touching facts); the
+    single fact-fact shuffle is orders↔lineitem.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    cust_dim = F.broadcast(
+        c.join(
+            n.select("n_nationkey", "n_regionkey"),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(
+            r.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == r["r_regionkey"],
+        )
+        .select("c_custkey")
+    )
+    supp_dim = F.broadcast(
+        s.join(
+            n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")),
+            s["s_nationkey"] == F.col("sn_key"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(cust_dim, o["o_custkey"] == F.col("c_custkey"))
+        .join(supp_dim, l["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(rnd(dsum(nation_vol, 6) / dsum(vol, 6), 4).alias("mkt_share"))
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: order-count histogram over a left join (keeps
+    zero-order customers — COUNT of the nullable join key, not *).
+
+    Scale: two aggregations, each with map-side partials; the second
+    input is one row per customer, so the histogram shuffle is tiny.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    f"""
+WITH thresholds AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT {sql_round(sql_dsum('l.l_extendedprice', 2) + " / 7.0", 2)} AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN thresholds t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < t.qty_threshold
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: correlated per-part average via a self-agg
+    join — lost revenue from small-quantity orders.
+
+    Scale: lineitem is first pruned to the brand's parts (broadcast
+    join on the filtered part dim), THEN the per-part threshold is
+    aggregated over that pruned subset — one row per brand part, small
+    enough to broadcast back; thresholds for non-brand parts are never
+    computed. Quantities are integral doubles so the 0.2×avg threshold
+    is bit-identical across engines.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li_brand = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    thresholds = (
+        li_brand.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li_brand
+        .join(F.broadcast(thresholds), l["l_partkey"] == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            rnd(dsum("l_extendedprice", 2) / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -111,3 +111,36 @@ def materialize_if_absent(
     if refresh or not exists:
         write_table(build(), path, partition_by=partition_by, mode="overwrite")
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write a bucketed (and bucket-sorted) table for co-located joins.
+
+    Both sides of a recurring large join written with the SAME
+    (bucket_cols, n_buckets) sort-merge join with ZERO exchanges — the
+    shuffle is paid once at write time instead of on every query. This
+    is the 100 TB answer for fact-fact joins on a stable key
+    (orders↔lineitem on orderkey): bucket both at ingestion.
+
+    Bucketing requires the table catalog (``saveAsTable``); ``path``
+    makes it an external table so the data lands in the lakehouse
+    layout rather than the default warehouse.
+    """
+    writer = (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
