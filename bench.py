@@ -31,6 +31,14 @@ HEADLINE = [
     "asof_join",
     "doc_stats",
     "dedup_exact",
+    # second wave: semi-join, band join, sessionization, pivot,
+    # pushdown filter-agg, left-join histogram
+    "forecast_revenue",
+    "priority_order_counts",
+    "error_after_click",
+    "user_sessions",
+    "pivot_event_values",
+    "customer_order_distribution",
 ]
 
 

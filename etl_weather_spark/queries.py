@@ -2094,3 +2094,64 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "status_cube",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       FLOOR((COALESCE(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 0.0)) * 100 + 0.5) / 100 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    pass (complements status_rollup's hierarchy; free Spark op per
+    SURVEY §2.6 note).
+
+    Scale: Spark expands grouping sets map-side — one shuffle keyed by
+    (grouping id, keys), partials collapse per set.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.coalesce(dsum("o_totalprice", 2), F.lit(0.0)), 2).alias("total_price"),
+    )
+
+
+@query(
+    "value_quartiles",
+    """
+SELECT event_type, quartile,
+       COUNT(*) AS n,
+       FLOOR((MIN(value)) * 100 + 0.5) / 100 AS vmin,
+       FLOOR((MAX(value)) * 100 + 0.5) / 100 AS vmax
+FROM (
+  SELECT event_type, value,
+         NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+  FROM events
+)
+GROUP BY event_type, quartile
+ORDER BY event_type, quartile
+""",
+)
+def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile assignment per event type, then per-bucket stats.
+
+    Total order (value, event_id) makes tile assignment deterministic
+    across engines. Scale: one shuffle on event_type; NTILE is a
+    single-pass window within each partition.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.min("value"), 2).alias("vmin"),
+            rnd(F.max("value"), 2).alias("vmax"),
+        )
+        .orderBy("event_type", "quartile")
+    )
