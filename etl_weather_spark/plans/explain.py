@@ -65,3 +65,12 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     """True when hash aggregation runs map-side partials before the shuffle."""
     plan = formatted_plan(df)
     return "partial_" in plan or "Partial" in plan
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters lines from file scans (partition-pruning check)."""
+    return [
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "PartitionFilters" in line
+    ]

@@ -124,3 +124,24 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key in the dedup state
+    only until the watermark passes it — at 100 TB/day the state is
+    O(keys per watermark window), not O(all keys ever), which is what
+    makes exact dedup feasible on an unbounded stream (the streaming
+    counterpart of queries.dedup_exact's fingerprint groupBy).
+    """
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

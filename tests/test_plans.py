@@ -101,3 +101,24 @@ def test_semi_join_stays_semi(spark, sf_dir):
     # EXISTS must not expand: the plan keeps a LeftSemi join type
     df = q.priority_order_counts(spark, sf_dir)
     assert "LeftSemi" in formatted_plan(df), formatted_plan(df)
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    # gold tables partition by date (SURVEY §7.0); a date filter must
+    # become a PartitionFilter (directory pruning), not a row filter
+    from etl_weather_spark.plans.explain import partition_filters
+
+    ev = q.load(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_date")
+    (
+        ev.withColumn("date", F.to_date("ts"))
+        .write.partitionBy("date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("date") == "2024-01-15")
+    pf = partition_filters(df)
+    assert pf and any("date" in line for line in pf), pf
+    # pruned read touches exactly one of ~30 date partitions
+    assert df.rdd.getNumPartitions() <= 2
+    assert df.count() > 0

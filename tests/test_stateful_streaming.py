@@ -90,3 +90,28 @@ def test_running_user_totals_across_batches(spark, tmp_path):
     # final state equals the batch aggregate for every user
     finals = {r.user_id: r for r in rows if r.n_events == max(x.n_events for x in rows if x.user_id == r.user_id)}
     assert finals[2].n_events == 2 and finals[2].total == 10.0 and finals[2].vmax == 7.0
+
+
+def test_dedup_stream_drops_repeats(spark, tmp_path):
+    from etl_weather_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    dup = dict(BATCH1[0])  # event_id 1 repeated in a later file
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in BATCH1))
+    (src / "b2.json").write_text("\n".join(json.dumps(e) for e in [dup] + BATCH2))
+
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream, key_cols=["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT event_id FROM t_dedup").collect()
+    ids = sorted(r.event_id for r in rows)
+    # 6 distinct events in, 7 rows with one repeat → repeat dropped
+    assert ids == [1, 2, 3, 4, 5, 99]
