@@ -2155,3 +2155,49 @@ def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "quartile")
     )
+
+
+@query(
+    "variant_props",
+    """
+SELECT event_type,
+       MIN(CAST(props->>'k' AS INT)) AS k_min,
+       MAX(CAST(props->>'k' AS INT)) AS k_max,
+       COUNT(DISTINCT CAST(props->>'k' AS INT)) AS k_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via VARIANT (Spark ≥4.0): parse the JSON props
+    column once into a variant and extract typed fields with
+    variant_get — the open-format answer to schema-on-read JSON
+    (binary-encoded, no per-access re-parse like get_json_object;
+    complements json_extract_props' string-path variant).
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count_distinct(F.col("k")).alias("k_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("winnow_candidates")  # rows-only: xxhash64 selection is Spark-specific
+def winnow_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS):
+    guaranteed-detection near-dup candidates from ~2/(window+1) of the
+    k-gram hashes. Not SQL-portable (xxhash64 family) → rows-only;
+    semantic guarantees tested in tests/test_dedup.py.
+    """
+    from etl_weather_spark.operators.dedup import winnow_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_candidates(docs, min_shared=10, max_doc_freq=50)

@@ -144,3 +144,35 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def stream_upsert_latest(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ingest_ts",
+    checkpoint: str | None = None,
+    query_name: str = "gold_upsert",
+):
+    """Materialize a stream into a keyed gold table via foreachBatch:
+    append each micro-batch, serve through :func:`latest_view`.
+
+    Append + latest-view is the upsert pattern that scales without a
+    MERGE-capable table format: writes are blind appends (no read-
+    modify-write contention across 1000 executors), and the view's
+    row_number-over-ingest_ts prunes to the newest row per key at read
+    time. Compact periodically by rewriting the view output.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(upsert).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()

@@ -98,3 +98,41 @@ def test_range_join_bucketed_matches_naive(spark):
     g = {(r.user_id, r.lts, r.rts) for r in got.collect()}
     n = {(r.user_id, r.lts, r.rts) for r in naive.collect()}
     assert g == n
+
+
+def test_winnow_identical_docs_share_all_fingerprints(spark):
+    from etl_weather_spark.operators.dedup import (
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    base = "spark shuffles partition data across executors for wide dependencies"
+    rows = [
+        (1, base),
+        (2, base),                              # exact dup
+        (3, base.replace("wide", "wine")),      # near dup: 1-char change
+        (4, "completely different content about weather and rainfall totals"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set() for r in docs.collect()}
+    for r in winnow_fingerprints(docs).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] == fps[2]                     # identical → identical sets
+    overlap_near = len(fps[1] & fps[3]) / len(fps[1])
+    overlap_far = len(fps[1] & fps[4]) / len(fps[1])
+    assert overlap_near >= 0.5                  # 1-char edit keeps most
+    assert overlap_far < 0.2                    # unrelated shares few
+
+    cands = winnow_candidates(docs, min_shared=5)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_winnow_guarantee_short_doc(spark):
+    # docs shorter than k+window-1 still fingerprint (no empty arrays)
+    from etl_weather_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "tiny"), (2, "")], "doc_id long, text string")
+    got = winnow_fingerprints(docs).groupBy("doc_id").count().collect()
+    assert {r.doc_id for r in got} == {1, 2}
