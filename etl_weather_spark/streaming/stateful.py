@@ -145,3 +145,82 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+class EwmaAnomalyProcessor:
+    """StatefulProcessor for :func:`ewma_anomalies` (transformWithState,
+    Spark ≥4.0 — the successor API to applyInPandasWithState: typed
+    named state slots with optional TTL, timers, and initial state).
+
+    Keeps one ValueState row (ewma, n) per user; each trigger folds the
+    user's events in event-time order and emits rows flagged anomalous
+    when the value deviates from the running EWMA by more than
+    ``threshold`` × the EWMA (after a warm-up of ``min_n`` events).
+    """
+
+    def __init__(self, alpha: float = 0.3, threshold: float = 2.0, min_n: int = 3):
+        self.alpha = alpha
+        self.threshold = threshold
+        self.min_n = min_n
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("ewma", "ewma double, n long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        (user_id,) = key
+        ewma, n = self._state.get() if self._state.exists() else (None, 0)
+        out = []
+        for pdf in rows:
+            for _, r in pdf.sort_values("ts").iterrows():
+                v = float(r["value"])
+                is_anom = (
+                    n >= self.min_n
+                    and ewma is not None
+                    and abs(v - ewma) > self.threshold * abs(ewma)
+                )
+                ewma = v if ewma is None else self.alpha * v + (1 - self.alpha) * ewma
+                n += 1
+                out.append((user_id, r["ts"], v, round(ewma, 6), bool(is_anom)))
+        self._state.update((ewma, n))
+        yield pd.DataFrame(
+            out, columns=["user_id", "ts", "value", "ewma", "is_anomaly"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def ewma_anomalies(
+    events: DataFrame,
+    *,
+    alpha: float = 0.3,
+    threshold: float = 2.0,
+    min_n: int = 3,
+) -> DataFrame:
+    """Per-user EWMA anomaly stream via ``transformWithStateInPandas``.
+
+    Scale: state is one (ewma, n) row per user, sharded by the grouping
+    hash; per-trigger work is the user's batch rows only. The Python
+    loop runs per user-trigger over already-Arrow-batched rows — fine
+    for alerting cadences; a numpy scan would replace it if triggers
+    carry millions of rows per user.
+
+    Environment: requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and
+    ``google.protobuf`` (the TWS state protocol) — absent in this
+    container, so the end-to-end test is skipif-gated; the processor
+    logic itself is unit-tested with a fake state handle.
+    """
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            EwmaAnomalyProcessor(alpha=alpha, threshold=threshold, min_n=min_n),
+            outputStructType=(
+                "user_id long, ts timestamp, value double, "
+                "ewma double, is_anomaly boolean"
+            ),
+            outputMode="append",
+            timeMode="none",
+        )
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_weather_spark.streaming.daily_stream import read_event_stream
@@ -115,3 +116,113 @@ def test_dedup_stream_drops_repeats(spark, tmp_path):
     ids = sorted(r.event_id for r in rows)
     # 6 distinct events in, 7 rows with one repeat → repeat dropped
     assert ids == [1, 2, 3, 4, 5, 99]
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (state "
+    "protocol); not installed in this container — operator is "
+    "API-complete, gate per environment policy",
+)
+def test_ewma_anomalies_across_batches(spark, tmp_path):
+    from etl_weather_spark.streaming.stateful import ewma_anomalies
+
+    normal = [
+        {"event_id": i, "ts": f"2024-01-01T0{i}:00:00", "user_id": 1,
+         "event_type": "view", "value": 10.0 + (i % 2), "props": "{}"}
+        for i in range(1, 5)
+    ]
+    spike = [
+        {"event_id": 9, "ts": "2024-01-01T09:00:00", "user_id": 1,
+         "event_type": "view", "value": 500.0, "props": "{}"},
+        {"event_id": 10, "ts": "2024-01-01T10:00:00", "user_id": 2,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+    ]
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in normal))
+    (src / "b2.json").write_text("\n".join(json.dumps(e) for e in spike))
+
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    # transformWithState requires the RocksDB state store
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            ewma_anomalies(stream)
+            .writeStream.format("memory")
+            .queryName("t_ewma")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("SELECT * FROM t_ewma ORDER BY user_id, ts").collect()
+
+    u1 = [r for r in rows if r.user_id == 1]
+    assert len(u1) == 5
+    # the 500.0 spike fires against state carried from the PREVIOUS batch
+    assert [r.is_anomaly for r in u1] == [False, False, False, False, True]
+    # warm-up: user 2's first event can never alert
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1 and not u2[0].is_anomaly
+    # ewma evolved: last ewma reflects the spike blended in
+    assert u1[-1].ewma > 100
+
+
+def test_ewma_processor_logic_direct():
+    """The EWMA/anomaly state machine itself, no streaming runtime:
+    drive handleInputRows with a fake state handle across two batches."""
+    import pandas as pd
+
+    from etl_weather_spark.streaming.stateful import EwmaAnomalyProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.val = None
+
+        def exists(self):
+            return self.val is not None
+
+        def get(self):
+            return self.val
+
+        def update(self, v):
+            self.val = v
+
+    proc = EwmaAnomalyProcessor(alpha=0.3, threshold=2.0, min_n=3)
+    proc._state = FakeState()
+
+    b1 = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=4, freq="h"),
+         "value": [10.0, 11.0, 10.0, 11.0]}
+    )
+    out1 = pd.concat(proc.handleInputRows((1,), iter([b1]), None))
+    assert list(out1["is_anomaly"]) == [False] * 4
+
+    b2 = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-02", periods=1, freq="h"), "value": [500.0]}
+    )
+    out2 = pd.concat(proc.handleInputRows((1,), iter([b2]), None))
+    # spike fires against EWMA state carried across the batch boundary
+    assert list(out2["is_anomaly"]) == [True]
+    assert out2["ewma"].iloc[0] > 100
+    ewma, n = proc._state.get()
+    assert n == 5 and ewma > 100
