@@ -1,0 +1,114 @@
+"""CLI — the reference's Typer surface (cli.py:1-113) re-expressed.
+
+The reference exposes ``fetch`` / ``transform`` / ``report`` / ``all``
+over one city's files. Here the same verbs operate on the engine's
+tables (any scale), argparse-only so the CLI has zero extra deps:
+
+- ``daily``     — build the gold daily table (flags included) and write
+                  it partitioned by date (transform analog, cli.py:44-66).
+- ``report``    — print the period summary + recommendation for the
+                  daily table (report analog, cli.py:69-80).
+- ``query``     — run any registered engine query by name (the
+                  generalization of the reference's fixed pipeline).
+- ``bench``     — the headline benchmark (driver-compatible JSON line).
+
+``fetch`` stays an ingestion job by design (SURVEY §2.1 S1-S5): the
+engine consumes landed documents (sources/openmeteo, the custom
+``openmeteo`` DataSource) rather than calling HTTP inside queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: int | None = None):
+    from etl_weather_spark.session import get_spark
+
+    kwargs = {}
+    if cpus:
+        kwargs["master"] = f"local[{cpus}]"
+        kwargs["shuffle_partitions"] = cpus
+    return get_spark(app_name="etl-weather-spark-cli", **kwargs)
+
+
+def cmd_daily(args: argparse.Namespace) -> int:
+    from etl_weather_spark import queries as q
+
+    spark = _spark(args.cpus)
+    df = q.daily_flags(spark, args.sf_dir)
+    writer = df.write.mode("overwrite")
+    if args.partition:
+        writer = writer.partitionBy("date")
+    writer.parquet(args.out)
+    print(f"wrote daily table -> {args.out}")
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    from etl_weather_spark import queries as q
+
+    spark = _spark(args.cpus)
+    summary = q.global_summary(spark, args.sf_dir).collect()[0]
+    rec = q.recommendation_text(spark, args.sf_dir).collect()
+    print("period summary:")
+    for k, v in summary.asDict().items():
+        print(f"  {k}: {v}")
+    print("recommendations:")
+    for r in rec[:5]:
+        print(f"  {r.asDict()}")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from etl_weather_spark import queries as q
+
+    registry = q.queries()
+    if args.name not in registry:
+        print(f"unknown query {args.name!r}; available: {', '.join(sorted(registry))}")
+        return 2
+    spark = _spark(args.cpus)
+    df = registry[args.name](spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", args.sf_dir)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl-weather-spark")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("daily", help="build + write the gold daily table")
+    d.add_argument("--out", required=True)
+    d.add_argument("--partition", action="store_true", help="partition by date")
+    d.set_defaults(fn=cmd_daily)
+
+    r = sub.add_parser("report", help="print period summary + recommendation")
+    r.set_defaults(fn=cmd_report)
+
+    qp = sub.add_parser("query", help="run a registered query by name")
+    qp.add_argument("name")
+    qp.add_argument("--limit", type=int, default=20)
+    qp.set_defaults(fn=cmd_query)
+
+    b = sub.add_parser("bench", help="headline benchmark JSON line")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

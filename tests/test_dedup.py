@@ -136,3 +136,43 @@ def test_winnow_guarantee_short_doc(spark):
     docs = spark.createDataFrame([(1, "tiny"), (2, "")], "doc_id long, text string")
     got = winnow_fingerprints(docs).groupBy("doc_id").count().collect()
     assert {r.doc_id for r in got} == {1, 2}
+
+
+def test_asof_union_matches_merge_asof_randomized(spark):
+    """asof_join_union (union+window, the scale path) must agree with
+    pandas merge_asof backward semantics on randomized keyed series."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_weather_spark.operators.joins import asof_join_union
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        lts = np.sort(rng.choice(np.arange(0, 5000), size=80, replace=False))
+        rts = np.sort(rng.choice(np.arange(0, 5000), size=40, replace=False))
+        keys_l = rng.integers(0, 3, size=80)
+        keys_r = rng.integers(0, 3, size=40)
+        lpd = pd.DataFrame({"k": keys_l, "t": lts, "lv": rng.normal(size=80)})
+        rpd = pd.DataFrame({"k": keys_r, "t": rts, "rv": rng.normal(size=40)})
+
+        left = spark.createDataFrame(lpd.assign(t=lpd.t.astype("int64")))
+        right = spark.createDataFrame(rpd.assign(t=rpd.t.astype("int64")))
+        got = (
+            asof_join_union(left, right, on="t", by=["k"], value_cols=["rv"])
+            .orderBy("k", "t")
+            .collect()
+        )
+
+        expected = pd.merge_asof(
+            lpd.sort_values("t"), rpd.sort_values("t"),
+            on="t", by="k", direction="backward",
+        ).sort_values(["k", "t"])
+        exp_pairs = list(
+            zip(expected.k, expected.t,
+                [None if pd.isna(v) else round(v, 9) for v in expected.rv])
+        )
+        got_pairs = [
+            (r.k, r.t, None if r.rv_asof is None else round(r.rv_asof, 9))
+            for r in got
+        ]
+        assert sorted(got_pairs) == sorted(exp_pairs), f"trial {trial}"
