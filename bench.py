@@ -39,6 +39,9 @@ HEADLINE = [
     "user_sessions",
     "pivot_event_values",
     "customer_order_distribution",
+    # dedup-at-scale production paths (xxhash64 LSH, rolling-hash winnow)
+    "minhash_lsh_fast",
+    "winnow_candidates",
 ]
 
 

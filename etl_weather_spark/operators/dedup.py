@@ -44,15 +44,44 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 2) -> Column:
-    """Word n-gram shingles as an array of strings (distinct not enforced)."""
+    """Word n-gram shingles as an array of strings (distinct not enforced).
+
+    PERF: ``text`` should be a plain column REFERENCE to an
+    already-materialized token array's source, not a heavy expression —
+    anything passed here is inlined into a per-element lambda by
+    CollapseProject and re-evaluated per shingle. Use
+    :func:`exploded_shingles` for DataFrame-level callers; it inserts
+    the projection boundary that keeps tokenization once-per-row
+    (measured 19× on 20k docs).
+    """
     toks = tokens(text)
     if n <= 1:
         return toks
-    # zip token array against its shifted self: shingle i = toks[i..i+n-1]
+    return shingles_of_tokens(toks, n)
+
+
+def shingles_of_tokens(toks: Column, n: int = 2) -> Column:
+    """Shingles from a token-array column (pass a column reference)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) >= n, F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
     )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def exploded_shingles(
+    docs: DataFrame, *, text_col: str, keep_cols: list[str], n: int = 2
+) -> DataFrame:
+    """(keep_cols..., sh) — one row per distinct shingle per doc.
+
+    Tokenizes in its OWN projection so the Generate consumes a bound
+    array column: without the boundary, Catalyst inlines the
+    regex+split into the shingle lambda and re-runs it per element.
+    """
+    toked = docs.select(*keep_cols, tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        *keep_cols,
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("__toks"), n))).alias("sh"),
+    )
 
 
 def _hash_expr(shingle: Column, seed: int, family: str) -> Column:
@@ -79,8 +108,8 @@ def minhash_signatures(
     (doc_id, shingle-hash) pairs; signatures are H mins computed
     map-side-partially. At 100 TB, H mins per doc ≈ H*8 bytes/doc state.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh")
+    sh = exploded_shingles(
+        docs, text_col=text_col, keep_cols=[id_col], n=shingle_n
     )
     aggs = [
         F.min(_hash_expr(F.col("sh"), i, hash_family)).alias(f"s{i}")
@@ -199,7 +228,7 @@ def ngram_jaccard_pairs(
     an LSH bucket) further restricts the join at scale.
     """
     keys = [id_col] + ([block_col] if block_col else [])
-    sh = docs.select(*keys, F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"))
+    sh = exploded_shingles(docs, text_col=text_col, keep_cols=keys, n=shingle_n)
     sizes = sh.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_sh"))
 
     join_keys = ["sh"] + ([block_col] if block_col else [])
@@ -309,9 +338,15 @@ def winnow_candidates(
     window: int = 4,
     min_shared: int = 5,
     max_doc_freq: int | None = 100,
+    persist_fps: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing ≥ ``min_shared`` winnowed
     fingerprints, with the shared count.
+
+    ``persist_fps`` caches the fingerprint table: it is consumed three
+    times (doc-freq window + both self-join sides), so without caching
+    the rolling-hash UDF re-runs per consumer. Leave False when the
+    caller manages its own persistence/checkpointing.
 
     Scale: the self-join runs on the winnowed (doc_id, fp) table —
     ~2/(window+1) the size of a full shingle table — and the shuffle
@@ -325,6 +360,8 @@ def winnow_candidates(
     fps = winnow_fingerprints(
         docs, text_col=text_col, id_col=id_col, k=k, window=window
     )
+    if persist_fps:
+        fps = fps.persist()
     if max_doc_freq is not None:
         # window count, not a groupBy+self-join: one shuffle on fp and
         # no extra re-evaluation of the fingerprint UDF. (In a real

@@ -2200,4 +2200,22 @@ def winnow_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_weather_spark.operators.dedup import winnow_candidates
 
     docs = load(spark, sf_dir, "documents")
+    # persist_fps=False: at this corpus size the three consumers of the
+    # fingerprint table re-run a ~1s UDF in parallel stages, which beats
+    # serializing a cache materialization; flip on when docs >> memory
     return winnow_candidates(docs, min_shared=10, max_doc_freq=50)
+
+
+@query("minhash_lsh_fast")  # rows-only: xxhash64 family is Spark-specific
+def minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path MinHash+LSH: 16 xxhash64 min-hashes, 4 bands —
+    the throughput configuration (JVM hashing, no md5 strings). The
+    md5 twin (minhash_lsh) exists for bit-identical DuckDB verification;
+    this one exists to be fast, and is what the bench times.
+    """
+    from etl_weather_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, hash_family="xxhash64"
+    ).filter(F.col("est_jaccard") >= 0.5)

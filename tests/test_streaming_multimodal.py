@@ -75,3 +75,31 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media, every_ms=1000)
     frames = sorted(r.frame_ms for r in plan.collect())
     assert frames == [0, 1000, 2000, 3000]
+
+
+def test_media_features_compose_with_ann(spark):
+    """End-to-end multimodal → similarity: extract features from media
+    payloads, then near-dup detection over the feature vectors — the
+    full pipeline shape (decode stub swapped for a real model at
+    deploy time; the Spark plumbing is identical)."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+
+    rows = [
+        (1, "image", b"payload-alpha", ("image/png", 4, 4, None, None)),
+        (2, "image", b"payload-alpha", ("image/png", 4, 4, None, None)),  # dup bytes
+        (3, "image", b"payload-beta-very-different", ("image/png", 8, 8, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).filter(F.col("feature").isNotNull())
+    vecs = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").cast("array<float>").alias("embedding"),
+    )
+    top = cosine_topk_bruteforce(vecs, vecs, k=1).collect()
+    best = {r.query_id: (r.neighbor_id, r.sim) for r in top}
+    # identical payloads → identical features → cosine 1.0 mutual NN
+    assert best[1][0] == 2 and abs(best[1][1] - 1.0) < 1e-9
+    assert best[2][0] == 1 and abs(best[2][1] - 1.0) < 1e-9
+    assert best[3][1] < 1.0
