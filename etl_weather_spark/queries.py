@@ -2219,3 +2219,78 @@ def minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, num_hashes=16, bands=4, hash_family="xxhash64"
     ).filter(F.col("est_jaccard") >= 0.5)
+
+
+@query(
+    "similar_nation_names",
+    """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS edit_dist
+FROM nation a
+JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 2
+ORDER BY edit_dist, name_a, name_b
+""",
+)
+def similar_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity (typo detection / entity resolution):
+    name pairs within levenshtein ≤ 2.
+
+    Scale: fine as a broadcast self-join on a dimension; for a large
+    entity table, block first (soundex/prefix/LSH bucket) so the
+    quadratic comparison only runs inside blocks.
+    """
+    n = load(spark, sf_dir, "nation").select("n_name")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+@query(
+    "embedding_component_stats",
+    """
+WITH per_vec AS (
+  SELECT label,
+         FLOOR(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') * 1000000 + 0.5) / 1000000 AS comp_sum
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n,
+       FLOOR((CAST(SUM(CAST(FLOOR(comp_sum * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(comp_sum)) * 10000 + 0.5) / 10000 AS avg_comp_sum,
+       FLOOR(MIN(comp_sum) * 10000 + 0.5) / 10000 AS min_comp_sum,
+       FLOOR(MAX(comp_sum) * 10000 + 0.5) / 10000 AS max_comp_sum
+FROM per_vec
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math over embeddings per label: JVM F.aggregate component
+    sums (sequential fold ≙ DuckDB list_aggregate — per-row bit
+    equality), rounded per row to 6 dp so the group average can
+    accumulate exactly in decimal.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    comp_sum = rnd(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    per_vec = emb.select("label", comp_sum.alias("comp_sum"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(davg("comp_sum", 6), 4).alias("avg_comp_sum"),
+            rnd(F.min("comp_sum"), 4).alias("min_comp_sum"),
+            rnd(F.max("comp_sum"), 4).alias("max_comp_sum"),
+        )
+        .orderBy("label")
+    )
