@@ -2294,3 +2294,82 @@ def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "monthly_rollup",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         FLOOR((COALESCE(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 0.0)) * 100 + 0.5) / 100 AS vsum
+  FROM events GROUP BY 1
+)
+SELECT date_trunc('month', date) AS month,
+       COUNT(*) AS n_days,
+       FLOOR(MIN(vsum) * 100 + 0.5) / 100 AS vmin,
+       FLOOR(MAX(vsum) * 100 + 0.5) / 100 AS vmax,
+       FLOOR((CAST(SUM(CAST(FLOOR(vsum * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(vsum)) * 100 + 0.5) / 100 AS vavg
+FROM daily
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the continuous-aggregate pattern):
+    daily gold re-aggregated to monthly grain.
+
+    Scale: rollups compose — the monthly agg reads the (tiny) daily
+    output, never the raw events; in a lakehouse these materialize as
+    chained gold tables with each level's shuffle sized by its grain.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        rnd(F.coalesce(dsum("value"), F.lit(0.0)), 2).alias("vsum")
+    )
+    return (
+        daily.groupBy(F.to_date(F.date_trunc("month", "date")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            rnd(F.min("vsum"), 2).alias("vmin"),
+            rnd(F.max("vsum"), 2).alias("vmax"),
+            rnd(davg("vsum"), 2).alias("vavg"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "daily_delta",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         FLOOR((COALESCE(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 0.0)) * 100 + 0.5) / 100 AS vsum
+  FROM events GROUP BY 1
+)
+SELECT date, vsum,
+       FLOOR((vsum - LAG(vsum) OVER (ORDER BY date)) * 100 + 0.5) / 100 AS delta,
+       FLOOR((vsum - FIRST_VALUE(vsum) OVER (ORDER BY date)) * 100 + 0.5) / 100 AS vs_first
+FROM daily
+ORDER BY date
+""",
+)
+def daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta (lag) and cumulative drift vs the first day
+    (first_value) — the A8 %-difference family at daily grain.
+
+    Scale: the window is over the daily aggregate (30 rows/month), not
+    raw events; at multi-entity scale partition the window by entity —
+    an unpartitioned orderBy window is a single task (the helpers in
+    operators/windows.py force that choice).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        rnd(F.coalesce(dsum("value"), F.lit(0.0)), 2).alias("vsum")
+    )
+    w = Window.orderBy("date")
+    return daily.select(
+        "date",
+        "vsum",
+        rnd(F.col("vsum") - F.lag("vsum").over(w), 2).alias("delta"),
+        rnd(F.col("vsum") - F.first("vsum").over(w), 2).alias("vs_first"),
+    ).orderBy("date")
