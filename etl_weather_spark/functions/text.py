@@ -83,3 +83,19 @@ def doc_fingerprint(text: Column) -> Column:
     moves 32 bytes per doc, not the document.
     """
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+@pandas_udf(T.DoubleType())
+def geometric_mean(v: pd.Series) -> float:
+    """GROUPED_AGG Pandas UDAF: geometric mean of positive values.
+
+    The D3 surface (SURVEY §2.13): a custom aggregate the built-ins
+    lack, Arrow-batched per group with partial states handled by Spark.
+    exp(mean(ln x)) over positives; numerically stable in log space.
+    """
+    import numpy as np
+
+    pos = v[v > 0]
+    if len(pos) == 0:
+        return float("nan")
+    return float(np.exp(np.log(pos.astype("float64")).mean()))

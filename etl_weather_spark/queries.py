@@ -2373,3 +2373,31 @@ def daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("vsum") - F.lag("vsum").over(w), 2).alias("delta"),
         rnd(F.col("vsum") - F.first("vsum").over(w), 2).alias("vs_first"),
     ).orderBy("date")
+
+
+@query(
+    "geo_mean_values",
+    """
+SELECT event_type,
+       FLOOR(EXP(AVG(LN(value))) * 10000 + 0.5) / 10000 AS geo_mean
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def geo_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: GROUPED_AGG Pandas UDAF (geometric mean) — the one UDF
+    surface the reference never needed, demonstrated with a real
+    aggregate Spark lacks natively. Oracle: exp(avg(ln x)). Rounded at
+    4 dp; the log-space mean is order-sensitive at ~1e-13 so the driver
+    hash tolerance comes from rounding, verified at sf0.01.
+    """
+    from etl_weather_spark.functions.text import geometric_mean
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(rnd(geometric_mean("value"), 4).alias("geo_mean"))
+        .orderBy("event_type")
+    )
