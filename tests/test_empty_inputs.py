@@ -1,0 +1,68 @@
+"""Empty-input robustness: operators must yield empty results, not throw.
+
+An engine meets empty partitions constantly at scale (a date filter
+that matches nothing, a tenant with no rows); every operator family
+must degrade to zero rows with the right schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    winnow_candidates,
+)
+from etl_weather_spark.operators.joins import asof_join_union, range_join_bucketed
+from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+from etl_weather_spark.operators.windows import trailing_mean
+from etl_weather_spark.streaming.stateful import session_user_agg
+
+
+def test_empty_docs_through_dedup_family(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert winnow_candidates(empty).count() == 0
+
+
+def test_empty_sides_through_joins(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    empty = spark.createDataFrame([], "k long, t long, rv double")
+    out = asof_join_union(left, empty, on="t", by=["k"], value_cols=["rv"]).collect()
+    # left rows survive with null carried values
+    assert len(out) == 1 and out[0].rv_asof is None
+
+    eleft = spark.createDataFrame([], "user_id long, lts timestamp")
+    eright = spark.createDataFrame([], "user_id long, rts timestamp")
+    assert (
+        range_join_bucketed(
+            eleft, eright, left_ts="lts", right_ts="rts", by=["user_id"]
+        ).count()
+        == 0
+    )
+
+
+def test_empty_through_windows_sessions_ann(spark):
+    edaily = spark.createDataFrame([], "date date, total_rain double")
+    assert trailing_mean(edaily, "total_rain", "ma7").count() == 0
+
+    eev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert session_user_agg(eev).count() == 0
+
+    evecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    qvecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert cosine_topk_bruteforce(evecs, qvecs, k=3).count() == 0
+
+
+def test_filter_to_empty_through_daily_spine(spark, sf_dir):
+    from etl_weather_spark import queries as q
+
+    ev = q.load(spark, sf_dir, "events").filter(F.col("ts") > "2099-01-01")
+    out = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert out.count() == 0
