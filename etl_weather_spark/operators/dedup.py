@@ -385,3 +385,67 @@ def winnow_candidates(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph:
+    (node, cluster_id) with cluster_id = min node id in the component.
+
+    The step AFTER candidate generation in a dedup pipeline: LSH/winnow
+    emit pairs, components turn them into duplicate CLUSTERS (keep
+    cluster_id, drop the rest). Label propagation: every node adopts
+    the minimum label among itself and its neighbors until no label
+    changes — iterations ≈ graph diameter, which for near-dup clusters
+    is small. Each iteration is one shuffle on node id; intermediate
+    labels are persisted to truncate lineage (without it the plan
+    doubles per iteration). For web-scale graphs with long chains,
+    switch to the large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — same join
+    primitives, provably O(log n) rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

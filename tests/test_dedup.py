@@ -176,3 +176,19 @@ def test_asof_union_matches_merge_asof_randomized(spark):
             for r in got
         ]
         assert sorted(got_pairs) == sorted(exp_pairs), f"trial {trial}"
+
+
+def test_connected_components_chains_and_isolates(spark):
+    from etl_weather_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3, pair 10-11, chain 20-21-22-23 (via 21-22 bridge)
+        [(1, 2), (2, 3), (10, 11), (20, 21), (22, 23), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
