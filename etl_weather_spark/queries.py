@@ -2401,3 +2401,313 @@ def geo_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(rnd(geometric_mean("value"), 4).alias("geo_mean"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H-shaped analytics (adapted: the corpus has no partsupp /
+# commitdate / receiptdate / shipmode columns, so Q2/Q9/Q11/Q16/Q21 are
+# re-expressed on the available columns with the same plan shapes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cheapest_supplier",
+    """
+WITH priced AS (
+  SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, s.s_suppkey,
+         l.l_extendedprice / l.l_quantity AS up
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 15
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY up, s_suppkey) AS rn
+  FROM priced
+)
+SELECT p_partkey, p_brand, s_name, n_name,
+       FLOOR(up * 10000 + 0.5) / 10000 AS unit_price
+FROM rk WHERE rn = 1
+ORDER BY p_partkey
+""",
+)
+def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: per part (one size class), the supplier offering
+    the minimum observed unit price. Q2's correlated min-subquery is
+    re-expressed as a rank-1 window — one pass, no self-join.
+
+    Scale: part(size=15) and supplier/nation broadcast, so the only
+    shuffle is the window's hash-partition by p_partkey; ties broken by
+    s_suppkey for a total order. The division is identical IEEE-754 in
+    both engines, so rank order is engine-stable.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    up = (F.col("l_extendedprice") / F.col("l_quantity")).alias("up")
+    priced = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_suppkey", up)
+    )
+    w = Window.partitionBy("p_partkey").orderBy("up", "s_suppkey")
+    return (
+        priced.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            rnd(F.col("up"), 4).alias("unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "nation_profit",
+    """
+SELECT n.n_name AS nation,
+       EXTRACT(year FROM o.o_orderdate) AS o_year,
+       FLOOR((CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''TPC-H Q9-shaped: profit by supplier nation and order year over a
+    name-filtered part subset. partsupp is absent, so supply cost is
+    proxied as 10% of p_retailprice per unit — same 5-way join shape.
+
+    Scale: part/supplier/nation broadcast (name filter prunes part before
+    the join); orders<->lineitem is the single fact-fact shuffle, then one
+    hash agg on (nation, year). Decimal-accumulated sum keeps the hash
+    engine-stable.
+    '''
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(rnd(dsum(profit, 6), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "important_parts",
+    """
+SELECT l_partkey,
+       FLOOR((CAST(SUM(CAST((l_extendedprice) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST((l_extendedprice) AS DECIMAL(28,6))) AS DOUBLE) >
+       (SELECT CAST(SUM(CAST((l_extendedprice) AS DECIMAL(28,6))) AS DOUBLE) * 1.5
+               / COUNT(DISTINCT l_partkey)
+        FROM lineitem)
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''TPC-H Q11-shaped: parts whose total traded value exceeds a
+    threshold — per-group agg HAVING a scalar subquery. The threshold is
+    scale-free (1.5x the average per-part value), so the query stays
+    selective-but-nonempty at any SF.
+
+    Scale: two aggs over the same scan (per-part and grand total); the
+    1-row total broadcasts into the filter via crossJoin, so no second
+    shuffle of the big side. Both sides accumulate in decimal, making
+    the threshold comparison engine-exact.
+    '''
+    l = load(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(dsum("l_extendedprice", 6).alias("pv"))
+    total = l.agg(
+        (
+            dsum("l_extendedprice", 6) * 1.5 / F.count_distinct("l_partkey")
+        ).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("pv") > F.col("threshold"))
+        .select("l_partkey", rnd(F.col("pv"), 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "supplier_variety",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct-supplier counts per part attribute
+    combo, excluding one brand and a bad-supplier set (NOT IN subquery
+    -> broadcast left_anti join; partsupp absent, lineitem is the
+    part-supplier bridge).
+
+    Scale: the anti side is tiny (negative-balance suppliers) and
+    broadcasts; part broadcasts; COUNT(DISTINCT) expands to a two-phase
+    agg (distinct-ize on (group, suppkey), then count) planned by
+    Catalyst — no row explosion.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "lone_failed_supplier",
+    """
+WITH om AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_fail
+  FROM lineitem
+  GROUP BY l_orderkey
+),
+cand AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  WHERE l.l_returnflag = 'R'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM cand c
+JOIN om ON om.l_orderkey = c.l_orderkey AND om.n_supp > 1 AND om.n_fail = 1
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+""",
+)
+def lone_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who were the ONLY supplier with
+    returned lines (returnflag R as the late-delivery proxy; the corpus
+    has no commit/receipt dates) on finalized multi-supplier orders.
+
+    Q21's EXISTS / NOT EXISTS pair is reformulated as one per-order
+    aggregate (n_supp > 1 AND n_fail = 1) — one shuffle over lineitem
+    replaces two correlated self-joins; the oracle SQL uses the
+    identical reformulation so both engines compute the same relation.
+
+    Scale: the per-order metadata relation is keyed and joined on
+    l_orderkey, co-partitioned with the candidate relation (same key),
+    so AQE plans the meta join shuffle-free after the two aggs; supplier
+    broadcasts.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    om = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    cand = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey"), l["l_orderkey"] == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        cand.join(
+            om.filter((F.col("n_supp") > 1) & (F.col("n_fail") == 1)), "l_orderkey"
+        )
+        .join(F.broadcast(s), cand["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact trigram-Jaccard pairs (>= 0.5)
+    fed through distributed connected components (min-label
+    propagation, operators/dedup.py) — the step that turns candidate
+    pairs into keep-one-per-cluster dedup decisions.
+
+    Oracle: DuckDB recursive CTE computes full reachability and takes
+    MIN(reachable id) per node — same fixpoint, different algorithm.
+
+    Scale: label propagation is one shuffle per round, rounds ~ cluster
+    diameter (tiny for near-dup graphs); the transitive-closure oracle
+    is exponentially worse and exists only to cross-check at sf0.01.
+    """
+    from etl_weather_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
