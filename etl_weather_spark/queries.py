@@ -2711,3 +2711,175 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: deterministic splits, cohort retention,
+# grouping sets, per-group top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "train_test_split",
+    """
+SELECT split, lang, COUNT(*) AS n_docs
+FROM (
+  SELECT lang,
+         CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+              WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split (~81/6/13):
+    first hex nibble of md5('split|' || id) buckets each document, so
+    membership is stable under re-runs, re-partitioning, and appends —
+    the property a training pipeline needs (a seeded .sample() is none
+    of those across engines or cluster sizes).
+
+    Scale: pure map-side expression (no shuffle for the split itself);
+    the count rolls up per (split, lang). Swap the salt string to derive
+    independent splits.
+    """
+    docs = load(spark, sf_dir, "documents")
+    nib = F.substring(
+        F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    split = (
+        F.when(nib < "d", "train").when(nib == "d", "val").otherwise("test")
+    ).alias("split")
+    return (
+        docs.select(split, "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "pricing_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n,
+       FLOOR((CAST(SUM(CAST((l_quantity) AS DECIMAL(28,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (detail + per-flag subtotal + grand total)
+    with grouping_id disambiguating real NULLs from rollup rows —
+    complements the CUBE/ROLLUP queries.
+
+    Scale: Spark expands grouping sets into one Expand + single hash
+    agg — one pass over the fact table for all three granularities.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            rnd(dsum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "weekly_retention",
+    """
+WITH dau AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+base AS (SELECT d, COUNT(*) AS n_users FROM dau GROUP BY d),
+ret AS (
+  SELECT a.d, COUNT(*) AS n_retained
+  FROM dau a
+  JOIN dau b ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 7 DAY
+  GROUP BY a.d
+)
+SELECT base.d AS cohort_date, n_users,
+       COALESCE(n_retained, 0) AS n_retained,
+       FLOOR((COALESCE(n_retained, 0) * 1.0 / n_users) * 10000 + 0.5) / 10000 AS retention_rate
+FROM base LEFT JOIN ret ON ret.d = base.d
+ORDER BY cohort_date
+""",
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day cohort retention: of the users active on day d, the share
+    also active on d+7 — the standard engagement/cohort analytic.
+
+    Scale: DAU distinct-ize is the dominant shuffle (keyed on
+    user_id+date); the self-join is DAU-sized (users x days, tiny vs
+    raw events) and co-partitions on user_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    dau = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    base = dau.groupBy("d").agg(F.count(F.lit(1)).alias("n_users"))
+    fut = dau.select("user_id", F.date_sub(F.col("d"), 7).alias("d"))
+    ret = (
+        dau.join(fut, ["user_id", "d"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        base.join(ret, "d", "left")
+        .select(
+            F.col("d").alias("cohort_date"),
+            "n_users",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            rnd(
+                F.coalesce("n_retained", F.lit(0)) / F.col("n_users"), 4
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_date")
+    )
+
+
+@query(
+    "top3_days_per_type",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS date,
+         CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) AS vsum_raw
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY vsum_raw DESC, date) AS rn
+  FROM daily
+)
+SELECT event_type, date, FLOOR(vsum_raw * 100 + 0.5) / 100 AS vsum, rn
+FROM rk WHERE rn <= 3
+ORDER BY event_type, rn
+""",
+)
+def top3_days_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 highest-volume days per event type — per-group top-k via
+    rank window (the A6/O6 ranking family generalized to k per group).
+
+    Scale: the window runs over the daily AGGREGATE (groups x days), not
+    raw events, and partitions by event_type, so no global sort; the
+    decimal sum makes rank order engine-stable on ties.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(dsum("value").alias("vsum_raw"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("vsum_raw"), "date")
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type", "date", rnd("vsum_raw", 2).alias("vsum"), "rn"
+        )
+        .orderBy("event_type", "rn")
+    )
