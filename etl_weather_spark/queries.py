@@ -2883,3 +2883,42 @@ def top3_days_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rn")
     )
+
+
+@query(
+    "event_transitions",
+    """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-next-event transition counts per user timeline (the
+    Markov/path-analysis primitive behind funnels and sequence mining).
+
+    Scale: one shuffle partitions raw events by user_id; the lead window
+    sorts within each user's partition only (no global sort), then the
+    transition-pair agg is partial+final. Tie order inside a timestamp
+    is pinned by event_id so both engines see the same sequence.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )

@@ -122,3 +122,56 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     # pruned read touches exactly one of ~30 date partitions
     assert df.rdd.getNumPartitions() <= 2
     assert df.count() > 0
+
+
+def test_cheapest_supplier_broadcasts_all_dims(spark, sf_dir):
+    # Q2-shape: part/supplier/nation all broadcast; the only shuffle is
+    # the window's hash-partition by p_partkey (no SortMergeJoin at all)
+    df = q.cheapest_supplier(spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+    assert count_occurrences(df, "SortMergeJoin") == 0, formatted_plan(df)
+
+
+def test_nation_profit_single_fact_shuffle(spark, sf_dir):
+    # Q9-shape: dims broadcast; orders<->lineitem is the only shuffle join
+    df = q.nation_profit(spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+    assert count_occurrences(df, "SortMergeJoin") <= 1, formatted_plan(df)
+    # the part name filter must reach the part scan
+    assert has_pushed_filter(df, "p_name"), formatted_plan(df)
+
+
+def test_important_parts_no_second_big_scan_shuffle(spark, sf_dir):
+    # Q11-shape: the 1-row threshold joins via broadcast nested loop,
+    # never a cartesian product of the big side
+    df = q.important_parts(spark, sf_dir)
+    assert count_occurrences(df, "CartesianProduct") == 0, formatted_plan(df)
+    assert has_partial_aggregation(df), formatted_plan(df)
+
+
+def test_train_test_split_is_map_side(spark, sf_dir):
+    # the split assignment itself is a pure projection: only the agg
+    # shuffle + presentation sort (shuffle_count sees 2 lines per
+    # exchange), no Python UDF anywhere (md5/substring are codegen'd)
+    df = q.train_test_split(spark, sf_dir)
+    assert shuffle_count(df) <= 4, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    # GROUPING SETS must expand-then-agg in ONE scan of lineitem
+    df = q.pricing_grouping_sets(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_occurrences(df, "Expand") >= 1, plan
+    assert len(read_schema_columns(df)) == 1, plan
+
+
+def test_event_transitions_partitions_by_user(spark, sf_dir):
+    # lead window partitioned by user_id: no global sort of raw events
+    df = q.event_transitions(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_occurrences(df, "CartesianProduct") == 0, plan
+    # window (user_id) + pair agg + presentation sort = 3 real
+    # exchanges (shuffle_count sees 2 lines per exchange)
+    assert shuffle_count(df) <= 6, plan
