@@ -68,6 +68,20 @@ def shingles_of_tokens(toks: Column, n: int = 2) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def widen_narrow_input(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition when the input arrives narrower than the
+    cluster: a single 70 MB parquet file is ONE split, which serializes
+    every CPU-bound stage (shingling, hashing, Arrow UDFs) behind one
+    core. The shuffle moves the raw rows once and unlocks full-width
+    execution. No-op at scale — big inputs already arrive wide — so this
+    only fires on the small-file layouts where it matters.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target, *map(F.col, cols)) if cols else df.repartition(target)
+    return df
+
+
 def exploded_shingles(
     docs: DataFrame, *, text_col: str, keep_cols: list[str], n: int = 2
 ) -> DataFrame:
@@ -77,6 +91,7 @@ def exploded_shingles(
     array column: without the boundary, Catalyst inlines the
     regex+split into the shingle lambda and re-runs it per element.
     """
+    docs = widen_narrow_input(docs, *keep_cols)
     toked = docs.select(*keep_cols, tokens(F.col(text_col)).alias("__toks"))
     return toked.select(
         *keep_cols,
@@ -192,7 +207,9 @@ def simhash64(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
         # bit 63 as two's-complement: 1<<63 overflows a signed long literal
         return F.lit(1 << i if i < 63 else -(1 << 63))
 
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = widen_narrow_input(docs, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = F.xxhash64("tok")
     bit_votes = [
         F.sum(F.when(h.bitwiseAND(bit_mask(i)) != 0, 1).otherwise(-1)).alias(f"v{i}")
@@ -324,6 +341,11 @@ def winnow_fingerprints(
         return pd.Series(out)
 
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # NOT widened via widen_narrow_input: fanning an Arrow-UDF stage out
+    # to 32 tasks spawns 32 Python workers (numpy import each) — measured
+    # 4x slower cold than one worker streaming all batches at this data
+    # size. On a real cluster the input arrives wide and workers are
+    # already warm; revisit only if single-file local inputs grow.
     return docs.select(
         F.col(id_col), F.explode(winnow(norm)).alias("fp")
     )

@@ -192,3 +192,14 @@ def test_connected_components_chains_and_isolates(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_widen_narrow_input_fans_out_and_preserves_rows(spark):
+    from etl_weather_spark.operators.dedup import widen_narrow_input
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(100)], "id long, t string").coalesce(1)
+    wide = widen_narrow_input(df, "id")
+    assert wide.rdd.getNumPartitions() > 1
+    assert wide.count() == 100
+    # already-wide input passes through untouched (no extra shuffle)
+    assert widen_narrow_input(wide, "id") is wide
