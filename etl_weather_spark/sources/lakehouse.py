@@ -176,3 +176,62 @@ def stream_upsert_latest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(availableNow=True).start()
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet table into ~``target_file_bytes`` files,
+    optionally re-clustered. Returns the file count written.
+
+    The small-files problem is the silent killer of streaming/append
+    lakehouses: a 100 TB table appended in 10k-row micro-batches becomes
+    millions of kilobyte files, and every downstream scan pays a task +
+    footer read per file. Compaction = read → repartition to
+    ceil(bytes/target) → atomic swap-by-overwrite.
+
+    ``sort_within_by`` additionally sorts rows INSIDE each output file
+    (sortWithinPartitions — no global shuffle beyond the repartition):
+    parquet then stores tight min/max stats per row group on those
+    columns, so selective filters skip whole row groups at scan time —
+    the poor-man's Z-order, and the right clustering when one column
+    dominates predicates.
+    """
+    import math
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    if partition_by:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    # stage next to the table, then swap by directory rename — plain
+    # parquet has no transaction log, so the swap is the commit point
+    # (Delta/Iceberg would commit a new snapshot instead)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return sum(
+        1
+        for dp, _, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )

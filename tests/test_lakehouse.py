@@ -50,3 +50,50 @@ def test_materialize_if_absent(spark, tmp_path):
     assert len(calls) == 1
     materialize_if_absent(spark, p, build, refresh=True)  # forced rebuild
     assert len(calls) == 2
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from etl_weather_spark.sources.lakehouse import compact_table
+
+    path = str(tmp_path / "frag")
+    # simulate micro-batch append fragmentation: 40 files of 250 rows
+    df = spark.range(10_000).withColumn("v", F.col("id") % 100)
+    df.repartition(40).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    n = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_compact_sort_within_tightens_rowgroup_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from etl_weather_spark.sources.lakehouse import compact_table
+
+    path = str(tmp_path / "clustered")
+    # write shuffled data: every file sees the full id range
+    df = spark.range(50_000).withColumn("k", F.xxhash64("id") % 1000)
+    df.orderBy("k").repartition(20).write.parquet(path)
+    compact_table(
+        spark, path, target_file_bytes=64 * 1024 * 1024, sort_within_by=["id"]
+    )
+    import glob
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    # in-file sort => parquet min/max stats on id are tight and ordered,
+    # so a selective id filter can skip row groups at scan time
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id
+            stats = col.statistics
+            assert stats is not None and stats.has_min_max
+            if prev_max is not None:
+                assert stats.min >= prev_max
+            prev_max = stats.max
