@@ -2922,3 +2922,95 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "yoy_revenue_growth",
+    """
+WITH yearly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(SUM(CAST((o_totalprice) AS DECIMAL(28,2))) AS DOUBLE) AS rev_raw
+  FROM orders
+  GROUP BY 1
+)
+SELECT o_year,
+       FLOOR(rev_raw * 100 + 0.5) / 100 AS revenue,
+       FLOOR((100.0 * (rev_raw - LAG(rev_raw) OVER (ORDER BY o_year))
+              / LAG(rev_raw) OVER (ORDER BY o_year)) * 100 + 0.5) / 100 AS yoy_pct
+FROM yearly
+ORDER BY o_year
+""",
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth — lag window over the yearly
+    rollup (the A8 %-difference family at annual grain; first year's
+    growth is null).
+
+    Scale: the window input is years (a handful of rows), never raw
+    orders; one hash agg then a single-partition window over the tiny
+    aggregate is the right trade.
+    """
+    o = load(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dsum("o_totalprice").alias("rev_raw")
+    )
+    w = Window.orderBy("o_year")
+    prev = F.lag("rev_raw").over(w)
+    return yearly.select(
+        "o_year",
+        rnd("rev_raw", 2).alias("revenue"),
+        rnd(100.0 * (F.col("rev_raw") - prev) / prev, 2).alias("yoy_pct"),
+    ).orderBy("o_year")
+
+
+@query(
+    "nation_share_of_year",
+    """
+WITH ny AS (
+  SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(SUM(CAST((o.o_totalprice) AS DECIMAL(28,2))) AS DOUBLE) AS rev_raw
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, o_year,
+       FLOOR(rev_raw * 100 + 0.5) / 100 AS revenue,
+       FLOOR((100.0 * rev_raw / SUM(rev_raw) OVER (PARTITION BY o_year)) * 100 + 0.5) / 100 AS share_pct
+FROM ny
+ORDER BY o_year, nation
+""",
+)
+def nation_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of annual revenue — unordered partition
+    window total (ratio_to_report): the denominator is a window sum
+    over the year partition, no self-join back to a totals table.
+
+    Scale: agg first (nation x year rows), window over the aggregate;
+    customer->nation broadcasts before the orders agg. Decimal sums keep
+    numerator and denominator engine-identical, so the ratio rounds the
+    same on both sides.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        c.join(
+            n.select("n_nationkey", F.col("n_name").alias("nation")),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey", "nation")
+    )
+    ny = (
+        o.join(dim, o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum("o_totalprice").alias("rev_raw"))
+    )
+    w = Window.partitionBy("o_year")
+    return ny.select(
+        "nation",
+        "o_year",
+        rnd("rev_raw", 2).alias("revenue"),
+        rnd(100.0 * F.col("rev_raw") / F.sum("rev_raw").over(w), 2).alias(
+            "share_pct"
+        ),
+    ).orderBy("o_year", "nation")
