@@ -42,6 +42,10 @@ HEADLINE = [
     # dedup-at-scale production paths (xxhash64 LSH, rolling-hash winnow)
     "minhash_lsh_fast",
     "winnow_candidates",
+    # third wave: rank-1 window over broadcast star (Q2-shaped), 5-way
+    # join profit rollup (Q9-shaped)
+    "cheapest_supplier",
+    "nation_profit",
 ]
 
 

@@ -203,3 +203,51 @@ def test_widen_narrow_input_fans_out_and_preserves_rows(spark):
     assert wide.count() == 100
     # already-wide input passes through untouched (no extra shuffle)
     assert widen_narrow_input(wide, "id") is wide
+
+
+def test_connected_components_matches_union_find_randomized(spark):
+    """Property: distributed label propagation == classic union-find."""
+    import random
+
+    from etl_weather_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 60)
+        n_edges = rng.randint(1, 80)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for p in pairs for v in p}
+        # canonical label = min node id in the component
+        comp = {}
+        for v in touched:
+            comp.setdefault(find(v), []).append(v)
+        expected = {
+            v: min(members) for members in comp.values() for v in members
+        }
+
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(
+                spark.createDataFrame(pairs, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}"
