@@ -3014,3 +3014,48 @@ def nation_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_pct"
         ),
     ).orderBy("o_year", "nation")
+
+
+@query(
+    "rolling_avg_7d_range",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS d0,
+         FLOOR((COALESCE(CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE), 0.0)) * 100 + 0.5) / 100 AS vsum
+  FROM events
+  GROUP BY 1, 2
+),
+wk AS (SELECT * FROM daily WHERE (d0 + 4) % 7 NOT IN (0, 6))
+SELECT date, vsum,
+       FLOOR((CAST(SUM(CAST(vsum AS DECIMAL(28,2))) OVER w AS DOUBLE)
+              / COUNT(vsum) OVER w) * 100 + 0.5) / 100 AS ma7d
+FROM wk
+WINDOW w AS (ORDER BY d0 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY date
+""",
+)
+def rolling_avg_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 with a RANGE (interval) frame — the robust 7-*day* trailing
+    average SURVEY §2.7 calls for: on a gapped series (weekends removed
+    here) a 7-ROW frame silently reaches back 9+ calendar days, while
+    the RANGE frame averages exactly the days that exist in the last 7.
+
+    Scale: same shape as rolling_avg_7d (window over the daily
+    aggregate, not raw events); range frames cost the same sort as row
+    frames. Day-of-week drops via epoch-day arithmetic ((d0+4)%7,
+    0=Sunday) — identical integer math in both engines, no locale.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("date"))
+        .agg(rnd(F.coalesce(dsum("value"), F.lit(0.0)), 2).alias("vsum"))
+        .withColumn("d0", F.unix_date("date"))
+    )
+    wk = daily.filter(~((F.col("d0") + 4) % 7).isin(0, 6))
+    w = Window.orderBy("d0").rangeBetween(-6, 0)
+    ma = (
+        F.sum(F.col("vsum").cast("decimal(28,2)")).over(w).cast("double")
+        / F.count("vsum").over(w)
+    )
+    return wk.select("date", "vsum", rnd(ma, 2).alias("ma7d")).orderBy("date")

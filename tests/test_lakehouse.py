@@ -97,3 +97,27 @@ def test_compact_sort_within_tightens_rowgroup_stats(spark, tmp_path):
             if prev_max is not None:
                 assert stats.min >= prev_max
             prev_max = stats.max
+
+
+def test_schema_evolution_merge_and_conform(spark, tmp_path):
+    """Appends with a widened schema must stay readable: mergeSchema
+    unions the columns, and old files surface the new column as null —
+    the tolerant-ingestion stance (SURVEY §1.3) applied to the lake
+    itself, not just JSON sources."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, k string, v double"
+    )
+    v1.write.parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 30.0, "extra")], "id long, k string, v double, note string"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "k", "v", "note"}
+    rows = {r.id: r.note for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "extra"}
+    # plain read (no mergeSchema) keeps working on the original columns
+    plain = spark.read.parquet(path).select("id", "k", "v")
+    assert plain.count() == 3
