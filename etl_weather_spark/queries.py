@@ -3059,3 +3059,110 @@ def rolling_avg_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.count("vsum").over(w)
     )
     return wk.select("date", "vsum", rnd(ma, 2).alias("ma7d")).orderBy("date")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality layer: table profiling, declarative checks, referential
+# integrity (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COL_SQL = """
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+       FLOOR((COUNT(CASE WHEN {c} IS NULL THEN 1 END) * 1.0 / COUNT(*)) * 1000000 + 0.5) / 1000000 AS null_frac,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM orders"""
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+@query(
+    "orders_profile",
+    "\nUNION ALL\n".join(_PROFILE_COL_SQL.format(c=c) for c in _PROFILE_COLS)
+    + '\nORDER BY "column"',
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders (null rate, cardinality, range) in
+    ONE aggregate pass — the pre-flight a pipeline runs on any table it
+    didn't author (operators/profiling.profile_table). The oracle needs
+    one UNION-ALL branch per column; the engine needs one scan total.
+    """
+    from etl_weather_spark.operators.profiling import profile_table
+
+    o = load(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS).orderBy("column")
+
+
+@query(
+    "lineitem_quality_checks",
+    """
+SELECT 'not_null(l_orderkey)' AS "check", COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS violations,
+       COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) = 0 AS passed FROM lineitem
+UNION ALL
+SELECT 'unique_key(l_orderkey,l_linenumber)', COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)),
+       COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) = 0 FROM lineitem
+UNION ALL
+SELECT 'in_range(l_discount,0.0,0.1)', COUNT(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 END),
+       COUNT(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 END) = 0 FROM lineitem
+UNION ALL
+SELECT 'in_set(l_returnflag)', COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') AND l_returnflag IS NOT NULL THEN 1 END),
+       COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') AND l_returnflag IS NOT NULL THEN 1 END) = 0 FROM lineitem
+ORDER BY "check"
+""",
+)
+def lineitem_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations evaluated in ONE pass (Deequ-style:
+    operators/profiling.run_checks): null-ness, key uniqueness, value
+    domain, and range. (l_orderkey, l_linenumber) is genuinely NOT
+    unique in this corpus, so the suite demonstrates a failing check,
+    not just green ticks.
+    """
+    from etl_weather_spark.operators.profiling import (
+        in_range,
+        in_set,
+        not_null,
+        run_checks,
+        unique_key,
+    )
+
+    l = load(spark, sf_dir, "lineitem")
+    checks = [
+        not_null("l_orderkey"),
+        unique_key("l_orderkey", "l_linenumber"),
+        in_range("l_discount", 0.0, 0.1),
+        in_set("l_returnflag", ["A", "N", "R"]),
+    ]
+    return run_checks(l, checks).orderBy("check")
+
+
+@query(
+    "docs_missing_labeled_embedding",
+    """
+SELECT d.doc_id AS orphan_key, COUNT(*) AS n_rows
+FROM documents d
+LEFT JOIN (SELECT vec_id FROM embeddings WHERE label >= 1) e
+  ON e.vec_id = d.doc_id
+WHERE e.vec_id IS NULL AND d.doc_id IS NOT NULL
+GROUP BY d.doc_id
+ORDER BY orphan_key
+""",
+)
+def docs_missing_labeled_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity scan (operators/profiling
+    .referential_integrity): documents lacking a positively-labeled
+    embedding row — the anti-join audit a multimodal pipeline runs
+    before training ("every doc must have its vector").
+
+    Scale: the parent key projection broadcasts when small, else one
+    co-partitioned left_anti join; never a full materialized outer join.
+    """
+    from etl_weather_spark.operators.profiling import referential_integrity
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").filter(F.col("label") >= 1)
+    return (
+        referential_integrity(d, "doc_id", e, "vec_id")
+        .orderBy("orphan_key")
+    )
