@@ -3166,3 +3166,93 @@ def docs_missing_labeled_embedding(spark: SparkSession, sf_dir: str) -> DataFram
         referential_integrity(d, "doc_id", e, "vec_id")
         .orderBy("orphan_key")
     )
+
+
+@query(
+    "media_payload_stats",
+    """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       COUNT(*) AS n_media,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       COUNT(DISTINCT sha256(text)) AS n_distinct_content
+FROM documents
+GROUP BY 1
+ORDER BY modality
+""",
+)
+def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end through the DRIVER gate: documents
+    become opaque binary payloads (utf-8 bytes standing in for
+    image/audio/video blobs), flow through the Arrow-batched
+    ``mapInPandas`` feature extractor (operators/multimodal
+    .extract_features — real batching/schema, stubbed decode), and roll
+    up per modality. The oracle recomputes byte lengths and content
+    hashes SQL-side, so the binary round-trip through Arrow is verified
+    bit-for-bit (a corrupted payload changes its sha and breaks the
+    distinct count).
+    """
+    from etl_weather_spark.operators.multimodal import extract_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.count_distinct("content_sha").alias("n_distinct_content"),
+        )
+        .orderBy("modality")
+    )
+
+
+@query(
+    "sliding_window_volume",
+    """
+WITH grids AS (
+  SELECT make_timestamp(CAST((FLOOR((epoch(ts) - ofs) / 600) * 600 + ofs) AS BIGINT) * 1000000) AS window_start,
+         value
+  FROM events
+  CROSS JOIN (SELECT UNNEST([0, 300]) AS ofs) offsets
+)
+SELECT window_start,
+       COUNT(*) AS n,
+       FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS vsum
+FROM grids
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min length, 5 min slide) in BATCH:
+    every event lands in exactly two overlapping windows — the batch
+    twin of the Structured Streaming sliding aggregation (same
+    ``F.window`` call works under readStream + watermark unchanged).
+
+    Oracle: a slide is the union of length/slide tumbling grids at
+    offsets 0 and 300 s — pure epoch arithmetic, engine-portable.
+
+    Scale: Spark expands each row into window copies before the hash agg
+    (length/slide × row amplification) — keep the ratio small or
+    pre-aggregate to the slide granularity first and roll 2 buckets up.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.coalesce(dsum("value"), F.lit(0.0)), 2).alias("vsum"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n", "vsum")
+        .orderBy("window_start")
+    )
