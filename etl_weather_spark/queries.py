@@ -3256,3 +3256,90 @@ def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("window_start"), "n", "vsum")
         .orderBy("window_start")
     )
+
+
+@query(
+    "priority_linestatus_mix",
+    """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def priority_linestatus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: per line status, how many lines belong to
+    high- vs low-priority orders — the conditional-count pivot over a
+    fact-fact join (shipmode/commitdate don't exist in this corpus;
+    linestatus plays the grouping role).
+
+    Scale: one orders<->lineitem shuffle join, then conditional sums
+    fold into a single hash agg (no second pass per priority class).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    """
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(SUM(CAST((l.l_quantity) AS DECIMAL(28,2))) AS DOUBLE) AS sq
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'small%'
+  GROUP BY 1, 2
+),
+pt AS (
+  SELECT l_partkey, CAST(SUM(CAST((sq) AS DECIMAL(28,2))) AS DOUBLE) AS tq
+  FROM ps GROUP BY 1
+)
+SELECT DISTINCT s.s_name
+FROM ps
+JOIN pt ON pt.l_partkey = ps.l_partkey AND ps.sq > 0.15 * pt.tq
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+ORDER BY s_name
+""",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers who shipped an outsized share (>15%,
+    ~p99 of supplier-part pairs here) of a part's total volume
+    (name-filtered part subset) — nested aggregate threshold +
+    semi-style join back to the supplier dim (partsupp's availqty is
+    absent; the per-part total plays its role).
+
+    Scale: both aggregates key on l_partkey, so the second agg and the
+    threshold join reuse the first shuffle's partitioning; supplier
+    broadcasts; DISTINCT collapses multi-part winners without a second
+    wide shuffle (it rides the s_name sort).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load(spark, sf_dir, "supplier")
+    ps = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("sq"))
+    )
+    pt = ps.groupBy("l_partkey").agg(dsum("sq").alias("tq"))
+    return (
+        ps.join(pt, "l_partkey")
+        .filter(F.col("sq") > 0.15 * F.col("tq"))
+        .join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
+    )
