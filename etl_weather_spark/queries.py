@@ -3343,3 +3343,45 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+@query(
+    "retained_churned_customers",
+    """
+WITH y1 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997),
+y2 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998)
+SELECT 'retained' AS cohort, COUNT(*) AS n_customers
+FROM (SELECT o_custkey FROM y1 INTERSECT SELECT o_custkey FROM y2)
+UNION ALL
+SELECT 'churned', COUNT(*)
+FROM (SELECT o_custkey FROM y1 EXCEPT SELECT o_custkey FROM y2)
+UNION ALL
+SELECT 'new', COUNT(*)
+FROM (SELECT o_custkey FROM y2 EXCEPT SELECT o_custkey FROM y1)
+ORDER BY cohort
+""",
+)
+def retained_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cohorts (SURVEY §2.9's 'free' Spark extras used
+    for real): customers active in both 1997 and 1998 (INTERSECT),
+    only-1997 (EXCEPT = churned), only-1998 (new).
+
+    Scale: each set op is one hash-distinct + co-partitioned
+    semi/anti-style plan on the customer key; the year filters prune at
+    the orders scan before any shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    y1 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    y2 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+
+    def count_of(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("cohort"), F.count(F.lit(1)).alias("n_customers")
+        )
+
+    return (
+        count_of(y1.intersect(y2), "retained")
+        .unionByName(count_of(y1.exceptAll(y2), "churned"))
+        .unionByName(count_of(y2.exceptAll(y1), "new"))
+        .orderBy("cohort")
+    )
