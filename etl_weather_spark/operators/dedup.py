@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_weather_spark.functions.text import doc_fingerprint
 
@@ -415,21 +416,36 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph:
     (node, cluster_id) with cluster_id = min node id in the component.
 
     The step AFTER candidate generation in a dedup pipeline: LSH/winnow
     emit pairs, components turn them into duplicate CLUSTERS (keep
-    cluster_id, drop the rest). Label propagation: every node adopts
-    the minimum label among itself and its neighbors until no label
-    changes — iterations ≈ graph diameter, which for near-dup clusters
-    is small. Each iteration is one shuffle on node id; intermediate
-    labels are persisted to truncate lineage (without it the plan
-    doubles per iteration). For web-scale graphs with long chains,
-    switch to the large-star/small-star formulation (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") — same join
-    primitives, provably O(log n) rounds.
+    cluster_id, drop the rest).
+
+    Hybrid execution, sized by the edge count (one cheap count of the
+    already-shuffled distinct edge set):
+
+    - ``<= local_threshold`` edges: collect to the driver and union-find
+      in microseconds. Candidate-pair graphs are SMALL relative to the
+      corpus (LSH already pruned 99.99% of pairs) — a distributed
+      iteration here spends seconds of per-round job scheduling on a
+      graph that fits in one list. 1M edges ≈ 16 MB collected, well
+      under driver headroom, solved in <1 s.
+    - above the threshold: distributed min-label propagation — every
+      node adopts the minimum label among itself and its neighbors
+      until a fixpoint; iterations ≈ graph diameter (small for near-dup
+      clusters). Each iteration is one shuffle on node id; labels are
+      persisted to truncate lineage (without it the plan doubles per
+      iteration). For web-scale graphs with long chains, switch to the
+      large-star/small-star formulation (Kiveris et al., "Connected
+      Components in MapReduce and Beyond") — same join primitives,
+      provably O(log n) rounds.
+
+    Both paths compute the identical fixpoint (asserted against each
+    other in tests/test_dedup.py).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -437,6 +453,34 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if local_threshold > 0 and edges.count() <= local_threshold:
+        collected = [(r.src, r.dst) for r in edges.collect()]
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in collected:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {v for e in collected for v in e}
+        rows = [(n, find(n)) for n in sorted(nodes)]
+        spark = pairs.sparkSession
+        schema = T.StructType(
+            [
+                T.StructField("node", pairs.schema[id_a].dataType, False),
+                T.StructField("cluster_id", pairs.schema[id_a].dataType, False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -186,12 +186,20 @@ def test_connected_components_chains_and_isolates(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (22, 23), (21, 22)],
         "id_a long, id_b long",
     )
-    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
-    assert got == {
+    expected = {
         1: 1, 2: 1, 3: 1,
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+    # driver-side union-find path (small graph)
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == expected
+    # distributed label-propagation path (threshold forced off)
+    got_dist = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_widen_narrow_input_fans_out_and_preserves_rows(spark):
@@ -244,10 +252,13 @@ def test_connected_components_matches_union_find_randomized(spark):
             v: min(members) for members in comp.values() for v in members
         }
 
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
         got = {
-            r.node: r.cluster_id
-            for r in connected_components(
-                spark.createDataFrame(pairs, "id_a long, id_b long")
-            ).collect()
+            r.node: r.cluster_id for r in connected_components(pdf).collect()
         }
-        assert got == expected, f"trial {trial}"
+        assert got == expected, f"trial {trial} (local path)"
+        got_dist = {
+            r.node: r.cluster_id
+            for r in connected_components(pdf, local_threshold=0).collect()
+        }
+        assert got_dist == expected, f"trial {trial} (distributed path)"
