@@ -3385,3 +3385,60 @@ def retained_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_of(y2.exceptAll(y1), "new"))
         .orderBy("cohort")
     )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         FLOOR((tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0))) * 10000 + 0.5) / 10000 AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rn
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rn
+FROM scored WHERE rn <= 3
+ORDER BY doc_id, rn
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 terms per document — the inverted-index statistic
+    behind retrieval/quality filtering. Ranking keys on the INTEGER
+    term frequency (term-name tie-break), so rank order is engine-exact;
+    the smoothed idf (ln((N+1)/(df+1))) is reported rounded at 4 dp.
+
+    Scale: term explode shuffles (doc, term) pairs once for tf; df is a
+    second agg over the tf relation (already term-keyed — reuses its
+    partitioning); doc count broadcasts. The rank window partitions by
+    doc_id — no global sort.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            rnd(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
