@@ -3442,3 +3442,57 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "tfidf", "rn")
         .orderBy("doc_id", "rn")
     )
+
+
+@query(
+    "stratified_sample_counts",
+    """
+WITH assigned AS (
+  SELECT lang,
+         CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 8 ELSE 16 END AS keep_of_16,
+         CAST(('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 1)) AS INT) AS nib
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_total,
+       SUM(CASE WHEN nib < keep_of_16 THEN 1 ELSE 0 END) AS n_sampled
+FROM assigned
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (``sampleBy`` done right for
+    pipelines): downsample the dominant language (en keeps 4/16),
+    lightly thin zh (8/16), keep the tail languages whole — rebalancing
+    a training mix. Membership hashes the DOC ID (md5 nibble vs a
+    per-stratum threshold), so the sample is reproducible across runs,
+    engines, and cluster layouts, unlike seeded ``df.sampleBy`` whose
+    output depends on partitioning.
+
+    Scale: pure map-side predicate — no shuffle to sample, one agg to
+    report; at 100 TB the sampled write stays embarrassingly parallel.
+    """
+    docs = load(spark, sf_dir, "documents")
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))), 1, 1
+        ),
+        16,
+        10,
+    ).cast("int")
+    keep = (
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang") == "zh", 8)
+        .otherwise(16)
+    )
+    return (
+        docs.select("lang", keep.alias("keep_of_16"), nib.alias("nib"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("nib") < F.col("keep_of_16"), 1).otherwise(0)
+            ).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

@@ -103,3 +103,36 @@ def test_media_features_compose_with_ann(spark):
     assert best[1][0] == 2 and abs(best[1][1] - 1.0) < 1e-9
     assert best[2][0] == 1 and abs(best[2][1] - 1.0) < 1e-9
     assert best[3][1] < 1.0
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    """Sliding windows (10 min / 5 min) give identical results under
+    readStream (availableNow) and plain batch — the F.window call is
+    shared, only the source differs (queries.sliding_window_volume is
+    the batch twin the driver oracle-checks)."""
+    src = tmp_path / "slide_src"
+    src.mkdir()
+    events = [
+        {"event_id": i, "ts": f"2024-01-01T00:{mm:02d}:30", "user_id": 1,
+         "event_type": "view", "value": float(i + 1), "props": "{}"}
+        for i, mm in enumerate([0, 3, 7, 12, 14, 21])
+    ]
+    (src / "p.json").write_text("\n".join(json.dumps(e) for e in events))
+
+    def slide(df):
+        return (
+            df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("vsum"))
+            .select(F.col("win.start").alias("ws"), "n", "vsum")
+        )
+
+    stream = read_event_stream(spark, str(src), fmt="json").withWatermark(
+        "ts", "1 hour"
+    )
+    got = sorted(
+        (str(r.ws), r.n, r.vsum)
+        for r in run_available_now(slide(stream), query_name="t_slide_stream")
+    )
+    batch = spark.read.schema(stream.schema).json(str(src))
+    exp = sorted((str(r.ws), r.n, r.vsum) for r in slide(batch).collect())
+    assert got == exp and len(got) >= 6  # every event in exactly 2 windows
