@@ -1,0 +1,94 @@
+"""Versioned-snapshot table format tests (sources/snapshots.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_weather_spark.sources.snapshots import (
+    current_version,
+    expire_snapshots,
+    snapshot_compact,
+    snapshot_history,
+    snapshot_read,
+    snapshot_write,
+)
+
+
+def test_overwrite_append_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = snapshot_write(spark.range(3).withColumn("v", F.lit("a")), t)
+    v1 = snapshot_write(
+        spark.range(3, 5).withColumn("v", F.lit("b")), t, mode="append"
+    )
+    v2 = snapshot_write(spark.range(100).withColumn("v", F.lit("c")), t)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert current_version(t) == 2
+
+    assert snapshot_read(spark, t).count() == 100                 # latest
+    assert snapshot_read(spark, t, version=1).count() == 5        # time travel
+    assert snapshot_read(spark, t, version=0).count() == 3
+    got = {r.v for r in snapshot_read(spark, t, version=1).select("v").distinct().collect()}
+    assert got == {"a", "b"}
+    assert [m["version"] for m in snapshot_history(t)] == [0, 1, 2]
+
+
+def test_append_rewrites_no_data(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), t)
+    files_before = set(glob.glob(f"{t}/data/*/*.parquet"))
+    snapshot_write(spark.range(10, 20), t, mode="append")
+    files_after = set(glob.glob(f"{t}/data/*/*.parquet"))
+    assert files_before <= files_after  # immutable: appends only add
+
+
+def test_compact_is_a_new_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshot_write(
+            spark.range(i * 100, (i + 1) * 100).repartition(5), t,
+            mode="append" if i else "overwrite",
+        )
+    assert len(glob.glob(f"{t}/data/*/*.parquet")) == 20
+    v = snapshot_compact(spark, t, target_file_bytes=64 * 1024 * 1024)
+    cur = snapshot_read(spark, t)
+    assert cur.count() == 400
+    assert cur.agg(F.sum("id")).collect()[0][0] == sum(range(400))
+    # pre-compaction version still readable (time travel across compaction)
+    assert snapshot_read(spark, t, version=v - 1).count() == 400
+    # compacted version reads from a single new dir with 1 file
+    from etl_weather_spark.sources.snapshots import _load_manifest
+
+    m = _load_manifest(t, v)
+    assert len(m["data_dirs"]) == 1
+    assert len(glob.glob(f"{t}/{m['data_dirs'][0]}/*.parquet")) == 1
+
+
+def test_expire_drops_only_unreferenced_dirs(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), t)                      # v0
+    snapshot_write(spark.range(5, 9), t, mode="append")    # v1 (refs v0 dir)
+    snapshot_write(spark.range(50), t)                     # v2 (fresh dir)
+    expired = expire_snapshots(t, keep_last=2)
+    assert expired == [0]
+    # v1 survives and still reads BOTH its dirs (v0's dir was referenced)
+    assert snapshot_read(spark, t, version=1).count() == 9
+    assert snapshot_read(spark, t).count() == 50
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, version=0)
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(7), t)
+    # simulate a writer that died after landing data + manifest but
+    # before the pointer swap: readers must keep seeing the old version
+    os.makedirs(f"{t}/data/deadbeef")
+    spark.range(999).write.mode("overwrite").parquet(f"{t}/data/deadbeef")
+    with open(f"{t}/_manifests/v1.json", "w") as f:
+        f.write('{"version": 1, "data_dirs": ["data/deadbeef"], "mode": "overwrite"}')
+    assert current_version(t) == 0
+    assert snapshot_read(spark, t).count() == 7
