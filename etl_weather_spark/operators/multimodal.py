@@ -125,3 +125,40 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.filter(F.col("modality") == "video")
         .select("media_id", F.explode(frames).alias("frame_ms"))
     )
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """`mapInArrow` variant of :func:`extract_features`: consumes raw
+    ``pyarrow.RecordBatch``es, skipping the Arrow→pandas conversion.
+
+    For binary-heavy columns the pandas hop costs a per-cell Python
+    bytes materialization on BOTH edges; pure-Arrow batches keep the
+    payload buffers zero-copy until the hash actually reads them. Same
+    outputs bit-for-bit as the pandas path (asserted in tests); prefer
+    this one when payloads dominate batch size.
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            media_ids = batch.column("media_id")
+            modalities = batch.column("modality")
+            payloads = batch.column("payload").to_pylist()
+            n_bytes = [0 if p is None else len(p) for p in payloads]
+            shas = [
+                None if p is None else hashlib.sha256(p).hexdigest()
+                for p in payloads
+            ]
+            feats = [None if p is None else _fake_feature(p) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    media_ids,
+                    modalities,
+                    pa.array(n_bytes, type=pa.int32()),
+                    pa.array(shas, type=pa.string()),
+                    pa.array(feats, type=pa.list_(pa.float32())),
+                ],
+                names=["media_id", "modality", "n_bytes", "content_sha", "feature"],
+            )
+
+    return media.mapInArrow(run, schema=FEATURE_SCHEMA)

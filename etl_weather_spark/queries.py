@@ -3496,3 +3496,41 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "latest_event_per_user",
+    """
+SELECT user_id, event_type AS last_type, ts AS last_ts,
+       FLOOR((value) * 100 + 0.5) / 100 AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key (M2's 'latest view' pattern as a driver-facing
+    query): rank-1 window over (ts, event_id) desc — the
+    bronze-append/current-state primitive every CDC-style table needs.
+
+    Scale: one shuffle on user_id; AQE handles hot users. The
+    deterministic event_id tie-break matters: at scale same-timestamp
+    rows WILL exist and an unpinned top-1 flaps between runs.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+            rnd("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -136,3 +136,24 @@ def test_streaming_sliding_window_matches_batch(spark, tmp_path):
     batch = spark.read.schema(stream.schema).json(str(src))
     exp = sorted((str(r.ws), r.n, r.vsum) for r in slide(batch).collect())
     assert got == exp and len(got) >= 6  # every event in exactly 2 windows
+
+
+def test_arrow_and_pandas_feature_paths_agree(spark):
+    from etl_weather_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+    )
+
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", ("image/png", 4, 4, None, None)),
+        (2, "audio", b"RIFF fake wav", ("audio/wav", None, None, 2500, 16000)),
+        (4, "image", None, ("image/png", 1, 1, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    via_pandas = {r.media_id: r for r in extract_features(media).collect()}
+    via_arrow = {r.media_id: r for r in extract_features_arrow(media).collect()}
+    assert set(via_pandas) == set(via_arrow)
+    for k in via_pandas:
+        assert via_pandas[k].n_bytes == via_arrow[k].n_bytes
+        assert via_pandas[k].content_sha == via_arrow[k].content_sha
+        assert via_pandas[k].feature == via_arrow[k].feature
