@@ -3534,3 +3534,299 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral-analytics widening: funnel, histogram, deviation windows,
+# single-scan band counts, cumulative share (TPC-DS q47/q88-ish shapes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_conversion",
+    """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_click,
+       (SELECT COUNT(*) FROM s3) AS n_purchase
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each stage
+    counts users whose stage event strictly FOLLOWS their entry into the
+    previous stage — the product-analytics primitive (reference has no
+    analog; the ordered-sequence shape is TPC-DS q-series territory).
+
+    Scale: three per-user min-aggs, each shuffled on user_id; stage
+    joins reuse that key, so AQE coalesces them into the same exchange
+    layout. Stage frames shrink monotonically (funnel!), so the later
+    joins broadcast. No windows, no per-user sort — state per user is
+    one timestamp per stage.
+    """
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@query(
+    "order_price_histogram",
+    """
+WITH b AS (
+  SELECT CAST(FLOOR(FLOOR(o_totalprice * 100 + 0.5) / 5000000) AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       bucket * 50000 AS bucket_lo_usd,
+       COUNT(*) AS n_orders,
+       FLOOR((COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders)) * 10000 + 0.5) / 10000 AS share
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram ($50k buckets over o_totalprice) with
+    share-of-total — the profiling/EDA shape behind every distribution
+    chart. Buckets are computed on EXACT integer cents
+    (floor(x*100+0.5)), so boundary values land in the same bin on every
+    engine; the share is a single double division of two integers.
+
+    Scale: map-side bucket projection, one hash agg keyed by ~10
+    buckets (tiny shuffle), total broadcast-joined. At 100 TB this is
+    scan-bound — exactly what you want from a histogram.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    bucket = F.floor(cents / F.lit(5000000.0)).cast("long")
+    tot = o.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).alias("bucket_lo_usd"),
+            "n_orders",
+            rnd(F.col("n_orders") / F.col("n_total"), 4).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "monthly_deviation",
+    """
+WITH monthly AS (
+  SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT nation, month, rev_cents,
+         SUM(rev_cents) OVER (PARTITION BY nation ORDER BY month
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS sum3,
+         COUNT(*) OVER (PARTITION BY nation ORDER BY month
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cnt3
+  FROM monthly
+)
+SELECT nation, month,
+       FLOOR((rev_cents / 100.0) * 100 + 0.5) / 100 AS revenue,
+       FLOOR(((3 * rev_cents - sum3) / 300.0) * 100 + 0.5) / 100 AS dev_vs_3mo_avg
+FROM w
+WHERE cnt3 = 3
+ORDER BY nation, month
+""",
+)
+def monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deviation from the centered 3-month moving average, per nation
+    (TPC-DS q47's shape: rollup -> centered window -> deviation).
+    The deviation is computed ENTIRELY in integer cents
+    (3*rev - sum3 over a ROWS frame), so window-frame accumulation
+    order can't flip the hash; only the final /300.0 is floating.
+
+    Scale: star join (dims broadcast) -> monthly hash agg (map-side
+    partials, one shuffle on (nation, month)) -> window partitioned by
+    nation (25 partitions — fine; a high-cardinality partition key
+    would need no change, the shuffle IS the partitioning).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    w3 = Window.partitionBy("nation").orderBy("month").rowsBetween(-1, 1)
+    return (
+        monthly.withColumn("sum3", F.sum("rev_cents").over(w3))
+        .withColumn("cnt3", F.count(F.lit(1)).over(w3))
+        .filter(F.col("cnt3") == 3)
+        .select(
+            "nation",
+            "month",
+            rnd(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            rnd((3 * F.col("rev_cents") - F.col("sum3")) / 300.0, 2).alias(
+                "dev_vs_3mo_avg"
+            ),
+        )
+        .orderBy("nation", "month")
+    )
+
+
+@query(
+    "hourly_band_counts",
+    """
+SELECT
+  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 0 AND 2 THEN 1 ELSE 0 END) AS h00_02,
+  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 3 AND 5 THEN 1 ELSE 0 END) AS h03_05,
+  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 8 THEN 1 ELSE 0 END) AS h06_08,
+  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 11 THEN 1 ELSE 0 END) AS h09_11,
+  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 12 AND 14 THEN 1 ELSE 0 END) AS h12_14,
+  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 15 AND 17 THEN 1 ELSE 0 END) AS h15_17,
+  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 20 THEN 1 ELSE 0 END) AS h18_20,
+  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 21 AND 23 THEN 1 ELSE 0 END) AS h21_23
+FROM events
+""",
+)
+def hourly_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight time-of-day band counts in ONE scan (TPC-DS q88's shape —
+    q88 does it as 8 self-joined subqueries; conditional aggregation
+    collapses them into a single pass, an 8x scan reduction).
+
+    Scale: pure map-side conditional counts; the shuffle carries 8
+    longs per mapper. This is the canonical 'express it as one agg,
+    not N scans' rewrite that matters most at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    h = F.hour("ts")
+
+    def band(lo: int, hi: int, name: str):
+        return F.sum(
+            F.when(h.between(lo, hi), 1).otherwise(0)
+        ).alias(name)
+
+    return ev.agg(
+        band(0, 2, "h00_02"),
+        band(3, 5, "h03_05"),
+        band(6, 8, "h06_08"),
+        band(9, 11, "h09_11"),
+        band(12, 14, "h12_14"),
+        band(15, 17, "h15_17"),
+        band(18, 20, "h18_20"),
+        band(21, 23, "h21_23"),
+    )
+
+
+@query(
+    "cumulative_daily_share",
+    """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(o_orderdate AS DATE) AS order_date,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS day_cents
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 2000
+  GROUP BY 1, 2
+)
+SELECT month, order_date,
+       FLOOR((day_cents / 100.0) * 100 + 0.5) / 100 AS day_rev,
+       FLOOR((SUM(day_cents) OVER (PARTITION BY month ORDER BY order_date
+                                   ROWS UNBOUNDED PRECEDING) / 100.0) * 100 + 0.5) / 100 AS run_rev,
+       FLOOR((SUM(day_cents) OVER (PARTITION BY month ORDER BY order_date
+                                   ROWS UNBOUNDED PRECEDING) * 1.0
+              / SUM(day_cents) OVER (PARTITION BY month)) * 10000 + 0.5) / 10000 AS run_share
+FROM daily
+ORDER BY month, order_date
+""",
+)
+def cumulative_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-to-date running revenue and its share of the month total —
+    two window frames (running ROWS sum + whole-partition sum) over one
+    daily rollup. Both sums run on integer cents; each reported number
+    is one integer->double division, so the hash is engine-stable.
+
+    Scale: daily pre-agg shrinks the window input to ~365 rows/year
+    BEFORE any sort; windows partition by month (12-way parallel).
+    The pattern — aggregate first, window over the rollup — is the
+    scale-survival rule for cumulative metrics.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 2000)
+    daily = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("day_cents")
+        )
+    )
+    w_run = (
+        Window.partitionBy("month")
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("month")
+    return (
+        daily.withColumn("run_cents", F.sum("day_cents").over(w_run))
+        .withColumn("tot_cents", F.sum("day_cents").over(w_all))
+        .select(
+            "month",
+            "order_date",
+            rnd(F.col("day_cents") / 100.0, 2).alias("day_rev"),
+            rnd(F.col("run_cents") / 100.0, 2).alias("run_rev"),
+            rnd(F.col("run_cents") / F.col("tot_cents"), 4).alias("run_share"),
+        )
+        .orderBy("month", "order_date")
+    )
