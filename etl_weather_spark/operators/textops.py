@@ -80,3 +80,56 @@ def doc_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         quality_score(t).alias("quality"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window prep step of a training-data pipeline (chunk size
+    ``size`` tokens, step ``stride``, so consecutive chunks overlap by
+    ``size - stride`` tokens).
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens, so
+    every token is covered and a short document still yields one chunk.
+
+    PERF: tokenization happens in the projection FEEDING the explode —
+    the Generate is the boundary that stops CollapseProject from
+    inlining the regex into per-chunk expressions (the [[spark-hof-
+    lambda-inlining]] trap); after the explode, ``F.slice`` is a plain
+    array op, not a per-element lambda. Scale: explode amplifies rows
+    by ~n_tokens/stride (the inherent cost of overlap-chunking); the
+    op is shuffle-free — chunks stay on their document's partition.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    n_chunks = F.floor((F.col("_n") + stride - 1) / F.lit(stride)).cast("int")
+    return (
+        toks.select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("chunk_start"),
+            F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, size).alias("_c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.size("_c").alias("n_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )

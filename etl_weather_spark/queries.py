@@ -3830,3 +3830,80 @@ def cumulative_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "order_date")
     )
+
+
+@query(
+    "doc_chunks",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, t,
+         UNNEST(generate_series(0,
+                CAST(FLOOR((len(t) + 39) / 40) AS INT) - 1)) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id, chunk_id * 40 AS chunk_start,
+       len(list_slice(t, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS n_tokens,
+       array_to_string(list_slice(t, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ') AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_id
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token chunks, stride 40,
+    10-token overlap) — the context-window prep step every LLM
+    training pipeline runs over its corpus. Chunk text is compared
+    verbatim against the oracle, so tokenization, windowing, and
+    boundary clamping are all hash-checked.
+
+    Scale: shuffle-free row amplification (~n_tokens/stride per doc);
+    the explode boundary keeps tokenization once-per-document (the
+    CollapseProject lambda-inlining trap). At 100 TB this runs as a
+    pure map stage and writes partitioned by input split.
+    """
+    from etl_weather_spark.operators.textops import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=50, stride=40).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "per_source_quota",
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id) AS pri
+  FROM documents
+)
+SELECT doc_id, source, pri
+FROM ranked
+WHERE pri <= 10
+ORDER BY source, pri
+""",
+)
+def per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (keep at most 10 docs per source) with a
+    content-addressed priority: rank by md5 of the doc id, not by
+    ingestion order — so the kept set is stable across re-runs,
+    repartitioning, and appends that don't touch the winners. This is
+    the 'cap any one domain's share of the training mix' op.
+
+    Scale: one shuffle on source; a skewed mega-source is the known
+    hazard — the rank window only needs the top-10, so at scale this
+    swaps to a per-partition partial top-k before the shuffle (same
+    pattern as top5_days); AQE skew-split covers the rest.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pri_key = F.md5(F.concat(F.lit("quota|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri_key, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("pri"))
+        .filter(F.col("pri") <= 10)
+        .orderBy("source", "pri")
+    )

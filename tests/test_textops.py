@@ -34,3 +34,35 @@ def test_doc_profile_on_corpus(spark, sf_dir):
     assert {"n_tokens", "n_bpe_tokens", "lang_pred", "quality"} <= set(prof.columns)
     row = prof.filter(F.col("n_tokens") > 0).limit(1).collect()[0]
     assert row.n_bpe_tokens >= row.n_tokens  # BPE-ish splits at least at words
+
+
+def test_chunk_documents_invariants(spark):
+    from etl_weather_spark.operators.textops import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(95))),   # 95 toks -> 3 chunks
+        (2, " ".join(f"w{i}" for i in range(40))),   # exactly one stride
+        (3, "solo"),                                  # short doc -> 1 chunk
+        (4, ""),                                      # empty -> [''] -> 1 chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, size=50, stride=40).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert [len(v) for _, v in sorted(by_doc.items())] == [3, 1, 1, 1]
+    d1 = by_doc[1]
+    # starts advance by the stride; sizes clamp at the tail
+    assert [c.chunk_start for c in d1] == [0, 40, 80]
+    assert [c.n_tokens for c in d1] == [50, 50, 15]
+    # consecutive chunks overlap by size - stride = 10 tokens
+    for a, b in zip(d1, d1[1:]):
+        assert a.chunk_text.split()[-10:] == b.chunk_text.split()[:10]
+    # full coverage: union of chunks (dedup by position) == the doc
+    seen = {}
+    for c in d1:
+        for i, t in enumerate(c.chunk_text.split()):
+            seen[c.chunk_start + i] = t
+    assert [seen[i] for i in range(95)] == [f"w{i}" for i in range(95)]
+    assert by_doc[3][0].chunk_text == "solo"
