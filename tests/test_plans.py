@@ -175,3 +175,37 @@ def test_event_transitions_partitions_by_user(spark, sf_dir):
     # window (user_id) + pair agg + presentation sort = 3 real
     # exchanges (shuffle_count sees 2 lines per exchange)
     assert shuffle_count(df) <= 6, plan
+
+
+def test_monthly_deviation_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    df = q.monthly_deviation(spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+    # orders is the only shuffled relation: once for the monthly agg,
+    # once for the nation-partitioned window — no SMJ anywhere
+    assert count_occurrences(df, "SortMergeJoin") == 0, formatted_plan(df)
+
+
+def test_hourly_band_counts_is_single_scan(spark, sf_dir):
+    df = q.hourly_band_counts(spark, sf_dir)
+    # one parquet scan feeds all 8 band counts (q88 runs 8 scans)
+    assert len(read_schema_columns(df)) == 1, formatted_plan(df)
+    assert has_partial_aggregation(df), formatted_plan(df)
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    df = q.doc_chunks(spark, sf_dir)
+    # orderBy adds a range exchange at the edge; nothing upstream
+    # shuffles (shuffle_count sees 2 lines per exchange)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+    # tokenization must sit below the Generate, not inside per-chunk
+    # expressions (the CollapseProject lambda-inlining trap)
+    plan = formatted_plan(df)
+    assert plan.count("regexp_replace") <= 1, plan
+
+
+def test_funnel_reuses_user_partitioning(spark, sf_dir):
+    df = q.funnel_conversion(spark, sf_dir)
+    plan = formatted_plan(df)
+    # stage joins happen on user_id-partitioned aggs; the final 1-row
+    # cross joins must be broadcasts, never a shuffled cartesian
+    assert "CartesianProduct" not in plan, plan
