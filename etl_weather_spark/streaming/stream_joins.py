@@ -1,0 +1,72 @@
+"""Stream-stream interval join: event attribution under watermarks.
+
+The reference has no streaming at all (SURVEY.md §2.14 is the
+extension surface); the batch analog here is the band join in
+``operators/joins.range_join_bucketed`` (`error_after_click`). This is
+the same semantics when both sides ARRIVE as streams: each purchase is
+attributed to the view(s) that preceded it within a horizon, per user.
+
+Scale notes (how Spark executes this):
+- Both sides are hash-partitioned on the join key (user_id), so each
+  task joins co-located slices — the same shuffle a batch join does,
+  but incremental per micro-batch.
+- State: each side buffers rows until the watermark says no match can
+  still arrive. The time-bound join condition is what makes state
+  finite — view rows are evicted once ``watermark > view_ts + horizon``
+  — so state is O(events per horizon window), not O(stream history).
+  An unbounded-condition stream-stream join would grow forever; Spark
+  refuses it in append mode without watermarks on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attributed_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Join each purchase to every view by the same user in the
+    preceding ``horizon`` — works identically on static frames (batch
+    parity tests) and on streaming frames (watermarks applied, state
+    bounded by ``horizon + watermark``).
+
+    Returns (user_id, view_id, view_ts, purchase_id, purchase_ts,
+    lag_sec).
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (v["user_id"] == p["p_user"])
+        & (p["purchase_ts"] >= v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return (
+        v.join(p, cond, "inner")
+        .select(
+            "user_id",
+            "view_id",
+            "view_ts",
+            "purchase_id",
+            "purchase_ts",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+            ).alias("lag_sec"),
+        )
+    )

@@ -226,3 +226,68 @@ def test_ewma_processor_logic_direct():
     assert out2["ewma"].iloc[0] > 100
     ewma, n = proc._state.get()
     assert n == 5 and ewma > 100
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Purchases attribute to preceding views within the horizon, across
+    micro-batch boundaries (the purchase in b2 must find the b1 view
+    buffered in join state)."""
+    from etl_weather_spark.streaming.stream_joins import attributed_purchases
+
+    views = [
+        {"event_id": 10, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T01:20:00", "user_id": 1, "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 12, "ts": "2024-01-01T01:00:00", "user_id": 2, "event_type": "view", "value": 0.0, "props": "{}"},
+    ]
+    purchases_b1 = [
+        {"event_id": 20, "ts": "2024-01-01T01:25:00", "user_id": 1, "event_type": "purchase", "value": 9.0, "props": "{}"},
+    ]
+    purchases_b2 = [
+        # arrives a micro-batch later but still joins the b1 views
+        {"event_id": 21, "ts": "2024-01-01T01:45:00", "user_id": 1, "event_type": "purchase", "value": 3.0, "props": "{}"},
+        # outside the 30-min horizon of user 2's only view -> no match
+        {"event_id": 22, "ts": "2024-01-01T02:00:00", "user_id": 2, "event_type": "purchase", "value": 1.0, "props": "{}"},
+        # watermark sentinel: closes all state
+        {"event_id": 99, "ts": "2024-02-01T00:00:00", "user_id": -1, "event_type": "purchase", "value": 0.0, "props": "{}"},
+    ]
+    vsrc = tmp_path / "views"; vsrc.mkdir()
+    psrc = tmp_path / "purchases"; psrc.mkdir()
+    (vsrc / "b1.json").write_text("\n".join(json.dumps(e) for e in views))
+    (psrc / "b1.json").write_text("\n".join(json.dumps(e) for e in purchases_b1))
+    (psrc / "b2.json").write_text("\n".join(json.dumps(e) for e in purchases_b2))
+
+    vstream = read_event_stream(spark, str(vsrc), fmt="json", max_files_per_trigger=1)
+    pstream = read_event_stream(spark, str(psrc), fmt="json", max_files_per_trigger=1)
+    joined = attributed_purchases(vstream, pstream, horizon="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_sec)
+        for r in spark.sql("SELECT * FROM t_attrib WHERE user_id >= 0").collect()
+    }
+
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    as_df = lambda rows: spark.createDataFrame(
+        [tuple(e.values()) for e in rows], schema
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_sec)
+        for r in attributed_purchases(
+            as_df(views), as_df(purchases_b1 + purchases_b2[:-1]), horizon="30 minutes"
+        ).collect()
+    }
+
+    assert streamed == batch
+    # purchase 20 matches both user-1 views; purchase 21 (cross-batch)
+    # matches only the 01:20 view; user 2's purchase matches nothing
+    assert streamed == {
+        (1, 10, 20, 1500),
+        (1, 11, 20, 300),
+        (1, 11, 21, 1500),
+    }
