@@ -74,6 +74,14 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    from etl_weather_spark.sql import run_sql
+
+    spark = _spark(args.cpus)
+    run_sql(spark, args.sf_dir, args.statement).show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import os
 
@@ -102,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("name")
     qp.add_argument("--limit", type=int, default=20)
     qp.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("sql", help="run ad-hoc SQL over the corpus views")
+    s.add_argument("statement")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_sql)
 
     b = sub.add_parser("bench", help="headline benchmark JSON line")
     b.set_defaults(fn=cmd_bench)

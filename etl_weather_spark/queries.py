@@ -3907,3 +3907,213 @@ def per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pri") <= 10)
         .orderBy("source", "pri")
     )
+
+
+@query(
+    "rollup_rank",
+    """
+WITH r AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS lvl,
+         GROUPING(o_orderpriority) AS gp,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+)
+SELECT status, priority, lvl,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       RANK() OVER (
+         PARTITION BY lvl, CASE WHEN gp = 0 THEN status END
+         ORDER BY cents DESC, priority ASC NULLS FIRST, status ASC NULLS FIRST
+       ) AS rnk
+FROM r
+ORDER BY lvl, status NULLS LAST, rnk
+""",
+)
+def rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank within each hierarchy level of a ROLLUP (TPC-DS q36 shape):
+    detail rows rank priorities *within their parent status*, subtotal
+    rows rank statuses against each other, and the grand total stands
+    alone — the partition key mixes ``grouping()`` metadata with a
+    parent column that is NULL above the detail level.
+
+    Determinism: revenue is compared as exact scaled-long cents (sum of
+    longs is order-independent), and the rank order carries a total
+    tie-break (cents desc, priority, status) with explicit null
+    placement — Spark defaults ASC to NULLS FIRST, DuckDB to NULLS
+    LAST, so the window spells it out.
+
+    Scale: one hash agg produces all grouping sets via partial
+    expansion; the rank window runs over the tiny aggregate (statuses x
+    priorities + subtotals), never the fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents_item = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    r = o.rollup("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") + F.grouping("o_orderpriority")).alias("lvl"),
+        F.grouping("o_orderpriority").alias("gp"),
+        F.sum(cents_item).alias("cents"),
+    )
+    w = (
+        Window.partitionBy(
+            "lvl", F.when(F.col("gp") == 0, F.col("o_orderstatus"))
+        ).orderBy(
+            F.col("cents").desc(),
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+    return (
+        r.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "lvl",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .orderBy("lvl", F.col("status").asc_nulls_last(), "rnk")
+    )
+
+
+@query(
+    "cumulative_crossover",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS view_c,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS click_c
+  FROM events
+  GROUP BY 1
+),
+cum AS (
+  SELECT date,
+         CAST(SUM(view_c) OVER (ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cv,
+         CAST(SUM(click_c) OVER (ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+  FROM daily
+)
+SELECT date,
+       CAST(cv AS DOUBLE) / 100 AS cum_view_value,
+       CAST(cc AS DOUBLE) / 100 AS cum_click_value,
+       (cc * 3 > cv) AS clicks_ahead
+FROM cum
+ORDER BY date
+""",
+)
+def cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two cumulative series compared day by day (TPC-DS q51 shape):
+    running view-value vs running click-value totals, with a crossover
+    flag where the (scaled) click series overtakes views.
+
+    Determinism: daily sums and both running totals accumulate as
+    scaled-long cents — integer addition is order-independent, so
+    Spark's running frame and DuckDB's segment-tree window produce
+    identical values, and the crossover comparison is integer-exact.
+
+    Scale: one hash agg to date grain first; the unbounded-preceding
+    window then runs over ~days rows in a single partition, which is
+    the correct trade (cumulative-over-time is inherently sequential —
+    keep its input tiny, never window the raw events).
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    zero = F.lit(0).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(zero)).alias("view_c"),
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(zero)).alias("click_c"),
+    )
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "date",
+        F.sum("view_c").over(w).alias("cv"),
+        F.sum("click_c").over(w).alias("cc"),
+    )
+    return cum.select(
+        "date",
+        (F.col("cv").cast("double") / 100).alias("cum_view_value"),
+        (F.col("cc").cast("double") / 100).alias("cum_click_value"),
+        (F.col("cc") * 3 > F.col("cv")).alias("clicks_ahead"),
+    ).orderBy("date")
+
+
+_WD_NAMES = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
+
+_WD_PIV_COLS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN dow = {i + 1} THEN cents END) AS BIGINT) AS {n}"
+    for i, n in enumerate(_WD_NAMES)
+)
+_WD_OUT_COLS = ",\n       ".join(
+    f"CAST(c.{n} AS DOUBLE) / 100 AS {n}_rev,\n       "
+    f"FLOOR((CAST(c.{n} AS DOUBLE) / CAST(NULLIF(p.{n}, 0) AS DOUBLE)) * 10000 + 0.5) / 10000 AS {n}_ratio"
+    for n in _WD_NAMES
+)
+
+_WEEKDAY_YOY_SQL = f"""
+WITH wd AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         EXTRACT(isodow FROM o_orderdate) AS dow,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT o_year,
+         {_WD_PIV_COLS}
+  FROM wd
+  GROUP BY o_year
+)
+SELECT c.o_year,
+       {_WD_OUT_COLS}
+FROM piv c
+JOIN piv p ON p.o_year = c.o_year - 1
+ORDER BY c.o_year
+"""
+
+
+@query("weekday_yoy", _WEEKDAY_YOY_SQL)
+def weekday_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-weekday revenue pivoted wide, each year self-joined against
+    the previous year for a per-weekday growth ratio (TPC-DS q59
+    shape): agg -> pivot -> self-join on shifted key -> columnwise
+    ratios.
+
+    Determinism: weekday via ISO day-of-week (Spark ``weekday()+1`` ==
+    DuckDB ``isodow``; plain ``dayofweek``/``dow`` disagree on the week
+    origin). Revenue sums stay scaled-long cents; ratios divide exact
+    long-derived doubles and round with the shared floor formula. A
+    ``NULLIF`` guard keeps never-sold weekdays NULL instead of inf.
+
+    Scale: the pivot runs over (year x 7) pre-aggregated rows and the
+    self-join is a broadcast over ~years rows; only the first hash agg
+    touches the fact table. ``pivot()`` is given the weekday values
+    explicitly, so no extra distinct-scan pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents_item = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    wd = o.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        (F.weekday("o_orderdate") + 1).alias("dow"),
+    ).agg(F.sum(cents_item).alias("cents"))
+    piv = (
+        wd.groupBy("o_year")
+        .pivot("dow", list(range(1, 8)))
+        .agg(F.sum("cents"))
+    )
+    for i, n in enumerate(_WD_NAMES):
+        piv = piv.withColumnRenamed(str(i + 1), n)
+    c, p = piv.alias("c"), piv.alias("p")
+    joined = c.join(
+        F.broadcast(p), F.col("p.o_year") == F.col("c.o_year") - 1, "inner"
+    )
+    cols = [F.col("c.o_year").alias("o_year")]
+    for n in _WD_NAMES:
+        cur = F.col(f"c.{n}").cast("double")
+        prev = F.when(F.col(f"p.{n}") != 0, F.col(f"p.{n}")).cast("double")
+        cols.append((cur / 100).alias(f"{n}_rev"))
+        cols.append(rnd(cur / prev, 4).alias(f"{n}_ratio"))
+    return joined.select(*cols).orderBy("o_year")
