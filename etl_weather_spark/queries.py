@@ -4117,3 +4117,100 @@ def weekday_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append((cur / 100).alias(f"{n}_rev"))
         cols.append(rnd(cur / prev, 4).alias(f"{n}_ratio"))
     return joined.select(*cols).orderBy("o_year")
+
+
+@query(
+    "redact_terms",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS n_hits,
+       regexp_replace(text, '\b(customer|supplier)\b', '[TERM]', 'g') AS redacted
+FROM documents
+ORDER BY doc_id
+""",
+)
+def redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist-term scrubbing over the corpus — the PII-redaction
+    plumbing every training pipeline runs (emails/phones/names swap in
+    for the denylist regex; the engine mechanics are identical): count
+    hits, rewrite the text, keep zero-hit docs as verbatim passthrough.
+    The redacted text itself is hash-checked, so the regex dialects
+    (Java on the Spark side, RE2 in DuckDB) must agree on boundaries
+    and replacement — ``\\b`` + literal alternation is the portable
+    subset.
+
+    Scale: pure map stage — no shuffle, whole-stage codegen end to
+    end; at 100 TB this is a rewrite-in-place pass partitioned by
+    input split, and the n_hits column doubles as the audit metric.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pat = r"\b(customer|supplier)\b"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias("n_hits"),
+        F.regexp_replace("text", pat, "[TERM]").alias("redacted"),
+    ).orderBy("doc_id")
+
+
+_SHINGLE5 = """
+  CASE WHEN len(tk) >= 5
+       THEN list_transform(generate_series(1, len(tk) - 4),
+                           i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+       ELSE [array_to_string(tk, ' ')] END
+"""
+
+
+@query(
+    "decontaminate_overlap",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+bsh AS (
+  SELECT DISTINCT doc_id, UNNEST({_SHINGLE5}) AS sh
+  FROM toks WHERE doc_id % 50 = 0
+),
+tsh AS (
+  SELECT DISTINCT doc_id, UNNEST({_SHINGLE5}) AS sh
+  FROM toks WHERE doc_id % 50 <> 0
+)
+SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_shared_shingles,
+       COUNT(DISTINCT b.doc_id) AS n_bench_docs
+FROM tsh t JOIN bsh b ON b.sh = t.sh
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with a held-out benchmark set (here: every 50th doc plays
+    the benchmark). Real pipelines run exactly this shape with 8-13
+    grams — long shingles so chance collisions vanish and only true
+    verbatim overlap (the planted near-dups) survives the join.
+
+    Scale: the benchmark side is tiny relative to the corpus →
+    broadcast its distinct shingles; the training side then never
+    shuffles (map-side hash join over a pure map stage). Counts are
+    distinct-per-doc, so re-shingled appends can't inflate them. At
+    100 TB swap the broadcast for a bloom filter of benchmark shingle
+    hashes if the benchmark outgrows executor memory.
+    """
+    from etl_weather_spark.operators.dedup import exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bsh = exploded_shingles(bench, text_col="text", keep_cols=["doc_id"], n=5)
+    tsh = exploded_shingles(train, text_col="text", keep_cols=["doc_id"], n=5)
+    hits = tsh.join(
+        F.broadcast(bsh.withColumnRenamed("doc_id", "bench_doc_id")), "sh"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count_distinct("sh").alias("n_shared_shingles"),
+            F.count_distinct("bench_doc_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
