@@ -178,6 +178,47 @@ def stream_upsert_latest(
     return writer.trigger(availableNow=True).start()
 
 
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 8) -> "F.Column":
+    """Z-order (Morton) key over numeric columns: each column is
+    bucketed into ``2^bits`` equi-width bins (bounds from one min/max
+    aggregate pass), then the bucket bits are interleaved so rows close
+    in the key are close in EVERY dimension — sorting by it gives
+    parquet tight row-group min/max stats on all ``cols`` at once,
+    where a plain sort only tightens its leading column.
+
+    All pure Column arithmetic (width_bucket, shifts, masks) — JVM
+    codegen, no UDF. Equi-width bins assume roughly uniform columns;
+    for skewed ones substitute ``approxQuantile`` boundaries for the
+    min/max (rank-based bucketing is what Delta's OPTIMIZE ZORDER
+    does). Nulls land in bucket 0.
+    """
+    n = 1 << bits
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    k = len(cols)
+    buckets = []
+    for c in cols:
+        lo = float(stats[f"min_{c}"])
+        hi = float(stats[f"max_{c}"])
+        if hi <= lo:
+            hi = lo + 1.0
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n)
+        ) - 1
+        b = F.least(F.lit(n - 1), F.greatest(F.lit(0), b)).cast("long")
+        buckets.append(F.coalesce(b, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci in range(k):
+            z = z + F.shiftleft(
+                F.shiftright(buckets[ci], bit).bitwiseAND(F.lit(1)),
+                bit * k + ci,
+            )
+    return z
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -185,6 +226,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
     sort_within_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet table into ~``target_file_bytes`` files,
     optionally re-clustered. Returns the file count written.
@@ -201,6 +243,11 @@ def compact_table(
     columns, so selective filters skip whole row groups at scan time —
     the poor-man's Z-order, and the right clustering when one column
     dominates predicates.
+
+    ``zorder_by`` instead clusters on the interleaved-bit
+    :func:`zorder_key` over several columns and range-partitions the
+    output by it — every listed column then prunes row groups, the
+    right layout when predicates hit different columns query to query.
     """
     import math
     import shutil
@@ -213,11 +260,18 @@ def compact_table(
     )
     n_files = max(1, math.ceil(size / target_file_bytes))
     df = spark.read.parquet(path)
-    if partition_by:
+    if zorder_by:
+        out = (
+            df.withColumn("__z", zorder_key(df, zorder_by))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif partition_by:
         out = df.repartition(n_files, *[F.col(c) for c in partition_by])
     else:
         out = df.repartition(n_files)
-    if sort_within_by:
+    if sort_within_by and not zorder_by:
         out = out.sortWithinPartitions(*sort_within_by)
     # stage next to the table, then swap by directory rename — plain
     # parquet has no transaction log, so the swap is the commit point

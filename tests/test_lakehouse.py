@@ -121,3 +121,54 @@ def test_schema_evolution_merge_and_conform(spark, tmp_path):
     # plain read (no mergeSchema) keeps working on the original columns
     plain = spark.read.parquet(path).select("id", "k", "v")
     assert plain.count() == 3
+
+
+def test_zorder_compact_tightens_both_columns(spark, tmp_path):
+    """Z-order clustering must shrink per-file min/max spans on BOTH
+    interleaved columns, where a plain sort only helps its leading
+    column — the multi-predicate row-group-pruning story."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_weather_spark.sources.lakehouse import compact_table
+
+    def spans(path, col_names):
+        out = {c: [] for c in col_names}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                for c in col_names:
+                    st = md.row_group(rg).column(names.index(c)).statistics
+                    out[c].append(st.max - st.min)
+        return {c: sum(v) / len(v) for c, v in out.items()}
+
+    # two independent uniform columns over [0, 100000)
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.abs(F.xxhash64("id")) % 100_000).alias("a"),
+            (F.abs(F.xxhash64("id", F.lit(7))) % 100_000).alias("b"),
+        )
+    )
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "sorted_a")
+    df.write.parquet(zpath)
+    nz = compact_table(
+        spark, zpath, target_file_bytes=256 * 1024, zorder_by=["a", "b"]
+    )
+    # baseline: a global range-sort on `a` alone (the best single-column
+    # clustering) — tight on a, but leaves b at full range per file
+    df.repartitionByRange(nz, "a").sortWithinPartitions("a").write.parquet(spath)
+    assert nz >= 6  # enough files for spans to be meaningful
+    z = spans(zpath, ["a", "b"])
+    s = spans(spath, ["a", "b"])
+    domain = 100_000
+    # z-order: both dimensions substantially tighter than full range
+    assert z["a"] < 0.7 * domain and z["b"] < 0.7 * domain
+    # plain sort: leading column tight, second column ~full range
+    assert s["a"] < 0.2 * domain
+    assert s["b"] > 0.9 * domain
+    # and z-order's second column beats the plain sort's decisively
+    assert z["b"] < 0.7 * s["b"]
