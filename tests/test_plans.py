@@ -209,3 +209,51 @@ def test_funnel_reuses_user_partitioning(spark, sf_dir):
     # stage joins happen on user_id-partitioned aggs; the final 1-row
     # cross joins must be broadcasts, never a shuffled cartesian
     assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast — the training side is
+    the 100 TB side and may never shuffle for this join."""
+    df = q.decontaminate_overlap(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_redact_terms_is_pure_map(spark, sf_dir):
+    """Regex scrub = rewrite-in-place pass: no shuffle, no Python eval
+    (final orderBy excluded — serving-edge sort, dropped at scale)."""
+    docs = q.load(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    pat = r"\b(customer|supplier)\b"
+    df = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_hits"),
+        F.regexp_replace("text", pat, "[TERM]").alias("redacted"),
+    )
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_rollup_rank_windows_post_aggregate(spark, sf_dir):
+    """The rank window must consume the tiny Expand+agg output, never
+    the fact table: exactly one aggregate pair over orders, and the
+    scan reads only the three needed columns."""
+    df = q.rollup_rank(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, plan
+    scans = read_schema_columns(df)
+    assert scans and all(
+        set(cols) <= {"o_orderstatus", "o_orderpriority", "o_totalprice"}
+        for cols in scans
+    ), scans
+
+
+def test_weekday_yoy_self_join_broadcasts(spark, sf_dir):
+    """The year-grain self-join runs over ~years rows — broadcast, not
+    a shuffle join."""
+    df = q.weekday_yoy(spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
