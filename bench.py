@@ -46,6 +46,11 @@ HEADLINE = [
     # join profit rollup (Q9-shaped)
     "cheapest_supplier",
     "nation_profit",
+    # fourth wave: grouping-sets rank window, broadcast shingle
+    # decontamination, shuffle-free regex scrub
+    "rollup_rank",
+    "decontaminate_overlap",
+    "redact_terms",
 ]
 
 

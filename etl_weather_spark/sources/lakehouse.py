@@ -289,3 +289,47 @@ def compact_table(
         for f in fns
         if f.endswith(".parquet")
     )
+
+
+def incremental_refresh(
+    spark: SparkSession,
+    batch: DataFrame,
+    *,
+    silver_path: str,
+    gold_path: str,
+    build_gold: Callable[[DataFrame], DataFrame],
+    partition_col: str = "date",
+) -> list:
+    """M1 at scale: land ``batch`` in silver, then rebuild ONLY the gold
+    partitions the batch touched — never the whole table.
+
+    The reference's refresh (web.py:344-363) recomputes everything per
+    request; at 100 TB a day's append must not re-aggregate years of
+    history. Steps: (1) append the batch to silver partitioned by
+    ``partition_col``; (2) collect the batch's distinct partition
+    values (tiny — one value per touched day); (3) re-run
+    ``build_gold`` over silver *filtered to those partitions* (the
+    filter is on the partition column, so the scan prunes to the
+    touched directories); (4) write with dynamic partition overwrite,
+    which replaces exactly the partitions present in the output and
+    leaves every other gold partition's files untouched.
+
+    Plain-parquet caveat: the swap is per-partition-directory, not one
+    atomic commit across partitions — a transactional table format
+    (snapshots.py here; Delta/Iceberg MERGE in production) is the
+    upgrade when readers race refreshes. Returns the affected
+    partition values.
+    """
+    batch.write.mode("append").partitionBy(partition_col).parquet(silver_path)
+    affected = [r[0] for r in batch.select(partition_col).distinct().collect()]
+    silver = spark.read.parquet(silver_path).filter(
+        F.col(partition_col).isin(affected)
+    )
+    (
+        build_gold(silver)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(gold_path)
+    )
+    return affected

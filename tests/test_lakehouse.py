@@ -172,3 +172,56 @@ def test_zorder_compact_tightens_both_columns(spark, tmp_path):
     assert s["b"] > 0.9 * domain
     # and z-order's second column beats the plain sort's decisively
     assert z["b"] < 0.7 * s["b"]
+
+
+def test_incremental_refresh_rebuilds_only_touched_partitions(spark, tmp_path):
+    """Second batch touches day2+day3 only: gold must equal a full
+    recompute, day1's files must be byte-identical (never rewritten),
+    and the rebuild scan must prune to the touched partitions."""
+    import glob
+    import hashlib
+
+    from etl_weather_spark.operators.pipeline import daily_from_hourly
+    from etl_weather_spark.sources.lakehouse import incremental_refresh
+
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+
+    def hourly(rows):
+        return spark.createDataFrame(
+            rows, "city string, date date, temp double, rain double, pm25 double, pm10 double"
+        )
+
+    import datetime as dt
+
+    d1, d2, d3 = dt.date(2025, 1, 1), dt.date(2025, 1, 2), dt.date(2025, 1, 3)
+    b1 = hourly([("x", d1, 25.0, 0.0, 10.0, 20.0), ("x", d2, 26.0, 1.0, 30.0, 40.0)])
+    aff = incremental_refresh(
+        spark, b1, silver_path=silver, gold_path=gold,
+        build_gold=daily_from_hourly, partition_col="date",
+    )
+    assert sorted(aff) == [d1, d2]
+
+    def file_hashes(day):
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(f"{gold}/date={day}/*.parquet")
+        }
+
+    day1_before = file_hashes(d1)
+    b2 = hourly([("x", d2, 31.0, 0.5, 50.0, 60.0), ("x", d3, 24.0, 3.0, 70.0, 80.0)])
+    aff = incremental_refresh(
+        spark, b2, silver_path=silver, gold_path=gold,
+        build_gold=daily_from_hourly, partition_col="date",
+    )
+    assert sorted(aff) == [d2, d3]
+    assert file_hashes(d1) == day1_before  # untouched partition untouched
+
+    # partitioned read reorders columns (partition col lands last) —
+    # normalize via asDict before comparing
+    got = {frozenset(r.asDict().items()) for r in spark.read.parquet(gold).collect()}
+    want = {
+        frozenset(r.asDict().items())
+        for r in daily_from_hourly(spark.read.parquet(silver)).collect()
+    }
+    assert got == want  # incremental == full recompute
