@@ -4214,3 +4214,347 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "weighted_sample_topk",
+    """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -LN((CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+             / 4503599627370496.0) / n_chars AS raw_key
+  FROM documents
+),
+rounded AS (
+  SELECT doc_id, n_chars, FLOOR(raw_key * 1000000 + 0.5) / 1000000 AS race_key
+  FROM keyed
+),
+ranked AS (
+  SELECT doc_id, n_chars, race_key,
+         ROW_NUMBER() OVER (ORDER BY race_key, doc_id) AS rn
+  FROM rounded
+)
+SELECT doc_id, n_chars, race_key, rn FROM ranked WHERE rn <= 20 ORDER BY rn
+""",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (exponential
+    clocks, ≙ Efraimidis-Spirakis A-ES): each doc draws a uniform from
+    md5 of its id, races with key -ln(u)/weight (weight = n_chars), and
+    the 20 smallest keys win — P(selection) ∝ weight, yet membership is
+    reproducible across runs, engines, and cluster layouts (a seeded
+    .sample() is none of those). The training-mix op: upweight long
+    documents without a mutable RNG state. 13 hex digits = 52 bits so
+    the uniform is integer-exact in a double on both engines; ranking
+    keys on the ROUNDED key (doc_id tie-break) so a ±1-ulp ln()
+    difference cannot flip the order.
+
+    Scale: the key is a pure map-side expression; top-20 is
+    TakeOrderedAndProject (per-partition partial top-k, no shuffle of
+    the losers) — the same plan at 500 rows or 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 52))
+    key = rnd(-F.log(u) / F.col("n_chars"), 6)
+    ranked = (
+        docs.select("doc_id", "n_chars", key.alias("race_key"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("race_key", "doc_id"))
+        )
+        .filter(F.col("rn") <= 20)
+    )
+    return ranked.select("doc_id", "n_chars", "race_key", "rn").orderBy("rn")
+
+
+@query(
+    "rare_bigram_quality",
+    """
+WITH toked AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM toked
+),
+df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+per_doc AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique_bigrams
+  FROM sh JOIN df ON df.sh = sh.sh
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_bigrams, n_unique_bigrams,
+       FLOOR(10000.0 * n_unique_bigrams / n_bigrams + 0.5) / 10000 AS unique_ratio,
+       (10000.0 * n_unique_bigrams / n_bigrams >= 2000.0) AS is_outlier
+FROM per_doc
+ORDER BY doc_id
+""",
+)
+def rare_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-bigram-rate quality filter (the integer-exact stand-in for
+    LM-perplexity filtering): a document whose word bigrams mostly
+    appear NOWHERE else in the corpus is statistically unlike the
+    corpus — the CCNet/Gopher-style gibberish signal — while docs of
+    corpus-typical phrasing score low. Counts are distinct-bigram
+    document frequencies, so the score is integer-exact: no logs, no
+    float accumulation, only one correctly-rounded division at the end.
+
+    Scale: one shuffle keyed on the bigram for df, one map-side join
+    back (bigram-keyed both sides — reuses the partitioning), one
+    doc-keyed agg. The df relation is vocabulary-sized (≪ corpus);
+    at 100 TB the df=1 test swaps to a count-min sketch broadcast.
+    """
+    from etl_weather_spark.operators.dedup import exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, text_col="text", keep_cols=["doc_id"], n=2)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ratio = F.lit(10000.0) * F.col("n_unique_bigrams") / F.col("n_bigrams")
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_unique_bigrams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_unique_bigrams",
+            (F.floor(ratio + F.lit(0.5)) / 10000).alias("unique_ratio"),
+            (ratio >= 2000.0).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "keyword_search",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('dup', 'hash', 'scan') GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM hits
+GROUP BY doc_id
+HAVING COUNT(DISTINCT term) = 3
+ORDER BY total_tf DESC, doc_id
+""",
+)
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (inverted-index semantics without the
+    index): documents containing ALL of {dup, hash, scan}, ranked by
+    total term frequency. The AND is a posting-list intersection
+    expressed as HAVING count(distinct term) = n_terms — one pass, no
+    self-joins per term.
+
+    Scale: the IN-list filter runs inside the token explode's map
+    stage, so only matching postings shuffle (3 terms × matching docs,
+    not the whole token stream). With a materialized inverted index
+    this becomes a 3-way posting join; the one-pass form wins whenever
+    the query set is ad hoc.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    terms = ["dup", "hash", "scan"]
+    hits = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.count_distinct("term").alias("__nt"),
+        )
+        .filter(F.col("__nt") == len(terms))
+        .select("doc_id", "total_tf")
+        .orderBy(F.desc("total_tf"), "doc_id")
+    )
+
+
+@query(
+    "nearest_hub",
+    """
+WITH hubs AS (
+  SELECT n_name AS hub,
+         (CAST(('0x' || substr(md5('lat|' || n_name), 1, 8)) AS BIGINT) % 1700) / 10.0 - 85.0 AS hlat,
+         (CAST(('0x' || substr(md5('lon|' || n_name), 1, 8)) AS BIGINT) % 3600) / 10.0 - 180.0 AS hlon
+  FROM nation
+),
+cust AS (
+  SELECT c_custkey,
+         (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1700) / 10.0 - 85.0 AS clat,
+         (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 3600) / 10.0 - 180.0 AS clon
+  FROM customer
+),
+pairs AS (
+  SELECT c.c_custkey, h.hub,
+         (c.clat - h.hlat) * (c.clat - h.hlat) + (c.clon - h.hlon) * (c.clon - h.hlon) AS dist2
+  FROM cust c CROSS JOIN hubs h
+),
+nearest AS (
+  SELECT c_custkey, hub, dist2,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dist2, hub) AS rn
+  FROM pairs
+)
+SELECT hub, COUNT(*) AS n_customers,
+       FLOOR(MIN(dist2) * 10000 + 0.5) / 10000 AS min_dist2,
+       FLOOR(MAX(dist2) * 10000 + 0.5) / 10000 AS max_dist2
+FROM nearest WHERE rn = 1
+GROUP BY hub
+ORDER BY hub
+""",
+)
+def nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial assignment (the geocode-lookup S3
+    pattern at scale): every customer is assigned to its closest hub
+    out of a small hub dimension, then hubs roll up membership counts
+    and distance spreads. Coordinates are derived deterministically
+    from md5 so the query is self-contained on the synthetic corpus;
+    distance is squared plate-carrée degrees (argmin-equivalent to
+    euclidean, and every + * / is correctly-rounded IEEE — bit-identical
+    across engines, no trig in the hash path).
+
+    Scale: the hub side is tiny → broadcast cross join (a map-side
+    25-way comparison per row, no shuffle); the argmin is a
+    customer-partitioned window over 25 rows. MIN/MAX aggregates are
+    order-independent, so no float-accumulation hazard. A real geo
+    workload swaps the cross join for a geohash-bucketed band join
+    (same shape as operators/joins.range_join_bucketed).
+    """
+    nat = load(spark, sf_dir, "nation")
+
+    def coord(prefix: str, key: F.Column, mod: int, scale: float, shift: float):
+        hv = F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), key)), 1, 8), 16, 10
+        ).cast("long")
+        return (hv % mod) / F.lit(scale) - F.lit(shift)
+
+    hubs = nat.select(
+        F.col("n_name").alias("hub"),
+        coord("lat|", F.col("n_name"), 1700, 10.0, 85.0).alias("hlat"),
+        coord("lon|", F.col("n_name"), 3600, 10.0, 180.0).alias("hlon"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        coord("lat|", F.col("c_custkey").cast("string"), 1700, 10.0, 85.0).alias(
+            "clat"
+        ),
+        coord("lon|", F.col("c_custkey").cast("string"), 3600, 10.0, 180.0).alias(
+            "clon"
+        ),
+    )
+    dlat = F.col("clat") - F.col("hlat")
+    dlon = F.col("clon") - F.col("hlon")
+    pairs = cust.crossJoin(F.broadcast(hubs)).select(
+        "c_custkey", "hub", (dlat * dlat + dlon * dlon).alias("dist2")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "hub")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("hub")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.min("dist2"), 4).alias("min_dist2"),
+            rnd(F.max("dist2"), 4).alias("max_dist2"),
+        )
+        .orderBy("hub")
+    )
+
+
+@query(
+    "event_mix_drift",
+    """
+WITH per_type AS (
+  SELECT event_type,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n_b
+  FROM events
+  GROUP BY event_type
+),
+tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM per_type)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       FLOOR((
+           CAST(n_a * (tot_a + tot_b) - tot_a * (n_a + n_b) AS DOUBLE)
+             * CAST(n_a * (tot_a + tot_b) - tot_a * (n_a + n_b) AS DOUBLE)
+             / CAST((tot_a + tot_b) * tot_a * (n_a + n_b) AS DOUBLE)
+         + CAST(n_b * (tot_a + tot_b) - tot_b * (n_a + n_b) AS DOUBLE)
+             * CAST(n_b * (tot_a + tot_b) - tot_b * (n_a + n_b) AS DOUBLE)
+             / CAST((tot_a + tot_b) * tot_b * (n_a + n_b) AS DOUBLE)
+       ) * 1000000 + 0.5) / 1000000 AS chi2_part
+FROM per_type CROSS JOIN tot
+ORDER BY event_type
+""",
+)
+def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: chi-square homogeneity contribution
+    per event_type between the first and second half of the month (the
+    train-vs-serve data-drift check a training pipeline runs before
+    every refresh). The 2xk contingency algebra is rearranged so every
+    intermediate is an exact integer — contribution =
+    (O*N - P*T)^2 / (N*P*T) per cell — and the only float ops are two
+    correctly-rounded IEEE divisions, one multiply each, and one
+    fixed-order addition; bit-identical across engines, then rounded.
+
+    Scale: one conditional-count aggregation over the fact table (the
+    period split is a map-side CASE, not two scans), a 5-row
+    per-type relation, and a broadcast of the 1-row grand total. The
+    expensive part is exactly one shuffle keyed on event_type; the
+    chi-square math happens on k rows, not N.
+    """
+    ev = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_type = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = per_type.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    tot_a, tot_b = F.col("tot_a"), F.col("tot_b")
+    grand = tot_a + tot_b
+    tt = n_a + n_b
+    da = (n_a * grand - tot_a * tt).cast("double")
+    db = (n_b * grand - tot_b * tt).cast("double")
+    chi2 = da * da / (grand * tot_a * tt).cast("double") + db * db / (
+        grand * tot_b * tt
+    ).cast("double")
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            rnd(chi2, 6).alias("chi2_part"),
+        )
+        .orderBy("event_type")
+    )
