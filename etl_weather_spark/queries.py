@@ -4263,14 +4263,17 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     u = (h + F.lit(1.0)) / F.lit(float(1 << 52))
     key = rnd(-F.log(u) / F.col("n_chars"), 6)
-    ranked = (
+    # top-k FIRST (TakeOrderedAndProject: per-partition partial top-20,
+    # only 20·P rows reach the driver-side merge) — the row_number window
+    # then runs over 20 rows, never a global single-partition sort.
+    winners = (
         docs.select("doc_id", "n_chars", key.alias("race_key"))
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy("race_key", "doc_id"))
-        )
-        .filter(F.col("rn") <= 20)
+        .orderBy("race_key", "doc_id")
+        .limit(20)
     )
-    return ranked.select("doc_id", "n_chars", "race_key", "rn").orderBy("rn")
+    return winners.withColumn(
+        "rn", F.row_number().over(Window.orderBy("race_key", "doc_id"))
+    ).orderBy("rn")
 
 
 @query(
@@ -4498,7 +4501,11 @@ WITH per_type AS (
   FROM events
   GROUP BY event_type
 ),
-tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM per_type)
+tot AS (
+  SELECT event_type, n_a, n_b,
+         SUM(n_a) OVER () AS tot_a, SUM(n_b) OVER () AS tot_b
+  FROM per_type
+)
 SELECT event_type,
        CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
@@ -4510,7 +4517,7 @@ SELECT event_type,
              * CAST(n_b * (tot_a + tot_b) - tot_b * (n_a + n_b) AS DOUBLE)
              / CAST((tot_a + tot_b) * tot_b * (n_a + n_b) AS DOUBLE)
        ) * 1000000 + 0.5) / 1000000 AS chi2_part
-FROM per_type CROSS JOIN tot
+FROM tot
 ORDER BY event_type
 """,
 )
@@ -4525,10 +4532,12 @@ def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order addition; bit-identical across engines, then rounded.
 
     Scale: one conditional-count aggregation over the fact table (the
-    period split is a map-side CASE, not two scans), a 5-row
-    per-type relation, and a broadcast of the 1-row grand total. The
-    expensive part is exactly one shuffle keyed on event_type; the
-    chi-square math happens on k rows, not N.
+    period split is a map-side CASE, not two scans), then the grand
+    totals come from an unpartitioned window over the k-row per-type
+    relation — NOT a self-join back onto the agg, which would duplicate
+    the scan+agg subtree in the compile-time plan. The single-partition
+    window exchange moves k rows (one per event_type), not N; the
+    expensive part is exactly one shuffle keyed on event_type.
     """
     ev = load(spark, sf_dir, "events")
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
@@ -4536,8 +4545,13 @@ def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("n_b"),
     )
-    tot = per_type.agg(
-        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    w = Window.partitionBy()
+    tot = per_type.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("tot_a"),
+        F.sum("n_b").over(w).alias("tot_b"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     tot_a, tot_b = F.col("tot_a"), F.col("tot_b")
@@ -4548,13 +4562,9 @@ def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = da * da / (grand * tot_a * tt).cast("double") + db * db / (
         grand * tot_b * tt
     ).cast("double")
-    return (
-        per_type.crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            n_a.alias("n_a"),
-            n_b.alias("n_b"),
-            rnd(chi2, 6).alias("chi2_part"),
-        )
-        .orderBy("event_type")
-    )
+    return tot.select(
+        "event_type",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        rnd(chi2, 6).alias("chi2_part"),
+    ).orderBy("event_type")

@@ -257,3 +257,45 @@ def test_weekday_yoy_self_join_broadcasts(spark, sf_dir):
     df = q.weekday_yoy(spark, sf_dir)
     assert uses_broadcast_join(df), formatted_plan(df)
     assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_weighted_sample_races_via_take_ordered(spark, sf_dir):
+    """The A-ES race must be a partial top-k (TakeOrderedAndProject),
+    with the rank window running AFTER the limit — never a global
+    single-partition sort of the full corpus."""
+    df = q.weighted_sample_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_occurrences(df, "TakeOrderedAndProject") >= 1, plan
+
+
+def test_nearest_hub_broadcasts_cross_join(spark, sf_dir):
+    """25 hubs x N customers must be a broadcast nested-loop, not a
+    shuffled cartesian product; the argmin window is customer-keyed."""
+    df = q.nearest_hub(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert count_occurrences(df, "CartesianProduct") == 0, plan
+
+
+def test_keyword_search_filters_before_shuffle(spark, sf_dir):
+    """The IN-list term filter must run in the explode's map stage so
+    only matching postings shuffle, and the tf agg is partial."""
+    df = q.keyword_search(spark, sf_dir)
+    assert has_partial_aggregation(df), formatted_plan(df)
+    scans = read_schema_columns(df)
+    assert scans and all(set(cols) <= {"doc_id", "text"} for cols in scans), scans
+
+
+def test_event_mix_drift_single_scan(spark, sf_dir):
+    """Both period counts come from one conditional-agg pass (one scan
+    of events, pruned to ts+event_type); the grand total is a window
+    over the k-row per-type relation, never a self-join that would
+    re-scan the fact table."""
+    df = q.event_mix_drift(spark, sf_dir)
+    plan = formatted_plan(df)
+    scans = read_schema_columns(df)
+    assert len(scans) == 1, scans
+    assert set(scans[0]) <= {"ts", "event_type"}, scans
+    assert has_partial_aggregation(df), plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
