@@ -51,6 +51,8 @@ HEADLINE = [
     "rollup_rank",
     "decontaminate_overlap",
     "redact_terms",
+    # fifth wave: two-level token agg (repetition quality pre-filter)
+    "token_repetition",
 ]
 
 

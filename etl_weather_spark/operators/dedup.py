@@ -151,6 +151,15 @@ def minhash_lsh_pairs(
     (band_index, band_value), so comparisons happen only inside buckets —
     the scalable alternative to an O(n²) cross join. Estimated similarity
     = fraction of matching signature components.
+
+    Scale: the signature (the expensive part — tokenize + shingle
+    explode + H-way min agg) is computed ONCE and carried through the
+    banding as a single ``array<>`` column (~H·8 bytes/doc), never as H
+    separate columns, and never recomputed via join-back branches (the
+    agg subtree would be duplicated per consumer — Spark only reuses
+    identical exchanges, and each consumer keys differently). The
+    similarity estimate is computed inside the bucket join so the final
+    dedup is a distinct over three narrow columns.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
@@ -162,38 +171,42 @@ def minhash_lsh_pairs(
         F.concat_ws("#", *[F.col(f"s{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]).alias(f"b{b}")
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *[F.col(f"s{i}") for i in range(num_hashes)], *band_cols)
-
-    buckets = banded.select(
+    buckets = sig.select(
         id_col,
-        *[F.col(f"s{i}") for i in range(num_hashes)],
+        F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
         F.explode(
             F.arrays_zip(
                 F.array(*[F.lit(b) for b in range(bands)]).alias("band"),
-                F.array(*[F.col(f"b{b}") for b in range(bands)]).alias("bucket"),
+                F.array(*band_cols).alias("bucket"),
             )
         ).alias("bb"),
-    ).select(id_col, *[f"s{i}" for i in range(num_hashes)], F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        id_col,
+        "sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
 
     a = buckets.select(
-        F.col(id_col).alias("id_a"), F.col("band"), F.col("bucket"),
-        *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
     b = buckets.select(
-        F.col(id_col).alias("id_b"), F.col("band"), F.col("bucket"),
-        *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_hashes)],
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    pairs = (
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *[F.col(f"a{i}") for i in range(num_hashes)], *[F.col(f"b{i}") for i in range(num_hashes)])
+        .select(
+            "id_a",
+            "id_b",
+            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
         .distinct()
-    )
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
-    )
-    return pairs.select(
-        "id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard")
     )
 
 

@@ -4568,3 +4568,259 @@ def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_b.alias("n_b"),
         rnd(chi2, 6).alias("chi2_part"),
     ).orderBy("event_type")
+
+
+@query(
+    "token_repetition",
+    """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(cnt) AS BIGINT) AS top_count,
+       FLOOR(CAST(COUNT(*) AS DOUBLE) / SUM(cnt) * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+       FLOOR(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) * 1000000 + 0.5) / 1000000 AS top_share,
+       MAX(cnt) * 5 > SUM(cnt) AS is_repetitive
+FROM tc
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (the Gopher-rule family): per
+    document, distinct-token ratio and most-frequent-token share; a doc
+    whose top token covers >20% of its tokens is flagged repetitive.
+    The flag compares integers (top*5 > n) so the threshold has no
+    float boundary; the ratios are exact integer quotients rounded once.
+
+    Scale: tokenize+explode is map-side; the (doc_id, tok) count and the
+    per-doc rollup are both partial-agg shuffles keyed by doc so a
+    1000-executor run never materializes a global token table. This is
+    the cheap pre-filter that runs before any pairwise dedup pass.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_count",
+            rnd(
+                F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("distinct_ratio"),
+            rnd(
+                F.col("top_count").cast("double") / F.col("n_tokens"), 6
+            ).alias("top_share"),
+            (F.col("top_count") * 5 > F.col("n_tokens")).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "label_centroid_norms",
+    """
+WITH comp AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cavg AS (
+  SELECT label, pos,
+         COUNT(x) AS n,
+         FLOOR((CAST(SUM(CAST(FLOOR(x * 10000000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000000 / COUNT(x)) * 1000000 + 0.5) / 1000000 AS c
+  FROM comp GROUP BY label, pos
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS dim,
+       FLOOR(SQRT(CAST(SUM(CAST(FLOOR(c * c * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000) * 1000000 + 0.5) / 1000000 AS centroid_norm
+FROM cavg
+GROUP BY label
+ORDER BY label
+""",
+)
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid with its L2 norm — the cluster-
+    cohesion summary a training pipeline checks after labeling (a
+    centroid norm near 0 means the label's vectors cancel out, i.e. the
+    class is incoherent). Component averages quantize to 7 dp and
+    accumulate in decimal so the cross-row sum is order-independent;
+    the norm then folds the ROUNDED centroid components, so both
+    engines square and sum identical doubles.
+
+    Scale: posexplode fans each vector to (label, pos, x) rows — the
+    shuffle is keyed (label, pos), spreading one label's D components
+    over D reducers instead of hot-spotting one; the second agg
+    reduces D rows per label.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    cavg = comp.groupBy("label", "pos").agg(
+        F.count("x").alias("n"), rnd(davg("x", 7), 6).alias("c")
+    )
+    return (
+        cavg.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.count(F.lit(1)).alias("dim"),
+            rnd(F.sqrt(dsum(F.col("c") * F.col("c"), 12)), 6).alias(
+                "centroid_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "value_outliers_mad",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(MIN(d.med) * 10000 + 0.5) / 10000 AS med,
+       FLOOR(MIN(m.mad) * 10000 + 0.5) / 10000 AS mad,
+       CAST(SUM(CASE WHEN d.adev > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       FLOOR(CAST(SUM(CASE WHEN d.adev > 5 * m.mad THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median / MAD (median
+    absolute deviation) instead of mean / stddev, so the thresholds
+    themselves aren't dragged by the outliers being hunted. A value is
+    an outlier when |v - median| > 5·MAD. Medians are order statistics
+    (linear interpolation, engine-exact), so the unrounded threshold
+    comparison is bit-identical across engines — no epsilon needed.
+
+    Scale: exact MAD is inherently two passes (median of deviations
+    from the median); both per-type median relations are k rows and
+    broadcast back onto the fact scan, so the cost is two scans + two
+    tiny exchanges, never a fact-fact shuffle. For one-pass at 100 TB
+    swap in approx_percentile (see approx_stats).
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    out_flag = F.when(F.col("adev") > 5 * F.col("mad"), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.min("med"), 4).alias("med"),
+            rnd(F.min("mad"), 4).alias("mad"),
+            F.sum(out_flag).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "med",
+            "mad",
+            "n_outliers",
+            rnd(
+                F.col("n_outliers").cast("double") / F.col("n"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "value_quantile_drift",
+    """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' THEN value END, 0.5) AS p50_a,
+         quantile_cont(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value END, 0.5) AS p50_b,
+         quantile_cont(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' THEN value END, 0.9) AS p90_a,
+         quantile_cont(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value END, 0.9) AS p90_b
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type,
+       FLOOR(p50_a * 10000 + 0.5) / 10000 AS p50_a,
+       FLOOR(p50_b * 10000 + 0.5) / 10000 AS p50_b,
+       FLOOR(p90_a * 10000 + 0.5) / 10000 AS p90_a,
+       FLOOR(p90_b * 10000 + 0.5) / 10000 AS p90_b,
+       FLOOR((FLOOR(p50_b * 10000 + 0.5) / 10000 - FLOOR(p50_a * 10000 + 0.5) / 10000) * 10000 + 0.5) / 10000 AS d50,
+       FLOOR((FLOOR(p90_b * 10000 + 0.5) / 10000 - FLOOR(p90_a * 10000 + 0.5) / 10000) * 10000 + 0.5) / 10000 AS d90
+FROM q
+ORDER BY event_type
+""",
+)
+def value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature drift: p50/p90 of `value` per event_type in the
+    first vs second half of the month and their shifts — the continuous
+    twin of event_mix_drift's categorical chi-square. Conditional
+    percentiles (percentile over a CASE that nulls the other period)
+    give both periods in ONE scan and one shuffle; deltas subtract the
+    already-rounded quantiles so both engines difference identical
+    doubles.
+
+    Scale: single pass over the fact table, partial-agg by event_type;
+    the percentile state per group is the sorted value buffer — at
+    100 TB grouplessly swap in approx_percentile's fixed-size sketch.
+    """
+    ev = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    in_a = F.when(F.col("ts") < split, F.col("value"))
+    in_b = F.when(F.col("ts") >= split, F.col("value"))
+    q = ev.groupBy("event_type").agg(
+        rnd(F.percentile(in_a, F.lit(0.5)), 4).alias("p50_a"),
+        rnd(F.percentile(in_b, F.lit(0.5)), 4).alias("p50_b"),
+        rnd(F.percentile(in_a, F.lit(0.9)), 4).alias("p90_a"),
+        rnd(F.percentile(in_b, F.lit(0.9)), 4).alias("p90_b"),
+    )
+    return q.select(
+        "event_type",
+        "p50_a",
+        "p50_b",
+        "p90_a",
+        "p90_b",
+        rnd(F.col("p50_b") - F.col("p50_a"), 4).alias("d50"),
+        rnd(F.col("p90_b") - F.col("p90_a"), 4).alias("d90"),
+    ).orderBy("event_type")
