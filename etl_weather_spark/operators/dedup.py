@@ -355,12 +355,13 @@ def winnow_fingerprints(
         return pd.Series(out)
 
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    # NOT widened via widen_narrow_input: fanning an Arrow-UDF stage out
-    # to 32 tasks spawns 32 Python workers (numpy import each) — measured
-    # 4x slower cold than one worker streaming all batches at this data
-    # size. On a real cluster the input arrives wide and workers are
-    # already warm; revisit only if single-file local inputs grow.
-    return docs.select(
+    # Widened: with the fingerprint table consumed exactly once (see
+    # winnow_candidates), fanning the Arrow-UDF stage out beats one
+    # worker streaming all batches — measured 1.8s vs 7.1s cold, 1.5s
+    # vs 2.3s warm at sf0.1. (An earlier single-worker measurement
+    # predated single-consumption: the UDF ran once per join branch,
+    # so 32 workers × 2 evals paid double cold-start.)
+    return widen_narrow_input(docs, id_col).select(
         F.col(id_col), F.explode(winnow(norm)).alias("fp")
     )
 
@@ -379,44 +380,47 @@ def winnow_candidates(
     """Near-dup candidate pairs: docs sharing ≥ ``min_shared`` winnowed
     fingerprints, with the shared count.
 
-    ``persist_fps`` caches the fingerprint table: it is consumed three
-    times (doc-freq window + both self-join sides), so without caching
-    the rolling-hash UDF re-runs per consumer. Leave False when the
-    caller manages its own persistence/checkpointing.
+    ``persist_fps`` caches the fingerprint table across actions; the
+    plan itself consumes it exactly once, so this only matters when the
+    caller re-runs the query (leave False by default).
 
-    Scale: the self-join runs on the winnowed (doc_id, fp) table —
-    ~2/(window+1) the size of a full shingle table — and the shuffle
-    key is the fingerprint, so only docs sharing a hash ever meet.
-    ``max_doc_freq`` drops fingerprints present in more than that many
-    documents BEFORE the self-join (boilerplate/stopword k-grams): a
-    fingerprint in f docs contributes f² candidate rows, so capping f
-    bounds the join quadratically — without it one viral footer string
-    joins the whole corpus to itself.
+    Scale: the fingerprint table — ~2/(window+1) the size of a full
+    shingle table — is shuffled ONCE, keyed by fingerprint, into a
+    collect_list per hash; pairs are generated from each posting list
+    with array ops (a fp shared by docs [a,b,c] emits (a,b),(a,c),
+    (b,c)). An fp-keyed self-join would consume the table twice, and
+    Spark re-runs the rolling-hash UDF per consumer (branched subtrees
+    don't share exchanges keyed differently). ``max_doc_freq`` drops
+    posting lists longer than that many documents (boilerplate/stopword
+    k-grams) BEFORE pair expansion: a fingerprint in f docs contributes
+    f²/2 pair rows, so capping f bounds the expansion quadratically —
+    without it one viral footer string pairs the whole corpus with
+    itself. The cap also bounds collect_list state per key; under
+    adversarial skew (one hash in millions of docs) pre-filter with a
+    frequency sketch so the list never materializes.
     """
     fps = winnow_fingerprints(
         docs, text_col=text_col, id_col=id_col, k=k, window=window
     )
     if persist_fps:
         fps = fps.persist()
+    posting = fps.groupBy("fp").agg(F.collect_list(id_col).alias("ids"))
+    posting = posting.filter(F.size("ids") >= 2)
     if max_doc_freq is not None:
-        # window count, not a groupBy+self-join: one shuffle on fp and
-        # no extra re-evaluation of the fingerprint UDF. (In a real
-        # pipeline persist()/checkpoint the fingerprint table — it is
-        # consumed by both join sides below.)
-        from pyspark.sql import Window
-
-        fps = (
-            fps.withColumn(
-                "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-            )
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+        posting = posting.filter(F.size("ids") <= max_doc_freq)
+    ids = F.array_sort("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
