@@ -137,7 +137,10 @@ def nearest_row(df: DataFrame, ts_col: str, target, by: list[str] | None = None)
     ``orderBy(abs(ts - target)).limit(1)`` per group via row_number —
     Spark plans TakeOrderedAndProject for the ungrouped case.
     """
-    delta = F.abs(F.col(ts_col).cast("double") - F.lit(target).cast("timestamp").cast("double"))
+    delta = F.abs(
+        F.col(ts_col).cast("timestamp").cast("double")
+        - F.lit(target).cast("timestamp").cast("double")
+    )
     if not by:
         return df.orderBy(delta.asc()).limit(1)
     w = Window.partitionBy(*by).orderBy(delta.asc())
@@ -169,8 +172,9 @@ def range_join_bucketed(
     width = max(upper_sec - lower_sec, 1)
     by = by or []
 
-    lsec = F.col(left_ts).cast("double")
-    rsec = F.col(right_ts).cast("double")
+    # double cast via TIMESTAMP: TIMESTAMP_NTZ has no direct numeric cast
+    lsec = F.col(left_ts).cast("timestamp").cast("double")
+    rsec = F.col(right_ts).cast("timestamp").cast("double")
     lt = left.withColumn("__lsec", lsec)
     rt = right.withColumn("__rsec", rsec).withColumn(
         "__bkt", F.floor((F.col("__rsec") - F.lit(lower_sec)) / width).cast("long")

@@ -80,6 +80,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # integer div — ts/1000 in double would lose µs precision
         # (int64 nanos exceed double's 53-bit mantissa)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # tz-naive parquet timestamps surface as TIMESTAMP_NTZ under Spark 4's
+    # inferTimestampNTZ default; normalize to session-tz TIMESTAMP (UTC)
+    # so epoch arithmetic (cast to double) stays legal everywhere and the
+    # values match DuckDB's naive-as-UTC reading.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
