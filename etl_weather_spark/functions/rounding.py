@@ -91,7 +91,20 @@ def davg(col: Column | str, scale: int = 2) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+    """Bit-exact SQL mirror of :func:`dsum`.
+
+    Emits the IDENTICAL IEEE-754 operation sequence as the Spark side:
+    ``floor(x*10^s + 0.5)`` per item (pure FP multiply/add/floor),
+    exact integer sum (DuckDB SUM(BIGINT) accumulates in HUGEINT —
+    exact, like Spark's decimal(38,0)), correctly-rounded int→double
+    cast, then the same double division. Two engines executing the
+    same correctly-rounded ops on the same inputs produce the same
+    bits — unlike the previous ``CAST(x AS DECIMAL)`` item route,
+    which rounds the double's decimal value by a different path and
+    could land 1 ulp away (the round-1 ``global_summary`` hash fail).
+    """
+    s = 10 ** scale
+    return f"(CAST(SUM(CAST(FLOOR(({expr}) * {s} + 0.5) AS BIGINT)) AS DOUBLE) / {s})"
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:

@@ -61,6 +61,12 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+#: schema when ``decode=True``: adds a per-row decode error so missing
+#: codecs degrade to null features instead of failing the job
+DECODED_FEATURE_SCHEMA = T.StructType(
+    list(FEATURE_SCHEMA.fields) + [T.StructField("decode_error", T.StringType())]
+)
+
 
 def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
     """STUB: real decode (Pillow/ffmpeg) is unavailable in this container.
@@ -82,32 +88,59 @@ def _fake_feature(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_hint: int = 64, decode: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     Real plumbing, fake decode: byte length + content hash are genuine;
     ``feature`` comes from :func:`_fake_feature` where a real model
     would consume :func:`decode_media` output.
+
+    With ``decode=True`` the real :func:`decode_media` path is attempted
+    per row and degrades gracefully: a failed decode (missing codecs, a
+    corrupt payload) yields a null ``feature`` plus a ``decode_error``
+    string instead of failing the whole job — at 100 TB a single bad
+    payload must never kill a stage.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": payloads.map(lambda p: 0 if p is None else len(p)).astype("int32"),
-                    "content_sha": payloads.map(
-                        lambda p: None if p is None else hashlib.sha256(p).hexdigest()
-                    ),
-                    "feature": payloads.map(
-                        lambda p: None if p is None else _fake_feature(p)
-                    ),
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "n_bytes": payloads.map(lambda p: 0 if p is None else len(p)).astype("int32"),
+                "content_sha": payloads.map(
+                    lambda p: None if p is None else hashlib.sha256(p).hexdigest()
+                ),
+            }
+            if decode:
+                feats, errs = [], []
+                for payload, mime in zip(payloads, pdf["meta"].map(
+                    lambda m: None if m is None else m.get("mime")
+                )):
+                    if payload is None:
+                        feats.append(None)
+                        errs.append("null_payload")
+                        continue
+                    try:
+                        decode_media(payload, mime)
+                        feats.append(_fake_feature(payload))
+                        errs.append(None)
+                    except Exception as ex:  # noqa: BLE001 — per-row isolation
+                        feats.append(None)
+                        errs.append(f"{type(ex).__name__}: {ex}"[:200])
+                out["feature"] = feats
+                out["decode_error"] = errs
+            else:
+                out["feature"] = payloads.map(
+                    lambda p: None if p is None else _fake_feature(p)
+                )
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    schema = DECODED_FEATURE_SCHEMA if decode else FEATURE_SCHEMA
+    return media.mapInPandas(run, schema=schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -157,14 +157,22 @@ def embedding_near_dupes(
     block_col: str | None = "label",
     threshold: float = 0.95,
     sim_decimals: int = 6,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with cosine ≥ threshold.
 
     Blocked pairwise: only pairs within the same ``block_col`` group
     (a cluster id, LSH bucket, or shard key) are compared — the exact
-    comparison never goes all-pairs. With block_col=None it degrades to
-    a full self-join: only for small corpora.
+    comparison never goes all-pairs. ``block_col=None`` degrades to a
+    full O(n²) self-join, which is catastrophic at scale, so it must be
+    opted into explicitly with ``allow_full_cross=True`` (small corpora
+    only); otherwise it raises.
     """
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "block_col=None is an all-pairs cross join; pass "
+            "allow_full_cross=True to confirm the corpus is small enough"
+        )
     v = as_double_array(F.col(vec_col))
     base = emb.select(F.col(id_col), *( [F.col(block_col)] if block_col else [] ), v.alias("v")).withColumn("n", norm(F.col("v")))
     a = base.select(

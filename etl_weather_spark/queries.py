@@ -67,9 +67,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one synthetic table, normalizing timestamps for oracle parity.
+
+    Mutates the caller session (both settings are sticky session confs):
+    ``nanosAsLong`` so TIMESTAMP(NANOS) parquet is readable at all, and
+    ``session.timeZone=UTC`` so date/hour derivations over naive
+    timestamps match DuckDB's naive-as-UTC reading regardless of the
+    driver session's default timezone — unconditional, so behavior never
+    depends on which table loads first.
+    """
     # runtime-settable; required so a caller-provided session (the
     # driver's) can read TIMESTAMP(NANOS) parquet (events.ts) at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.ts is TIMESTAMP(NANOS) in the source parquet; Spark reads it
     # as long nanos (see session.py nanosAsLong) — convert to µs
@@ -86,7 +96,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # values match DuckDB's naive-as-UTC reading.
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     if ntz:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
@@ -127,8 +136,8 @@ _DAILY_SQL = """
 SELECT CAST(ts AS DATE) AS date,
        FLOOR((MIN(value)) * 100 + 0.5) / 100 AS vmin,
        FLOOR((MAX(value)) * 100 + 0.5) / 100 AS vmax,
-       FLOOR((COALESCE(CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE), 0.0)) * 100 + 0.5) / 100 AS vsum,
-       FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)) * 100 + 0.5) / 100 AS vavg,
+       FLOOR((COALESCE((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 0.0)) * 100 + 0.5) / 100 AS vsum,
+       FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(value)) * 100 + 0.5) / 100 AS vavg,
        COUNT(*) AS n
 FROM events
 GROUP BY CAST(ts AS DATE)
@@ -175,10 +184,10 @@ def daily_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly_outer_join",
     """
 WITH w AS (
-  SELECT date_trunc('hour', ts) AS hour, FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)) * 100 + 0.5) / 100 AS wavg, COUNT(*) AS wn
+  SELECT date_trunc('hour', ts) AS hour, FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(value)) * 100 + 0.5) / 100 AS wavg, COUNT(*) AS wn
   FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
 ), a AS (
-  SELECT date_trunc('hour', ts) AS hour, FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)) * 100 + 0.5) / 100 AS aavg, COUNT(*) AS an
+  SELECT date_trunc('hour', ts) AS hour, FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(value)) * 100 + 0.5) / 100 AS aavg, COUNT(*) AS an
   FROM events WHERE event_type IN ('error', 'purchase') GROUP BY 1
 )
 SELECT COALESCE(w.hour, a.hour) AS hour, w.wavg, w.wn, a.aavg, a.an
@@ -213,7 +222,7 @@ WITH daily AS ({_DAILY_SQL}),
 s AS (
   SELECT FLOOR((MIN(vmin)) * 100 + 0.5) / 100 AS period_min,
          FLOOR((MAX(vmax)) * 100 + 0.5) / 100 AS period_max,
-         FLOOR((CAST(SUM(CAST((vavg) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(vavg)) * 100 + 0.5) / 100 AS period_avg,
+         FLOOR(((CAST(SUM(CAST(FLOOR(((vavg)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(vavg)) * 100 + 0.5) / 100 AS period_avg,
          SUM(CASE WHEN vsum > 0 THEN 1 ELSE 0 END) AS rainy_days,
          COUNT(*) AS n_days
   FROM daily
@@ -251,7 +260,7 @@ def global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH daily AS ({_DAILY_SQL}),
 s AS (
-  SELECT FLOOR((CAST(SUM(CAST((vavg) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(vavg)) * 100 + 0.5) / 100 AS period_avg, FLOOR((MAX(vmax)) * 100 + 0.5) / 100 AS period_max,
+  SELECT FLOOR(((CAST(SUM(CAST(FLOOR(((vavg)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(vavg)) * 100 + 0.5) / 100 AS period_avg, FLOOR((MAX(vmax)) * 100 + 0.5) / 100 AS period_max,
          SUM(CASE WHEN vsum > 0 THEN 1 ELSE 0 END) AS rainy_days
   FROM daily
 )
@@ -292,7 +301,7 @@ def recommendation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS ({_DAILY_SQL})
 SELECT date, vsum,
        CASE WHEN COUNT(vsum) OVER w >= 7
-            THEN FLOOR((CAST(SUM(CAST(vsum AS DECIMAL(28,2))) OVER w AS DOUBLE)
+            THEN FLOOR(((CAST(SUM(CAST(FLOOR((vsum) * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100)
                         / COUNT(vsum) OVER w) * 100 + 0.5) / 100 END AS ma7
 FROM daily
 WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -313,11 +322,11 @@ def rolling_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centered_ma3",
     f"""
 WITH et_daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS date, FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)) * 100 + 0.5) / 100 AS vavg
+  SELECT event_type, CAST(ts AS DATE) AS date, FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(value)) * 100 + 0.5) / 100 AS vavg
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, date, vavg,
-       FLOOR((CAST(SUM(CAST(vavg AS DECIMAL(28,2))) OVER win AS DOUBLE)
+       FLOOR(((CAST(SUM(CAST(FLOOR((vavg) * 100 + 0.5) AS BIGINT)) OVER win AS DOUBLE) / 100)
                / COUNT(vavg) OVER win) * 100 + 0.5) / 100 AS ma3
 FROM et_daily
 WINDOW win AS (PARTITION BY event_type ORDER BY date ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
@@ -336,7 +345,7 @@ def centered_ma3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minmax_norm",
     f"""
 WITH et_daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS date, FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)) * 100 + 0.5) / 100 AS vavg
+  SELECT event_type, CAST(ts AS DATE) AS date, FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(value)) * 100 + 0.5) / 100 AS vavg
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, date, vavg,
@@ -360,7 +369,7 @@ def minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank_pct_diff",
     """
 WITH s AS (
-  SELECT event_type, FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)) * 100 + 0.5) / 100 AS avg_value, FLOOR((MAX(value)) * 100 + 0.5) / 100 AS max_value
+  SELECT event_type, FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(value)) * 100 + 0.5) / 100 AS avg_value, FLOOR((MAX(value)) * 100 + 0.5) / 100 AS max_value
   FROM events GROUP BY event_type
 ), r AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY avg_value DESC, event_type) AS rank
@@ -599,13 +608,13 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty,
-       FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_base_price,
-       FLOOR((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_disc_price,
-       FLOOR((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_charge,
-       FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
-       FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
-       FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+       FLOOR(((CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)) * 100 + 0.5) / 100 AS sum_qty,
+       FLOOR(((CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)) * 100 + 0.5) / 100 AS sum_base_price,
+       FLOOR(((CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000)) * 100 + 0.5) / 100 AS sum_disc_price,
+       FLOOR(((CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000)) * 100 + 0.5) / 100 AS sum_charge,
+       FLOOR(((CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+       FLOOR(((CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+       FLOOR(((CAST(SUM(CAST(FLOOR((l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -641,7 +650,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_orders",
     """
 SELECT o.o_orderkey, o.o_orderdate,
-       FLOOR((CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+       FLOOR(((CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000)) * 100 + 0.5) / 100 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -675,7 +684,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
 SELECT n.n_name,
-       FLOOR((CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
+       FLOOR(((CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000)) * 100 + 0.5) / 100 AS revenue,
        COUNT(*) AS n_lineitems
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -719,10 +728,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_left_join",
     """
 WITH dw AS (
-  SELECT CAST(ts AS DATE) AS date, FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)) * 100 + 0.5) / 100 AS wavg
+  SELECT CAST(ts AS DATE) AS date, FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(value)) * 100 + 0.5) / 100 AS wavg
   FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
 ), da AS (
-  SELECT CAST(ts AS DATE) AS date, FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value)) * 100 + 0.5) / 100 AS aavg
+  SELECT CAST(ts AS DATE) AS date, FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(value)) * 100 + 0.5) / 100 AS aavg
   FROM events WHERE event_type = 'error' GROUP BY 1
 )
 SELECT dw.date, dw.wavg, da.aavg
@@ -1075,7 +1084,7 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n,
-       FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS total
+       FLOOR(((CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)) * 100 + 0.5) / 100 AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -1617,24 +1626,27 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped: scalar-subquery threshold + NOT EXISTS anti
     join — rich customers with no recent orders, by nation.
 
-    Scale: the scalar avg is one tiny job whose result folds into the
-    filter; the anti join shuffles only (custkey) pairs of the
-    date-pruned orders side; nation broadcasts.
+    Scale: the scalar avg is a 1-row aggregate broadcast-cross-joined
+    into the filter — fully lazy, one Spark job, no driver collect; the
+    anti join shuffles only (custkey) pairs of the date-pruned orders
+    side; nation broadcasts.
     """
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     o_recent = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
-    # scalar subquery: decimal-exact avg so the > comparison cannot
-    # flip between engines on accumulation order
-    avg_bal = (
+    # scalar threshold: decimal-exact avg so the > comparison cannot
+    # flip between engines on accumulation order; rides as a broadcast
+    # 1-row cross join (same pattern as important_parts) so the plan
+    # stays a single lazy job
+    cutoff = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(davg("c_acctbal", ))
-        .collect()[0][0]
+        .agg(davg("c_acctbal").alias("avg_bal"))
     )
     return (
-        c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(o_recent, c["c_custkey"] == o_recent["o_custkey"], "left_anti")
         .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
         .groupBy("n_name")
@@ -1680,7 +1692,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 2 HOUR AS session_end,
        COUNT(*) AS n_events,
-       FLOOR((COALESCE(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 0.0)) * 100 + 0.5) / 100 AS vsum
+       FLOOR((COALESCE((CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 0.0)) * 100 + 0.5) / 100 AS vsum
 FROM sess
 GROUP BY user_id, sess_id
 """,
@@ -2476,7 +2488,7 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n.n_name AS nation,
        EXTRACT(year FROM o.o_orderdate) AS o_year,
-       FLOOR((CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS profit
+       FLOOR(((CAST(SUM(CAST(FLOOR(((l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000)) * 100 + 0.5) / 100 AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2523,11 +2535,11 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "important_parts",
     """
 SELECT l_partkey,
-       FLOOR((CAST(SUM(CAST((l_extendedprice) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS part_value
+       FLOOR(((CAST(SUM(CAST(FLOOR(((l_extendedprice)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000)) * 100 + 0.5) / 100 AS part_value
 FROM lineitem
 GROUP BY l_partkey
-HAVING CAST(SUM(CAST((l_extendedprice) AS DECIMAL(28,6))) AS DOUBLE) >
-       (SELECT CAST(SUM(CAST((l_extendedprice) AS DECIMAL(28,6))) AS DOUBLE) * 1.5
+HAVING (CAST(SUM(CAST(FLOOR(((l_extendedprice)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) >
+       (SELECT (CAST(SUM(CAST(FLOOR(((l_extendedprice)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 1.5
                / COUNT(DISTINCT l_partkey)
         FROM lineitem)
 ORDER BY part_value DESC, l_partkey
@@ -2773,7 +2785,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,
        COUNT(*) AS n,
-       FLOOR((CAST(SUM(CAST((l_quantity) AS DECIMAL(28,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty
+       FLOOR(((CAST(SUM(CAST(FLOOR(((l_quantity)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)) * 100 + 0.5) / 100 AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY gid, l_returnflag, l_linestatus
@@ -2857,7 +2869,7 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS date,
-         CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE) AS vsum_raw
+         (CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS vsum_raw
   FROM events GROUP BY 1, 2
 ),
 rk AS (
@@ -2937,7 +2949,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH yearly AS (
   SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-         CAST(SUM(CAST((o_totalprice) AS DECIMAL(28,2))) AS DOUBLE) AS rev_raw
+         (CAST(SUM(CAST(FLOOR(((o_totalprice)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS rev_raw
   FROM orders
   GROUP BY 1
 )
@@ -2976,7 +2988,7 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ny AS (
   SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
-         CAST(SUM(CAST((o.o_totalprice) AS DECIMAL(28,2))) AS DOUBLE) AS rev_raw
+         (CAST(SUM(CAST(FLOOR(((o.o_totalprice)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS rev_raw
   FROM orders o
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -3030,13 +3042,13 @@ def nation_share_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS date,
          (CAST(ts AS DATE) - DATE '1970-01-01') AS d0,
-         FLOOR((COALESCE(CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE), 0.0)) * 100 + 0.5) / 100 AS vsum
+         FLOOR((COALESCE((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 0.0)) * 100 + 0.5) / 100 AS vsum
   FROM events
   GROUP BY 1, 2
 ),
 wk AS (SELECT * FROM daily WHERE (d0 + 4) % 7 NOT IN (0, 6))
 SELECT date, vsum,
-       FLOOR((CAST(SUM(CAST(vsum AS DECIMAL(28,2))) OVER w AS DOUBLE)
+       FLOOR(((CAST(SUM(CAST(FLOOR((vsum) * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100)
               / COUNT(vsum) OVER w) * 100 + 0.5) / 100 AS ma7d
 FROM wk
 WINDOW w AS (ORDER BY d0 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -3235,7 +3247,7 @@ WITH grids AS (
 )
 SELECT window_start,
        COUNT(*) AS n,
-       FLOOR((CAST(SUM(CAST((value) AS DECIMAL(28,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS vsum
+       FLOOR(((CAST(SUM(CAST(FLOOR(((value)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)) * 100 + 0.5) / 100 AS vsum
 FROM grids
 GROUP BY window_start
 ORDER BY window_start
@@ -3306,13 +3318,13 @@ def priority_linestatus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ps AS (
   SELECT l.l_partkey, l.l_suppkey,
-         CAST(SUM(CAST((l.l_quantity) AS DECIMAL(28,2))) AS DOUBLE) AS sq
+         (CAST(SUM(CAST(FLOOR(((l.l_quantity)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS sq
   FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'small%'
   GROUP BY 1, 2
 ),
 pt AS (
-  SELECT l_partkey, CAST(SUM(CAST((sq) AS DECIMAL(28,2))) AS DOUBLE) AS tq
+  SELECT l_partkey, (CAST(SUM(CAST(FLOOR(((sq)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS tq
   FROM ps GROUP BY 1
 )
 SELECT DISTINCT s.s_name

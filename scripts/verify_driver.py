@@ -17,9 +17,14 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+EXACT = os.environ.get("VERIFY_6DP", "") == ""  # bit-exact by default
+
+
 def norm(v):
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{v:.6f}"
+        if math.isnan(v):
+            return "NaN"
+        return repr(v) if EXACT else f"{v:.6f}"
     return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
 qs, oracles = e.queries(), e.oracle_sql()

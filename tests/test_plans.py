@@ -251,6 +251,18 @@ def test_rollup_rank_windows_post_aggregate(spark, sf_dir):
     ), scans
 
 
+def test_dormant_customers_lazy_threshold(spark, sf_dir):
+    """The avg-balance cutoff must ride the plan as a broadcast 1-row
+    cross join (fully lazy, no driver collect): the threshold appears
+    as a join, never a folded literal, and nothing goes cartesian."""
+    df = q.dormant_customers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert count_occurrences(df, "CartesianProduct") == 0, plan
+    # LeftAnti for NOT EXISTS survives the rewrite
+    assert "LeftAnti" in plan, plan
+
+
 def test_weekday_yoy_self_join_broadcasts(spark, sf_dir):
     """The year-grain self-join runs over ~years rows — broadcast, not
     a shuffle join."""

@@ -66,6 +66,18 @@ def test_near_dupes_blocked(spark):
     assert (0, 3) not in pairs  # below threshold
 
 
+def test_near_dupes_full_cross_requires_opt_in(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.001])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="allow_full_cross"):
+        embedding_near_dupes(df, block_col=None)
+    out = embedding_near_dupes(df, block_col=None, allow_full_cross=True).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+
+
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
     from etl_weather_spark.operators.similarity import (
         cosine_topk_ivf,

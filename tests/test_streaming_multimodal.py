@@ -69,6 +69,22 @@ def test_decode_is_explicit_stub():
         decode_media(b"x", "image/png")
 
 
+def test_decode_true_degrades_gracefully(spark):
+    """decode=True in a codec-less container: every row survives with a
+    null feature + decode_error instead of the job failing."""
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", ("image/png", 4, 4, None, None)),
+        (4, "image", None, ("image/png", 1, 1, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(media, decode=True).collect()}
+    assert set(got) == {1, 4}
+    assert got[1].feature is None
+    assert got[1].decode_error.startswith("NotImplementedError")
+    assert got[1].content_sha is not None  # hash path still genuine
+    assert got[4].decode_error == "null_payload"
+
+
 def test_frame_sample_plan(spark):
     rows = [(3, "video", None, ("video/mp4", 640, 480, 3500, None))]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
