@@ -143,7 +143,12 @@ def _streaming_windowed_rate(spark, rows_per_sec: int = 500_000, seconds: int = 
         .start()
     )
     try:
-        time.sleep(seconds)
+        # wait for enough micro-batches that skipping cold-start ones
+        # still leaves a measurement (first batches can take seconds
+        # right after the heavy batch queries)
+        deadline = time.monotonic() + max(seconds, 30)
+        while time.monotonic() < deadline and len(query.recentProgress) < 5:
+            time.sleep(1)
         progresses = [json.loads(p.json) for p in query.recentProgress]
     finally:
         query.stop()

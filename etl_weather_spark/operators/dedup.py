@@ -242,6 +242,121 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+#: hex-nibble lookup used by the portable simhash (both engines 1-index)
+_HEX = "0123456789abcdef"
+
+
+def _md5_bit_sql(b: int, hash_col: str = "h") -> str:
+    """Portable SQL for bit ``b`` (0..63) of an md5 hex digest: nibble
+    ``b//4`` decoded via an instr lookup, masked with ``1 << (b % 4)``.
+    Only uses substr/instr/& — identical semantics in Spark SQL and
+    DuckDB, so the SAME text runs on both engines."""
+    return (
+        f"((instr('{_HEX}', substr({hash_col}, {b // 4 + 1}, 1)) - 1)"
+        f" & {1 << (b % 4)}) != 0"
+    )
+
+
+def simhash64_portable(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable SimHash: identical bits in Spark and DuckDB.
+
+    Same algorithm as :func:`simhash64` (per-token bit votes, sign of
+    the sum) but the token hash is md5 — deterministic across engines —
+    instead of Spark's xxhash64, which lets a SQL oracle reproduce the
+    signature bit-for-bit. One md5 per token; the 64 bit-votes read
+    nibbles of that single digest (no per-bit hashing, no row
+    explosion). Output: (id, sig_hi, sig_lo) — two 32-bit halves, so no
+    signed-64 overflow games in either engine.
+
+    Production uses :func:`simhash64` (JVM xxhash64, no hex-string
+    materialization); this twin exists for verification, the same
+    md5/xxhash64 split as minhash_lsh vs minhash_lsh_fast.
+    """
+    tok = widen_narrow_input(docs, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    hashed = tok.select(id_col, F.md5("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(_md5_bit_sql(b)), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*votes)
+    hi = None
+    lo = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << (b % 32)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        if b < 32:
+            lo = bit if lo is None else lo + bit
+        else:
+            hi = bit if hi is None else hi + bit
+    return per_doc.select(F.col(id_col), hi.alias("sig_hi"), lo.alias("sig_lo"))
+
+
+def verify_candidates_jaccard(
+    docs: DataFrame,
+    cand: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact-verify candidate pairs: n-gram Jaccard computed ONLY for
+    the candidate (id_a, id_b) pairs — the verify stage of the
+    candidates→verify dedup pipeline (LSH/winnow propose, exact Jaccard
+    disposes).
+
+    Scale: the shingle table is semi-join-pruned to candidate docs
+    before any pair join, so the expensive exact comparison touches
+    |candidate docs| ≪ corpus; the corpus-wide self-join of
+    :func:`ngram_jaccard_pairs` never happens here. The candidate
+    pairs and the pruned shingle table are persisted AND eagerly
+    materialized (the count() calls): both have multiple consumers in
+    this plan, and a lazy persist lets AQE schedule those consumer
+    stages concurrently — each races to compute the not-yet-cached
+    candidate generator, re-running it per consumer (measured 3× the
+    minhash pipeline / +8s on winnow at sf0.1). The eager counts are
+    deliberate materialization barriers, the same pattern as an
+    iterative algorithm's per-round action. Both tables are
+    candidate-sized, not corpus-sized, so MEMORY_AND_DISK is safe at
+    scale.
+    """
+    pairs = cand.select("id_a", "id_b").persist()
+    pairs.count()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = exploded_shingles(
+        docs.join(cand_ids, id_col, "left_semi"),
+        text_col=text_col, keep_cols=[id_col], n=shingle_n,
+    ).persist()
+    sh.count()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,

@@ -149,6 +149,44 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def recall_gate(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    threshold: float,
+) -> DataFrame:
+    """Per-query retrieval-quality gate for an approximate index:
+    (query_id, n_exact, n_approx, recall_ok).
+
+    Joins the approximate top-k against the exact top-k and thresholds
+    per-query recall — the oracle-checkable property of an ANN method
+    whose internals (hyperplanes, centroids) no other engine can
+    replay. ``recall_ok`` flipping false is a real regression signal:
+    the index stopped retrieving what the exact scan finds.
+    """
+    e = exact.select("query_id", F.col("neighbor_id").alias("nid"))
+    a = approx.select("query_id", F.col("neighbor_id").alias("nid"))
+    n_e = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_a = a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    hits = e.join(a, ["query_id", "nid"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_e.join(n_a, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0).cast("long")).alias("n_approx"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long")) / F.col("n_exact")
+                >= threshold
+            ).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def embedding_near_dupes(
     emb: DataFrame,
     *,

@@ -262,3 +262,57 @@ def test_connected_components_matches_union_find_randomized(spark):
             for r in connected_components(pdf, local_threshold=0).collect()
         }
         assert got_dist == expected, f"trial {trial} (distributed path)"
+
+
+def test_simhash_portable_semantics(spark):
+    """Portable (md5) SimHash: identical docs → identical signature;
+    near-dup docs → small hamming distance; unrelated → large."""
+    from etl_weather_spark.operators.dedup import simhash64_portable
+
+    base = "spark shuffles partition data across executors for wide dependencies"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("wide", "wine")),
+        (4, "completely different content about weather and rainfall totals"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: (r.sig_hi, r.sig_lo) for r in simhash64_portable(docs).collect()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert sigs[1] == sigs[2]
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+    assert ham(sigs[1], sigs[3]) <= 16
+    # halves stay in unsigned-32 range (portable across engines)
+    for hi, lo in sigs.values():
+        assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+
+
+def test_verify_candidates_jaccard_prunes_and_scores(spark):
+    """Verify stage: scores ONLY the proposed pairs, filters below
+    threshold, and agrees with the full self-join on surviving pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        verify_candidates_jaccard,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "an entirely different sentence about database query planning"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # candidates: one true near-dup pair, one junk pair; pair (1,4)
+    # deliberately NOT proposed — verify must not resurrect it
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in verify_candidates_jaccard(docs, cand, min_jaccard=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).collect()}
+    assert got[(1, 2)] == full[(1, 2)]

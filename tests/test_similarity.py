@@ -108,3 +108,20 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     import numpy as np
 
     assert np.allclose(np.linalg.norm(centroids, axis=1), 1.0)
+
+
+def test_recall_gate_counts_and_threshold(spark):
+    from etl_weather_spark.operators.similarity import recall_gate
+
+    exact = spark.createDataFrame(
+        [(1, n) for n in range(10, 14)] + [(2, n) for n in range(20, 24)],
+        "query_id long, neighbor_id long",
+    )
+    # query 1: 3/4 hits; query 2: 1/4 hits
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 99), (2, 20), (2, 98), (2, 97), (2, 96)],
+        "query_id long, neighbor_id long",
+    )
+    rows = {r.query_id: r for r in recall_gate(exact, approx, threshold=0.5).collect()}
+    assert rows[1].n_exact == 4 and rows[1].n_approx == 4 and rows[1].recall_ok
+    assert rows[2].n_exact == 4 and rows[2].n_approx == 4 and not rows[2].recall_ok
