@@ -50,6 +50,12 @@ def cmd_report(args: argparse.Namespace) -> int:
     from etl_weather_spark import queries as q
 
     spark = _spark(args.cpus)
+    if getattr(args, "html", None):
+        from etl_weather_spark.report import save_report
+
+        path = save_report(spark, args.sf_dir, args.html)
+        print(f"wrote report -> {path}")
+        return 0
     summary = q.global_summary(spark, args.sf_dir).collect()[0]
     rec = q.recommendation_text(spark, args.sf_dir).collect()
     print("period summary:")
@@ -104,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     d.set_defaults(fn=cmd_daily)
 
     r = sub.add_parser("report", help="print period summary + recommendation")
+    r.add_argument("--html", default=None, help="write HTML report (charts inline) here")
     r.set_defaults(fn=cmd_report)
 
     qp = sub.add_parser("query", help="run a registered query by name")

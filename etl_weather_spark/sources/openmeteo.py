@@ -99,3 +99,46 @@ def normalize_hourly(raw: DataFrame, fields: dict[str, str]) -> DataFrame:
             for canon in fields.values()
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion-job retry (reference parity: S5, fetch.py:21-37)
+# ---------------------------------------------------------------------------
+
+
+class NetworkError(RuntimeError):
+    """Raised when an ingestion fetch exhausts its retries
+    (reference fetch.py:18,37)."""
+
+
+def with_retries(
+    fn,
+    *,
+    retries: int = 3,
+    initial_delay: float = 0.8,
+    backoff: float = 1.6,
+    retry_on: tuple[type[BaseException], ...] = (Exception,),
+    sleep=None,
+):
+    """Retry-with-exponential-backoff for ingestion calls (reference
+    fetch.py:21-37: 3 attempts, delay 0.8 ×1.6, raises NetworkError).
+
+    This wraps the DRIVER-side landing job (HTTP fetch → landed JSON
+    document); once documents are landed, compute-side fault tolerance
+    is Spark's own task retry (``spark.task.maxFailures``) — never a
+    sleep inside an executor. ``sleep`` is injectable for tests.
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    delay = initial_delay
+    last_exc: BaseException | None = None
+    for _attempt in range(1, retries + 1):
+        try:
+            return fn()
+        except retry_on as exc:  # noqa: PERF203 — retry loop
+            last_exc = exc
+            if _attempt < retries:
+                do_sleep(delay)
+                delay *= backoff
+    raise NetworkError(f"fetch failed after {retries} attempts: {last_exc}") from last_exc
