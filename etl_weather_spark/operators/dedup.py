@@ -557,8 +557,9 @@ def connected_components(
     emit pairs, components turn them into duplicate CLUSTERS (keep
     cluster_id, drop the rest).
 
-    Hybrid execution, sized by the edge count (one cheap count of the
-    already-shuffled distinct edge set):
+    Hybrid execution, sized by the pair count (counted on the cached
+    pair set BEFORE any edge-doubling shuffle — the union+distinct edge
+    set is built only for the distributed path that needs it):
 
     - ``<= local_threshold`` edges: collect to the driver and union-find
       in microseconds. Candidate-pair graphs are SMALL relative to the
@@ -579,15 +580,13 @@ def connected_components(
     Both paths compute the identical fixpoint (asserted against each
     other in tests/test_dedup.py).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
-    )
-    if local_threshold > 0 and edges.count() <= local_threshold:
-        collected = [(r.src, r.dst) for r in edges.collect()]
-        edges.unpersist()
+    # decide the path on the raw pair count BEFORE building the doubled
+    # edge set: the union+distinct shuffle only pays off for the
+    # distributed iteration; the local path union-finds the pairs as-is
+    pairs = pairs.select(id_a, id_b).persist()
+    if local_threshold > 0 and pairs.count() * 2 <= local_threshold:
+        collected = [(r[0], r[1]) for r in pairs.collect()]
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -613,6 +612,12 @@ def connected_components(
             ]
         )
         return spark.createDataFrame(rows, schema)
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -646,4 +651,5 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
