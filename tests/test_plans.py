@@ -311,3 +311,30 @@ def test_event_mix_drift_single_scan(spark, sf_dir):
     assert has_partial_aggregation(df), plan
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_simhash_portable_stays_jvm_side(spark, sf_dir):
+    """The portable simhash is pure Catalyst (md5 + nibble arithmetic):
+    no Python eval anywhere, one scan of documents, partial aggs."""
+    df = q.simhash_sigs(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert len(read_schema_columns(df)) == 1, plan
+    assert has_partial_aggregation(df), plan
+
+
+def test_verified_dedup_pipelines_never_cartesian(spark, sf_dir):
+    """candidates->verify: every join in both verified pipelines is
+    keyed (bucket, id, or shingle) - no cartesian anywhere."""
+    for name in ("minhash_lsh_fast", "winnow_candidates"):
+        df = q.queries()[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_recall_gates_join_keyed(spark, sf_dir):
+    """ANN recall gates: exact + approx sides join on (query_id, nid) -
+    keyed joins only, and the brute-force side broadcasts its queries."""
+    df = q.ann_cosine_lsh(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
