@@ -316,3 +316,58 @@ def test_verify_candidates_jaccard_prunes_and_scores(spark):
     full = {(r.id_a, r.id_b): r.jaccard
             for r in ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).collect()}
     assert got[(1, 2)] == full[(1, 2)]
+
+
+def test_verified_pipelines_detect_planted_mutations(spark):
+    """Property: for corpora with planted strong near-duplicates (one
+    token mutated of 60 → trigram J ≈ 0.9), BOTH fast candidate
+    generators feed the verify stage every pair the exact Jaccard>=0.5
+    ground truth contains — the recall property the driver oracle
+    asserts on the fixed corpus, here under seeded random corpora.
+    (At J≈0.9 the 16-hash/4-band miss probability is ~1e-3 per pair;
+    weaker pairs — e.g. 3 mutations, J≈0.73 — can legitimately miss a
+    band, which is exactly why the registry pipelines verify
+    candidates instead of trusting the banding.)"""
+    import random
+
+    from etl_weather_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        verify_candidates_jaccard,
+        winnow_candidates,
+    )
+
+    words = [f"w{i}" for i in range(80)]
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        docs_rows = []
+        doc_id = 0
+        for _ in range(8):
+            base = " ".join(rng.choice(words) for _ in range(60))
+            docs_rows.append((doc_id, base)); doc_id += 1
+            # planted strong near-dup: mutate 1 of 60 tokens
+            toks = base.split()
+            toks[rng.randrange(60)] = rng.choice(words)
+            docs_rows.append((doc_id, " ".join(toks))); doc_id += 1
+        # unrelated noise docs
+        for _ in range(10):
+            docs_rows.append((doc_id, " ".join(rng.choice(words) for _ in range(40))))
+            doc_id += 1
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        truth = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).collect()
+        }
+        assert truth, f"seed {seed}: generator planted no >=0.5 pairs"
+        mh_cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, hash_family="xxhash64")
+        mh = {
+            (r.id_a, r.id_b)
+            for r in verify_candidates_jaccard(docs, mh_cand, min_jaccard=0.5).collect()
+        }
+        assert mh == truth, f"seed {seed}: minhash missed {truth - mh}"
+        wn_cand = winnow_candidates(docs, min_shared=10, max_doc_freq=100)
+        wn = {
+            (r.id_a, r.id_b)
+            for r in verify_candidates_jaccard(docs, wn_cand, min_jaccard=0.5).collect()
+        }
+        assert wn == truth, f"seed {seed}: winnow missed {truth - wn}"
