@@ -143,6 +143,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 2,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) with estimated Jaccard similarity.
 
@@ -155,11 +156,20 @@ def minhash_lsh_pairs(
     Scale: the signature (the expensive part — tokenize + shingle
     explode + H-way min agg) is computed ONCE and carried through the
     banding as a single ``array<>`` column (~H·8 bytes/doc), never as H
-    separate columns, and never recomputed via join-back branches (the
-    agg subtree would be duplicated per consumer — Spark only reuses
-    identical exchanges, and each consumer keys differently). The
-    similarity estimate is computed inside the bucket join so the final
-    dedup is a distinct over three narrow columns.
+    separate columns. Buckets are expanded to pairs from COLLECTED
+    posting lists (one groupBy per (band, bucket)) rather than a
+    bucket-keyed self-join: a self-join consumes the bucket table
+    twice, and Spark re-runs the whole signature subtree per consumer
+    (branched subtrees only share identical exchanges, and each join
+    side projects differently — measured ~2x the query). The estimate
+    is computed per pair inside the posting-list expansion, so the
+    final dedup is a distinct over three narrow columns.
+
+    ``max_bucket_size`` drops buckets with more members than that
+    before pair expansion: a bucket of f docs emits f²/2 pairs, so at
+    corpus scale a degenerate bucket (empty-ish docs sharing a trivial
+    band) would otherwise dominate the shuffle. None (default) keeps
+    exact LSH semantics — every bucket expands.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
@@ -187,25 +197,40 @@ def minhash_lsh_pairs(
         F.col("bb.bucket").alias("bucket"),
     )
 
-    a = buckets.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    posting = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("members"))
+        .filter(F.size("members") >= 2)
     )
-    b = buckets.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    if max_bucket_size is not None:
+        posting = posting.filter(F.size("members") <= max_bucket_size)
+    # ids are unique, so sorting the structs orders by id (first field);
+    # expansion emits each in-bucket pair once with id_a < id_b
+    members = F.array_sort("members")
+
+    def est(x, y):
+        matches = F.aggregate(
+            F.zip_with(x["sig"], y["sig"], lambda u, v: F.when(u == v, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return matches / F.lit(float(num_hashes))
+
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), y["id"].alias("id_b"),
+                    est(x, y).alias("est_jaccard"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
-        )
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
         .distinct()
     )
 
@@ -352,6 +377,82 @@ def verify_candidates_jaccard(
         .select(
             "id_a", "id_b",
             (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def verify_pairs_jaccard_inline(
+    docs: DataFrame,
+    cand: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    broadcast_pairs: bool = True,
+) -> DataFrame:
+    """Exact-verify candidate pairs by joining each pair's two document
+    TEXTS and computing trigram Jaccard per pair row in pure Catalyst
+    array ops (``array_distinct``/``array_intersect``/``size``) — the
+    low-candidate-multiplicity fast path of the candidates→verify
+    pipeline.
+
+    vs :func:`verify_candidates_jaccard` (the shingle-set join): this
+    plan is a single LINEAR flow. The candidate-pair table — the
+    expensive generator output (LSH banding / winnowing) — has exactly
+    one consumer, so no persist/materialization barrier is needed and
+    AQE cannot race sibling stages into recomputing the generator (the
+    +8 s failure mode the set-join variant guards against with eager
+    counts). The docs table is scanned twice, but recomputing a raw
+    parquet scan is free compared to re-running a fingerprint UDF.
+
+    Tradeoffs, by candidate multiplicity per doc:
+
+    - LOW (the normal post-LSH/winnow regime — ``max_doc_freq`` caps
+      posting lists, so a doc lands in a bounded number of pairs):
+      each doc's shingle set is recomputed once per pair it appears
+      in; with multiplicity ~1-3 that beats the set-join variant's
+      extra shuffles + two aggregations + persists by a wide margin.
+    - HIGH (one doc in thousands of pairs): use the set-join variant —
+      it shingles each doc once.
+
+    ``broadcast_pairs=True`` broadcasts the pair list into the first
+    join and the pair+text_a intermediate into the second, so the
+    corpus is never shuffled (candidate pairs ≪ corpus by
+    construction). At extreme candidate counts (pairs × avg doc size
+    beyond executor memory) set it False for shuffle joins on doc id.
+    """
+    pairs = cand.select("id_a", "id_b")
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__text_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__text_b"))
+    with_a = (F.broadcast(pairs) if broadcast_pairs else pairs).join(ta, "id_a")
+    with_ab = (F.broadcast(with_a) if broadcast_pairs else with_a).join(tb, "id_b")
+    # bind tokens, then shingle sets, in SEPARATE projections: each alias
+    # is multi-referenced downstream so CollapseProject keeps the
+    # boundary and the lambda bodies see cheap attribute refs, not the
+    # inlined regex pipeline (the 19x re-evaluation hazard, see
+    # :func:`shingles`)
+    toked = with_ab.select(
+        "id_a", "id_b",
+        tokens(F.col("__text_a")).alias("__tk_a"),
+        tokens(F.col("__text_b")).alias("__tk_b"),
+    )
+    shingled = toked.select(
+        "id_a", "id_b",
+        F.array_distinct(shingles_of_tokens(F.col("__tk_a"), shingle_n)).alias("__sh_a"),
+        F.array_distinct(shingles_of_tokens(F.col("__tk_b"), shingle_n)).alias("__sh_b"),
+    )
+    counted = shingled.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))).alias("__ni"),
+        F.size(F.col("__sh_a")).alias("__na"),
+        F.size(F.col("__sh_b")).alias("__nb"),
+    )
+    return (
+        counted.select(
+            "id_a", "id_b",
+            (F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -2400,16 +2400,17 @@ def winnow_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf 0.001/0.01/0.1 with 100).
     """
     from etl_weather_spark.operators.dedup import (
-        verify_candidates_jaccard,
+        verify_pairs_jaccard_inline,
         winnow_candidates,
     )
 
     docs = load(spark, sf_dir, "documents")
-    # persist_fps=False: at this corpus size the consumers of the
-    # fingerprint table re-run a ~1s UDF in parallel stages, which beats
-    # serializing a cache materialization; flip on when docs >> memory
+    # inline per-pair verify: the candidate table has ONE consumer, so
+    # the rolling-hash UDF runs exactly once with no persist barrier
+    # (max_doc_freq=100 bounds per-doc pair multiplicity, the regime
+    # where per-pair text verify beats the shingle-set join)
     cand = winnow_candidates(docs, min_shared=10, max_doc_freq=100)
-    verified = verify_candidates_jaccard(docs, cand, shingle_n=3, min_jaccard=0.5)
+    verified = verify_pairs_jaccard_inline(docs, cand, shingle_n=3, min_jaccard=0.5)
     return verified.select("id_a", "id_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
 
 
@@ -2430,12 +2431,12 @@ def minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_weather_spark.operators.dedup import (
         minhash_lsh_pairs,
-        verify_candidates_jaccard,
+        verify_pairs_jaccard_inline,
     )
 
     docs = load(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, hash_family="xxhash64")
-    verified = verify_candidates_jaccard(docs, cand, shingle_n=3, min_jaccard=0.5)
+    verified = verify_pairs_jaccard_inline(docs, cand, shingle_n=3, min_jaccard=0.5)
     return verified.select("id_a", "id_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
 
 
@@ -3821,6 +3822,112 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("value", 2).alias("last_value"),
         )
         .orderBy("user_id")
+    )
+
+
+_SCD2_SEGMENTS_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value / 250) AS INT) AS tier
+  FROM events
+),
+lagged AS (
+  SELECT *, LAG(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM base
+),
+ver AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> tier THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS version
+  FROM lagged
+),
+seg AS (
+  SELECT user_id, version, tier,
+         MIN(ts) AS valid_from, COUNT(*) AS n_rows
+  FROM ver GROUP BY 1, 2, 3
+)
+SELECT user_id, version, tier, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+         AS is_current,
+       n_rows
+FROM seg
+"""
+
+
+@query("scd2_user_tiers", _SCD2_SEGMENTS_SQL + "ORDER BY user_id, version")
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event stream into
+    effective-dated tier versions (gaps-and-islands → valid_from /
+    valid_to / is_current), the batch core of a CDC dimension pipeline
+    (operators/scd.py).
+
+    Scale: the entire collapse — two window passes + the segment
+    group-by — runs on ONE shuffle keyed by user_id (hash partitioning
+    on the key satisfies every downstream clustered distribution;
+    asserted in tests/test_plans.py). Per-key state is that key's
+    history, never the table.
+    """
+    from etl_weather_spark.operators.scd import scd2_collapse
+
+    ev = load(spark, sf_dir, "events")
+    tiers = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") / 250).cast("int").alias("tier"),
+    )
+    return scd2_collapse(
+        tiers, key_col="user_id", ts_col="ts",
+        attr_cols=["tier"], tiebreak_cols=["event_id"],
+    ).orderBy("user_id", "version")
+
+
+@query(
+    "scd2_asof_lookup",
+    f"""
+WITH hist AS ({_SCD2_SEGMENTS_SQL}),
+probes AS (SELECT DISTINCT user_id FROM events),
+resolved AS (
+  SELECT p.user_id, h.tier
+  FROM probes p LEFT JOIN hist h
+    ON h.user_id = p.user_id
+   AND h.valid_from <= TIMESTAMP '2024-01-16 00:00:00'
+   AND (h.valid_to IS NULL OR TIMESTAMP '2024-01-16 00:00:00' < h.valid_to)
+)
+SELECT tier, COUNT(*) AS n_users
+FROM resolved GROUP BY tier ORDER BY tier
+""",
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against SCD2 history: which tier
+    was each user in at 2024-01-16? (half-open interval membership,
+    operators/scd.py scd2_lookup_asof), rolled up to a tier census.
+
+    A user whose first version starts after the probe time resolves to
+    NULL tier — the left join keeps them (counted in the NULL row),
+    exactly how a warehouse as-of join must treat not-yet-seen keys.
+
+    Scale: equi-join on user_id with the interval predicate as a
+    post-join filter; per-key cost is version-count, never a cross
+    product.
+    """
+    from etl_weather_spark.operators.scd import scd2_collapse, scd2_lookup_asof
+
+    ev = load(spark, sf_dir, "events")
+    tiers = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") / 250).cast("int").alias("tier"),
+    )
+    hist = scd2_collapse(
+        tiers, key_col="user_id", ts_col="ts",
+        attr_cols=["tier"], tiebreak_cols=["event_id"],
+    )
+    probes = ev.select("user_id").distinct().withColumn(
+        "at", F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+    resolved = scd2_lookup_asof(hist, probes, key_col="user_id", at_col="at")
+    return (
+        resolved.groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("tier")
     )
 
 

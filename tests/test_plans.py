@@ -338,3 +338,25 @@ def test_recall_gates_join_keyed(spark, sf_dir):
     df = q.ann_cosine_lsh(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_collapse_single_shuffle(spark, sf_dir):
+    """The whole SCD2 collapse — two window passes + the segment
+    group-by — must run on ONE shuffle keyed by user_id: hash
+    partitioning on the key satisfies every downstream clustered
+    distribution (groupBy(key, version), the valid_to window)."""
+    df = q.queries()["scd2_user_tiers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # one hash exchange for the key (the final presentation orderBy adds
+    # a range exchange); a second hash exchange means a step re-partitioned
+    assert plan.count("hashpartitioning") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_lookup_keyed_join(spark, sf_dir):
+    """The as-of lookup joins on user_id with the interval predicate as
+    a post-join condition — never a cartesian/BNLJ over history."""
+    df = q.queries()["scd2_asof_lookup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
