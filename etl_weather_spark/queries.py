@@ -2471,6 +2471,39 @@ def similar_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_part_names",
+    """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY edit_dist, name_a, name_b
+""",
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-linkage over part names: pairs within
+    Levenshtein <= 2 via padded char-trigram blocking + bounded verify
+    (operators/linkage.py) — the entity-resolution pipeline shape that
+    scales where similar_nation_names' broadcast all-pairs cannot.
+
+    The oracle is the EXACT all-pairs answer, so a hash match asserts
+    the blocking's completeness on this corpus (guaranteed for keys of
+    length >= 5 at q=3, d=2 — one edit destroys at most q grams).
+    """
+    from etl_weather_spark.operators.linkage import fuzzy_join_blocked
+
+    p = load(spark, sf_dir, "part")
+    pairs = fuzzy_join_blocked(
+        p, p, left_col="p_name", right_col="p_name", max_dist=2, q=3
+    )
+    return (
+        pairs.filter(F.col("name_a") < F.col("name_b"))
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+@query(
     "embedding_component_stats",
     """
 WITH per_vec AS (

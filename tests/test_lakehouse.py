@@ -225,3 +225,21 @@ def test_incremental_refresh_rebuilds_only_touched_partitions(spark, tmp_path):
         for r in daily_from_hourly(spark.read.parquet(silver)).collect()
     }
     assert got == want  # incremental == full recompute
+
+
+def test_write_table_orc_roundtrip(spark, tmp_path):
+    """K2 sink format breadth: ORC (native Spark source, no extra deps)
+    round-trips schema + values, including partitioned layout."""
+    from etl_weather_spark.sources.lakehouse import write_table
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5)], "k string, n int, v double"
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_table(df, path, fmt="orc", partition_by=["k"])
+    back = spark.read.orc(path)
+    assert {tuple(r) for r in back.select("k", "n", "v").collect()} == {
+        ("a", 1, 1.5), ("b", 2, 2.5)
+    }
+    # partition pruning works on the layout
+    assert back.filter(F.col("k") == "a").count() == 1

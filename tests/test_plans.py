@@ -360,3 +360,41 @@ def test_scd2_lookup_keyed_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """At cluster scale a selective dim-filtered fact-fact join should
+    inject a runtime bloom filter on the probe side (Spark's runtime
+    row-level filtering): the big scan drops non-joining rows BEFORE
+    the shuffle. The size thresholds that gate it are cluster-tuned
+    (creation side <= 10MB, probe scan >= 10GB by default); this test
+    lowers the probe threshold to simulate the 100 TB regime on local
+    data and asserts the rewrite actually happens — bloom_filter_agg
+    on the build side, might_contain on the probe scan."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
