@@ -417,17 +417,25 @@ def verify_pairs_jaccard_inline(
     - HIGH (one doc in thousands of pairs): use the set-join variant —
       it shingles each doc once.
 
-    ``broadcast_pairs=True`` broadcasts the pair list into the first
-    join and the pair+text_a intermediate into the second, so the
-    corpus is never shuffled (candidate pairs ≪ corpus by
-    construction). At extreme candidate counts (pairs × avg doc size
-    beyond executor memory) set it False for shuffle joins on doc id.
+    ``broadcast_pairs=True`` broadcasts the pair list into the FIRST
+    join only. The second join shuffles on id_b — deliberately: a
+    broadcast hint on the pair+text_a intermediate would embed the
+    candidate-generator subplan in a SECOND broadcast-exchange job, and
+    broadcast exchanges are built per-job, so the generator (the
+    expensive part — an LSH banding pass or a rolling-hash UDF over the
+    whole corpus) would execute twice (measured: 2× the generator time,
+    +2.7 s on minhash_lsh_fast at sf0.1). With one broadcast the
+    generator runs exactly once; the id_b shuffle moves only
+    |pairs|+|corpus| slim rows and AQE downgrades it to a runtime
+    broadcast from the already-materialized stage output, not a
+    recompute. At extreme candidate counts (pairs × avg doc size beyond
+    executor memory) set it False for shuffle joins on both sides.
     """
     pairs = cand.select("id_a", "id_b")
     ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__text_a"))
     tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__text_b"))
     with_a = (F.broadcast(pairs) if broadcast_pairs else pairs).join(ta, "id_a")
-    with_ab = (F.broadcast(with_a) if broadcast_pairs else with_a).join(tb, "id_b")
+    with_ab = with_a.join(tb, "id_b")
     # bind tokens, then shingle sets, in SEPARATE projections: each alias
     # is multi-referenced downstream so CollapseProject keeps the
     # boundary and the lambda bodies see cheap attribute refs, not the
@@ -449,8 +457,31 @@ def verify_pairs_jaccard_inline(
         F.size(F.col("__sh_a")).alias("__na"),
         F.size(F.col("__sh_b")).alias("__nb"),
     )
+    # Aggregate fence — load-bearing. (id_a, id_b) is unique here, so
+    # the groupBy/max is a semantic no-op, but it is the one barrier
+    # Catalyst respects on BOTH axes that were destroying this plan:
+    # 1. PushDownPredicates happily rewrites the jaccard>=t filter
+    #    through projections (and even an explicit repartition),
+    #    substituting aliases until PushPredicateThroughJoin lands the
+    #    ENTIRE tokenize→shingle→intersect chain in the id_b join's
+    #    residual condition — evaluated per joined row, interpreted
+    #    (higher-order-function lambdas are neither codegen'd nor CSE'd),
+    #    and measured as a 3.2 s single-thread stall inside a broadcast
+    #    build at sf0.1 (38 copies of the token regex in the executed
+    #    plan). A predicate referencing aggregate outputs cannot be
+    #    pushed below the Aggregate, so the chain is evaluated once,
+    #    in parallel, below the fence.
+    # 2. CollapseProject cannot merge the jaccard arithmetic into the
+    #    shingle projections across it.
+    # The agg's exchange carries three ints per candidate pair with
+    # map-side partials — negligible at any scale.
+    fenced = counted.groupBy("id_a", "id_b").agg(
+        F.max("__ni").alias("__ni"),
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+    )
     return (
-        counted.select(
+        fenced.select(
             "id_a", "id_b",
             (F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))).alias("jaccard"),
         )

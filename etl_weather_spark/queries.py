@@ -2398,6 +2398,14 @@ def winnow_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 50 two sf0.1 pairs lost enough shared fingerprints to common
     postings to fall under min_shared (verified 0 misses at
     sf 0.001/0.01/0.1 with 100).
+
+    k=20 (not the operator's generic k=12): candidate volume is
+    quadratic in posting-list length, and short k-grams collide across
+    the corpus's templated phrasing — k=12 emits 3.5M candidate pairs
+    at sf0.1 where k=20 emits 242k (14×), for the identical verified
+    output (0 recall loss at sf0.001/0.01/0.1; k=24 starts losing true
+    pairs). The detection guarantee still covers any shared run ≥
+    k+window-1 = 23 chars, far below what trigram-Jaccard≥0.5 implies.
     """
     from etl_weather_spark.operators.dedup import (
         verify_pairs_jaccard_inline,
@@ -2409,7 +2417,7 @@ def winnow_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rolling-hash UDF runs exactly once with no persist barrier
     # (max_doc_freq=100 bounds per-doc pair multiplicity, the regime
     # where per-pair text verify beats the shingle-set join)
-    cand = winnow_candidates(docs, min_shared=10, max_doc_freq=100)
+    cand = winnow_candidates(docs, k=20, min_shared=10, max_doc_freq=100)
     verified = verify_pairs_jaccard_inline(docs, cand, shingle_n=3, min_jaccard=0.5)
     return verified.select("id_a", "id_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
 
