@@ -235,6 +235,95 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_cross_pairs(
+    index_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    hash_family: str = "xxhash64",
+    max_bucket_freq: int | None = None,
+) -> DataFrame:
+    """Incremental-dedup candidates: (index_id, new_id) pairs where a
+    NEW document shares an LSH band bucket with an already-INDEXED
+    document — the continuous-ingestion shape of MinHash dedup (a new
+    batch is screened against the standing corpus without re-pairing
+    the corpus with itself).
+
+    Scale: in production the index side's signatures are precomputed
+    and stored (they are pure functions of the text, so the sig table
+    is append-only); this operator recomputes them from text so the
+    pipeline is self-contained. The two sides are signed in ONE pass
+    over a side-tagged union — never as two branches filtering a shared
+    subtree, which Spark would evaluate once per branch — and bucket
+    membership is expanded from per-bucket posting lists (single
+    consumer, same rationale as :func:`minhash_lsh_pairs`): each
+    bucket's index-side and new-side member arrays cross, so only
+    cross-side pairs ever materialize; intra-corpus and intra-batch
+    pairs (other queries' jobs) cost nothing here. ``max_bucket_freq``
+    caps degenerate buckets before expansion (f_idx·f_new blowup).
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    tagged = (
+        index_docs.select(F.col(id_col), F.col(text_col))
+        .withColumn("__side", F.lit(0))
+        .unionByName(
+            new_docs.select(F.col(id_col), F.col(text_col)).withColumn("__side", F.lit(1))
+        )
+    )
+    sh = exploded_shingles(tagged, text_col=text_col, keep_cols=[id_col, "__side"], n=shingle_n)
+    aggs = [
+        F.min(_hash_expr(F.col("sh"), i, hash_family)).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col, "__side").agg(*aggs)
+    band_cols = [
+        F.concat_ws(
+            "#", *[F.col(f"s{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        id_col,
+        "__side",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(b) for b in range(bands)]).alias("band"),
+                F.array(*band_cols).alias("bucket"),
+            )
+        ).alias("bb"),
+    ).select(id_col, "__side", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    posting = buckets.groupBy("band", "bucket").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__side").alias("side"))).alias(
+            "members"
+        )
+    )
+    if max_bucket_freq is not None:
+        posting = posting.filter(F.size("members") <= max_bucket_freq)
+    idx_ids = F.transform(
+        F.filter(F.col("members"), lambda m: m["side"] == 0), lambda m: m["id"]
+    )
+    new_ids = F.transform(
+        F.filter(F.col("members"), lambda m: m["side"] == 1), lambda m: m["id"]
+    )
+    cross = F.flatten(
+        F.transform(
+            idx_ids,
+            lambda x: F.transform(new_ids, lambda y: F.struct(x.alias("index_id"), y.alias("new_id"))),
+        )
+    )
+    return (
+        posting.select(F.explode(cross).alias("p"))
+        .select("p.index_id", "p.new_id")
+        .distinct()
+    )
+
+
 def simhash64(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (near-dup fingerprint).
 

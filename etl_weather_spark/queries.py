@@ -5260,3 +5260,175 @@ def value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("p50_b") - F.col("p50_a"), 4).alias("d50"),
         rnd(F.col("p90_b") - F.col("p90_a"), 4).alias("d90"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops, round 2: batch packing, incremental corpus
+# dedup, target-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_budget_batches",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                   - length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '')) + 1
+              END AS n_tok
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / 512.0) AS BIGINT) AS batch_id
+FROM toks
+ORDER BY doc_id
+""",
+)
+def token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the document stream into consecutive <=512-token batches —
+    the deterministic dataloader layout (a doc larger than the budget
+    gets its own batch). The oracle is the naive single-window global
+    prefix-sum; the engine computes the identical integer prefix with
+    operators/batching's two-level form (bucketed within-partition
+    windows + a cumulative offset over the tiny per-bucket totals), so
+    no row ever passes through a global single-reducer sort.
+    """
+    from etl_weather_spark.operators.batching import pack_token_batches
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_token_batches(
+        docs, token_count(F.col("text")), budget=512, order_col="doc_id"
+    ).orderBy("doc_id")
+
+
+_CROSS_DEDUP_SQL = f"""
+WITH pairs AS ({_JACCARD05_SQL}),
+s AS (SELECT doc_id, (source = 'src0') AS is_idx FROM documents)
+SELECT CASE WHEN sa.is_idx THEN p.id_a ELSE p.id_b END AS index_id,
+       CASE WHEN sa.is_idx THEN p.id_b ELSE p.id_a END AS new_id,
+       jaccard
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b
+WHERE sa.is_idx <> sb.is_idx
+"""
+
+
+@query("incremental_index_dedup", _CROSS_DEDUP_SQL)
+def incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW ingestion batch against the standing
+    indexed corpus: src0 plays the index, every other source the new
+    batch. LSH banding proposes only CROSS-side candidates (the index
+    is never re-paired with itself — the property that makes continuous
+    ingestion affordable), exact trigram Jaccard disposes; the oracle
+    is the exact cross-side Jaccard>=0.5 pair set, so a banding miss on
+    any true cross pair fails the hash (same verified-pipeline contract
+    as minhash_lsh_fast).
+
+    Scale: in production the index side's MinHash signatures are
+    precomputed and stored (append-only sig table); the bucket join
+    shuffles (band, bucket, id) rows only. See
+    operators/dedup.minhash_lsh_cross_pairs.
+    """
+    from etl_weather_spark.operators.dedup import (
+        minhash_lsh_cross_pairs,
+        verify_pairs_jaccard_inline,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    index = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+    cand = minhash_lsh_cross_pairs(
+        index, batch, num_hashes=16, bands=4, hash_family="xxhash64"
+    ).select(F.col("index_id").alias("id_a"), F.col("new_id").alias("id_b"))
+    verified = verify_pairs_jaccard_inline(docs, cand, shingle_n=3, min_jaccard=0.5)
+    return verified.select(
+        F.col("id_a").alias("index_id"),
+        F.col("id_b").alias("new_id"),
+        rnd(F.col("jaccard"), 4).alias("jaccard"),
+    )
+
+
+@query(
+    "source_mix_rebalance",
+    """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src0' THEN 4 WHEN source = 'src1' THEN 2 ELSE 1 END AS wt
+  FROM documents
+),
+counts AS (SELECT source, wt, COUNT(*) AS n FROM w GROUP BY source, wt),
+m AS (SELECT n AS n_m, wt AS w_m FROM counts ORDER BY n * 1.0 / wt, source LIMIT 1),
+caps AS (
+  SELECT source, wt, n AS available,
+         CAST(FLOOR((wt * n_m * 1.0) / w_m) AS BIGINT) AS cap
+  FROM counts, m
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS pri
+  FROM w
+),
+kept AS (
+  SELECT r.source, COUNT(*) AS n_kept, CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+  FROM ranked r JOIN caps c ON c.source = r.source
+  WHERE r.pri <= c.cap
+  GROUP BY r.source
+)
+SELECT c.source, c.wt, c.available, c.cap, k.n_kept, k.kept_id_sum
+FROM caps c JOIN kept k ON k.source = c.source
+ORDER BY c.source
+""",
+)
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target source mixture (weights src0:4,
+    src1:2, rest:1) by downsampling only: the binding source (min
+    n/weight) is kept whole and every other source is capped at
+    floor(weight * n_m / w_m) — the largest corpus achieving the exact
+    target proportions without upsampling (DoReMi-style static remix).
+    Selection within a source is content-addressed (md5 priority), so
+    the kept set is stable under re-runs, repartitioning, and appends
+    that don't displace winners; kept_id_sum checksums the exact kept
+    SET against the oracle, not just its size.
+
+    Scale: counts/caps are a tiny broadcast; the rank window shuffles
+    once on source (skewed mega-source -> partial top-k pre-filter,
+    same note as per_source_quota).
+    """
+    docs = load(spark, sf_dir, "documents")
+    wt = (
+        F.when(F.col("source") == "src0", 4)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(1)
+    )
+    w = docs.select("doc_id", "source", wt.alias("wt"))
+    counts = w.groupBy("source", "wt").agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        counts.orderBy((F.col("n") * 1.0 / F.col("wt")).asc(), F.col("source"))
+        .limit(1)
+        .select(F.col("n").alias("n_m"), F.col("wt").alias("w_m"))
+    )
+    caps = counts.crossJoin(F.broadcast(m)).select(
+        "source",
+        "wt",
+        F.col("n").alias("available"),
+        F.floor((F.col("wt") * F.col("n_m") * 1.0) / F.col("w_m")).cast("long").alias("cap"),
+    )
+    pri_key = F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    rw = Window.partitionBy("source").orderBy(pri_key, "doc_id")
+    ranked = w.select("doc_id", "source", F.row_number().over(rw).alias("pri"))
+    kept = (
+        ranked.join(F.broadcast(caps.select("source", "cap")), "source")
+        .filter(F.col("pri") <= F.col("cap"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("kept_id_sum"))
+    )
+    return (
+        caps.join(kept, "source")
+        .select("source", "wt", "available", "cap", "n_kept", "kept_id_sum")
+        .orderBy("source")
+    )
