@@ -324,6 +324,87 @@ def minhash_lsh_cross_pairs(
     )
 
 
+def minhash_sig_table(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig) rows for a PERSISTED signature index — ``sig`` is one
+    array column (long for xxhash64, string for md5), the storable form
+    of the MinHash index an incremental dedup pipeline appends to: the
+    signature is a pure function of the text, so the index table is
+    append-only and never recomputed for already-ingested documents.
+    """
+    sig = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, hash_family=hash_family,
+    )
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_band_buckets_from_sigs(
+    sigs: DataFrame,
+    *,
+    bands: int,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(id, band, bucket) from a stored signature-array table."""
+    # rows-per-band derives from the array length per row (constant by
+    # construction), so no driver action is needed to read the width
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+    rows_per_band = (F.size(sig_col) / bands).cast("int")
+    exploded = sigs.select(F.col(id_col), F.col(sig_col), band_idx.alias("band"))
+    bucket = F.concat_ws(
+        "#",
+        F.transform(
+            F.slice(
+                F.col(sig_col), F.col("band") * rows_per_band + 1, rows_per_band
+            ),
+            lambda v: v.cast("string"),
+        ),
+    )
+    return exploded.select(id_col, "band", bucket.alias("bucket"))
+
+
+def screen_against_sig_index(
+    index_sigs: DataFrame,
+    new_sigs: DataFrame,
+    *,
+    bands: int,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(index_id, new_id) LSH candidates of a new batch against a STORED
+    signature index — the steady-state loop of incremental dedup: the
+    index side is a parquet scan of previously-committed signatures
+    (nothing re-hashed), only the new batch is signed.
+
+    Scale: both banded sides are narrow (id, band, bucket) rows; the
+    join keys on (band, bucket) and the new batch is the small side —
+    AQE broadcasts it at runtime, so the standing index is never
+    shuffled. Each side is consumed exactly once (two independent
+    subtrees, not branches of a shared plan), so no double-evaluation.
+    """
+    ib = lsh_band_buckets_from_sigs(index_sigs, bands=bands, id_col=id_col, sig_col=sig_col)
+    nb = lsh_band_buckets_from_sigs(new_sigs, bands=bands, id_col=id_col, sig_col=sig_col)
+    return (
+        ib.select("band", "bucket", F.col(id_col).alias("index_id"))
+        .join(
+            nb.select("band", "bucket", F.col(id_col).alias("new_id")),
+            ["band", "bucket"],
+        )
+        .select("index_id", "new_id")
+        .distinct()
+    )
+
+
 def simhash64(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (near-dup fingerprint).
 
