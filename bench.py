@@ -56,6 +56,12 @@ HEADLINE = [
     # sixth wave (round 2): track the structural outliers, not just the
     # easy queries — iterative connected components over dup pairs
     "dedup_clusters",
+    # seventh wave (round 2): incremental corpus screen (cross-side LSH +
+    # exact verify), two-level global prefix-sum packing, mergeable-HLL
+    # weekly rollup
+    "incremental_index_dedup",
+    "token_budget_batches",
+    "sketch_rollup_weekly_users",
 ]
 
 
