@@ -5489,3 +5489,50 @@ def sketch_rollup_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "rolling_distinct_users_7d",
+    """
+WITH dau AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM dau)
+SELECT a.d AS date, COUNT(DISTINCT b.user_id) AS rolling_users
+FROM days a JOIN dau b ON b.d BETWEEN a.d - 6 AND a.d
+GROUP BY a.d
+ORDER BY a.d
+""",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the rolling-MAU
+    shape. Exact distinct counts can't ride a window frame (no
+    count_distinct over windows) and a date-range join amplifies
+    unboundedly, so the engine inverts the window: each (day, user)
+    activity row is EXPLODED to the <=7 window-end days it contributes
+    to (fixed 7x map-side amplification, no join), de-duplicated, and
+    counted per window day; a broadcast semi-join to observed days
+    drops windows that end on day gaps, matching the oracle's
+    days-driven range join.
+
+    Scale: DAU distinct-ize bounds the explode input to (days x users),
+    not raw events; the 7x amplification is a constant, not data-
+    dependent; both shuffles key on (day, user) / day. The oracle's
+    BETWEEN join is the readable formulation — at 100 TB it would fan
+    each day's probe across every activity row; the explode form is the
+    one that survives.
+    """
+    ev = load(spark, sf_dir, "events")
+    dau = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    contrib = (
+        dau.select(
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("wd"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = dau.select("d").distinct()
+    rolled = contrib.groupBy("wd").agg(F.count(F.lit(1)).alias("rolling_users"))
+    return (
+        rolled.join(F.broadcast(days), rolled["wd"] == days["d"])
+        .select(F.col("d").alias("date"), "rolling_users")
+        .orderBy("date")
+    )

@@ -398,3 +398,44 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pair_verify_fenced_from_predicate_pushdown(spark, sf_dir):
+    """The jaccard threshold must NOT be pushed below the verify's
+    aggregate fence: without it, Catalyst rewrites the predicate into
+    the id_b join's residual condition, inlining the full tokenize→
+    shingle→intersect chain once per reference (measured 38 copies of
+    the token regex in the executed plan and an 8× slowdown — HOF
+    lambdas are neither codegen'd nor CSE'd)."""
+    df = q.minhash_lsh_fast(spark, sf_dir)
+    n_regex = count_occurrences(df, "regexp_replace")
+    assert n_regex <= 6, f"verify fence breached: {n_regex} token-regex copies in plan"
+    # the threshold survives as a post-aggregation filter, not a join condition
+    plan = formatted_plan(df)
+    assert "jaccard" in plan
+
+
+def test_cross_screen_joins_on_band_bucket(spark, sf_dir):
+    """Incremental screen stays a bucket equi-join (no nested loop, no
+    corpus self-join) and the LSH signature subtree appears once."""
+    df = q.incremental_index_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # one signing pass over the side-tagged union: the shingle explode's
+    # Generate shows up exactly once in the candidate subtree
+    assert count_occurrences(df, "Generate explode") <= 2, plan
+
+
+def test_batch_packing_has_no_global_window(spark, sf_dir):
+    """The prefix-sum must stay two-level: a global single-reducer
+    Window (empty partition spec over the full table) would be the
+    100 TB bottleneck. Only the tiny per-bucket-totals window may have
+    an empty partition spec."""
+    df = q.token_budget_batches(spark, sf_dir)
+    plan = formatted_plan(df)
+    # exactly two windows: the row-level one PARTITIONED by bucket, and
+    # the cumulative-offset one over the per-bucket totals AGGREGATE
+    # (so the partition-less sort only ever sees #buckets rows)
+    assert plan.count("windowspecdefinition(") == 2, plan
+    assert "windowspecdefinition(__bkt#" in plan, plan
+    assert has_partial_aggregation(df), plan
