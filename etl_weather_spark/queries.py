@@ -5536,3 +5536,69 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").alias("date"), "rolling_users")
         .orderBy("date")
     )
+
+
+@query(
+    "event_pattern_match",
+    """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+  FROM events
+  GROUP BY user_id
+)
+SELECT (journey LIKE '%vcp%') AS direct_conversion,
+       (journey LIKE '%pep%') AS purchase_error_repurchase,
+       (journey LIKE '%vvcc%') AS double_view_double_click,
+       COUNT(*) AS n_users,
+       FLOOR(AVG(length(journey)) * 100 + 0.5) / 100 AS avg_events
+FROM j
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: compress each user's time-ordered event
+    stream into a journey string (one char per event) and pattern-match
+    it — three patterns at once: a CONTIGUOUS view-click-purchase run
+    ('vcp'), purchase-error-repurchase ('pep'), and double-view-double-
+    click ('vvcc'). String-encoding per-key timelines turns arbitrary
+    sequence patterns into regex/LIKE, the poor man's CEP that covers
+    most funnel/path questions in one shuffle; contiguity (which plain
+    relational funnels can't express without N self-joins) is free.
+
+    Determinism: the per-user ordering is total — (ts, event_id) — via
+    array_sort over structs, so the journey string is unique and both
+    engines agree byte-for-byte (string_agg ORDER BY on the oracle
+    side).
+
+    Scale: one shuffle on user_id; per-user state is the event-initial
+    string (bytes per event). For pathological users cap with
+    slice(..., 1, N) before the join — pattern prefixes are usually
+    what's analyzed. The LIKE runs over the journey table (#users
+    rows), not raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("c"))
+        )
+    )
+    j = ev.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda x: x["c"]), "").alias("journey")
+    )
+    return (
+        j.select(
+            F.col("journey").like("%vcp%").alias("direct_conversion"),
+            F.col("journey").like("%pep%").alias("purchase_error_repurchase"),
+            F.col("journey").like("%vvcc%").alias("double_view_double_click"),
+            F.length("journey").alias("jl"),
+        )
+        .groupBy(
+            "direct_conversion", "purchase_error_repurchase", "double_view_double_click"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"), rnd(F.avg("jl"), 2).alias("avg_events"))
+        .orderBy(
+            "direct_conversion", "purchase_error_repurchase", "double_view_double_click"
+        )
+    )
