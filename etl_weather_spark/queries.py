@@ -119,8 +119,11 @@ _PRIORITY = [
     "slugify_parts", "weather_code_decode", "wind_compass_bins",
     "json_extract_props", "daily_left_join", "hour_labels", "split_part_types",
     "regex_customer_ids", "sorted_nations", "today_lookup", "format_dates",
-    "nearest_event", "next_events", "semi_anti_customers", "status_rollup",
-    "distinct_daily_users",
+    "nearest_event", "next_events", "semi_anti_customers",
+    # round-2 flagships (status_rollup/distinct_daily_users rotated out:
+    # their shapes are covered by other checked rows, and the local
+    # replica still verifies them)
+    "incremental_index_dedup", "token_budget_batches",
     # TPC-shaped join/agg anchors
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     # training-data pipeline: text analysis + dedup + similarity
