@@ -27,7 +27,12 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 #: (json key, output column) — mirrors sources/openmeteo rename map
@@ -72,27 +77,76 @@ class OpenMeteoReader(DataSourceReader):
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        with open(partition.path, encoding="utf-8") as fh:
-            doc = json.load(fh)
-        hourly = doc.get("hourly", {}) or {}
-        times = hourly.get("time") or []
-        cols = []
-        for key, _ in METRICS:
-            arr = hourly.get(key)
-            # P1 tolerance: missing or misaligned arrays null-pad
-            if not isinstance(arr, list) or len(arr) != len(times):
-                arr = [None] * len(times)
-            cols.append(arr)
-        for i, t in enumerate(times):
-            yield (
-                partition.city,
-                t,
-                *[None if c[i] is None else float(c[i]) for c in cols],
-            )
+        # P1 tolerance (missing/misaligned arrays null-pad) in _parse_doc
+        return _parse_doc(partition.path, partition.city)
+
+
+def _parse_doc(path: str, city: str) -> Iterator[tuple]:
+    """Shared P1 normalization: one landed document → hourly tuples."""
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    hourly = doc.get("hourly", {}) or {}
+    times = hourly.get("time") or []
+    cols = []
+    for key, _ in METRICS:
+        arr = hourly.get(key)
+        if not isinstance(arr, list) or len(arr) != len(times):
+            arr = [None] * len(times)
+        cols.append(arr)
+    for i, t in enumerate(times):
+        yield (city, t, *[None if c[i] is None else float(c[i]) for c in cols])
+
+
+class OpenMeteoStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the landing directory (S1/S2 as a STREAM).
+
+    The landing convention is append-only timestamped filenames
+    (fetch.py:100-105's ``{slug}_weather_{ts}.json``), so the sorted
+    file list only ever grows — an OFFSET is simply "how many files of
+    that list have been consumed" (``{"n": k}``), which makes replay
+    between committed offsets exact: ``readBetweenOffsets(a, b)``
+    re-parses files[a..b) and yields the identical rows, the property
+    Structured Streaming's WAL needs for failure recovery.
+
+    Scale: a SimpleDataSourceStreamReader parses on the driver — right
+    for a landing tail (documents are ≤384 rows each, API-bound) and
+    exactly wrong for bulk history, which is the batch reader's job
+    (one InputPartition per file, executor-parallel).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("openmeteo stream requires a path")
+
+    def _files(self) -> list[str]:
+        return sorted(n for n in os.listdir(self.dir) if n.endswith(".json"))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def _rows(self, names: list[str]) -> list[tuple]:
+        # a LIST, not a generator: the prefetch wrapper pickles the
+        # batch it hands to executors, and landed documents are small
+        # (≤384 rows each, API-bound)
+        return [
+            row
+            for name in names
+            for row in _parse_doc(os.path.join(self.dir, name), name.split("_")[0])
+        ]
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        files = self._files()
+        return self._rows(files[start["n"]:]), {"n": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return self._rows(self._files()[start["n"]:end["n"]])
 
 
 class OpenMeteoDataSource(DataSource):
-    """``spark.read.format("openmeteo")`` after :func:`register`."""
+    """``spark.read.format("openmeteo")`` (batch) and
+    ``spark.readStream.format("openmeteo")`` (landing tail) after
+    :func:`register`."""
 
     @classmethod
     def name(cls) -> str:
@@ -103,6 +157,9 @@ class OpenMeteoDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> OpenMeteoReader:
         return OpenMeteoReader(self.options)
+
+    def simpleStreamReader(self, schema: T.StructType) -> OpenMeteoStreamReader:
+        return OpenMeteoStreamReader(self.options)
 
 
 def register(spark) -> None:
