@@ -105,3 +105,34 @@ def test_cross_pairs_only_cross_side(spark):
     # intra-index pair (3,4) never emitted; orientation always (index, new)
     assert all(a in {1, 2, 3, 4} and b in {11, 12, 13} for a, b in pairs)
     assert (12, 12) not in pairs and (2, 12) not in pairs
+
+
+def test_pack_property_random_parity(spark):
+    """Property: for random token counts, budgets, and bucket sizes, the
+    two-level prefix equals the naive global-window prefix exactly, and
+    batch ids are a non-decreasing step function of the pack order.
+    (A handful of deterministic random draws rather than per-example
+    hypothesis: each check costs two Spark jobs.)"""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(1, 120)
+        budget = rng.randint(3, 40)
+        group = rng.choice([1, 3, 8, 64])
+        rows = [(i, rng.randint(0, 17)) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        got = {
+            r.doc_id: r.batch_id
+            for r in pack_token_batches(
+                df, F.col("n"), budget=budget, group_size=group
+            ).collect()
+        }
+        prefix = 0
+        want = {}
+        for i, t in rows:  # rows are already in doc_id order
+            want[i] = prefix // budget
+            prefix += t
+        assert got == want, (trial, n, budget, group)
+        bids = [got[i] for i, _ in rows]
+        assert all(a <= b for a, b in zip(bids, bids[1:]))
