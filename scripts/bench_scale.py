@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Scaling check for the dedup/text pipelines: 1x vs 10x corpus.
+
+Builds a 10x documents corpus in /tmp by unioning 10 token-salted
+replicas of sf0.1 (every token gets a per-replica suffix, so replicas
+share NO shingles — near-dup density stays constant instead of every
+doc acquiring 9 exact copies), then times the headline document
+pipelines at both sizes. Near-linear wall-clock ratios are the
+evidence that candidate generation is bucket-bound, not all-pairs.
+
+Usage: python scripts/bench_scale.py [R]   (default R=10)
+Prints one JSON line: {op: {"t1": s, "tR": s, "ratio": tR/t1,
+                            "rows1": n, "rowsR": n}}
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_weather_spark import queries as q  # noqa: E402
+from etl_weather_spark.session import get_spark  # noqa: E402
+
+R = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = f"/tmp/scale_{R}x"
+
+OPS = [
+    "dedup_exact",
+    "minhash_lsh_fast",
+    "winnow_candidates",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "token_budget_batches",
+    "doc_stats",
+    "event_pattern_match",  # events-based control: same input both runs? no — skipped at Rx
+]
+
+
+def build(spark) -> None:
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT)
+    docs = q.load(spark, BASE, "documents")
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(r * 100_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"$1x{r}").alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for r in range(R)
+    ]
+    big = reps[0]
+    for rep in reps[1:]:
+        big = big.unionByName(rep)
+    big.repartition(32).write.parquet(f"{OUT}/documents.parquet")
+    # events table: symlink-equivalent copy so load() finds it if needed
+    for t in ["events"]:
+        os.symlink(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    q.load(spark, BASE, "documents").count()  # warm
+    results = {}
+    for name in OPS:
+        if name == "event_pattern_match":
+            continue  # events don't scale in this harness
+        fn = q._QUERIES[name]
+        t = []
+        rows = []
+        for d in (BASE, OUT):
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                samples.append(time.perf_counter() - t0)
+            t.append(min(samples))
+            rows.append(n)
+        results[name] = {
+            "t1": round(t[0], 2), "tR": round(t[1], 2),
+            "ratio": round(t[1] / t[0], 1),
+            "rows1": rows[0], "rowsR": rows[1],
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+    print(json.dumps({"R": R, "ops": results}))
+
+
+if __name__ == "__main__":
+    main()
