@@ -170,6 +170,17 @@ def minhash_lsh_pairs(
     corpus scale a degenerate bucket (empty-ish docs sharing a trivial
     band) would otherwise dominate the shuffle. None (default) keeps
     exact LSH semantics — every bucket expands.
+
+    Operating point (recall is probabilistic per pair): with b bands of
+    r rows, P(candidate | sig-Jaccard s) = 1-(1-s^r)^b. The default
+    16-hash/4x4 layout gives ~99.7% at s=0.9 (where near-copies sit on
+    word-2-shingles) while keeping s=0.3 noise pairs under 4% — the
+    downstream exact verify disposes those for free, so the only real
+    cost of a looser band layout is candidate volume, and the only loss
+    of a tighter one is recall (measured: 100% of true trigram-J>=0.5
+    pairs at sf0.001-0.1; 2557/2560 on a 10x salted corpus,
+    scripts/bench_scale.py). Raise bands (e.g. 8x2) only with a verify
+    stage attached.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes

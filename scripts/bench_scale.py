@@ -37,7 +37,9 @@ OPS = [
     "dedup_clusters",
     "token_budget_batches",
     "doc_stats",
-    "event_pattern_match",  # events-based control: same input both runs? no — skipped at Rx
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
 ]
 
 
@@ -46,6 +48,20 @@ def build(spark) -> None:
         shutil.rmtree(OUT)
     os.makedirs(OUT)
     docs = q.load(spark, BASE, "documents")
+    emb = q.load(spark, BASE, "embeddings")
+    # 10x embeddings: vec_id offset + per-replica deterministic jitter so
+    # replicas aren't exact copies (cosine structure preserved)
+    eb = None
+    for r in range(R):
+        rep = emb.select(
+            (F.col("vec_id") + F.lit(r * 100_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda v: (v * (1.0 + r * 1e-3)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        eb = rep if eb is None else eb.unionByName(rep)
+    eb.repartition(32).write.parquet(f"{OUT}/embeddings.parquet")
     reps = [
         docs.select(
             (F.col("doc_id") + F.lit(r * 100_000_000)).alias("doc_id"),
@@ -70,8 +86,6 @@ def main() -> None:
     q.load(spark, BASE, "documents").count()  # warm
     results = {}
     for name in OPS:
-        if name == "event_pattern_match":
-            continue  # events don't scale in this harness
         fn = q._QUERIES[name]
         t = []
         rows = []
