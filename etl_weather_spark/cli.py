@@ -98,6 +98,21 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from etl_weather_spark.serve import make_server
+
+    spark = _spark(args.cpus)
+    srv = make_server(spark, args.sf_dir, port=args.port)
+    host, port = srv.server_address
+    print(f"serving on http://{host}:{port}  (routes: /health /data/daily "
+          f"/data/hourly /summary /query/<name>)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl-weather-spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
@@ -125,6 +140,10 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("bench", help="headline benchmark JSON line")
     b.set_defaults(fn=cmd_bench)
+
+    sv = sub.add_parser("serve", help="stdlib JSON API over the query registry")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)
