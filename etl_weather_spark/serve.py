@@ -108,6 +108,31 @@ class EngineAPI:
                 return [{"summary": s[0] if s else {}, "recommendations": r}]
 
             return 200, self._cached("summary", compute, refresh)[0]
+        if path == "/compare":
+            # reference /compare?cities=a,b (web.py:521-529): long-format
+            # daily series per entity; here entities are event types
+            kinds = params.get("kinds", ["view,click"])[0].split(",")
+            if len(kinds) < 2:
+                return 400, {"error": "compare needs >=2 kinds"}
+
+            def compute():
+                from pyspark.sql import functions as F
+
+                ev = self.q.load(self.spark, self.sf_dir, "events")
+                daily = (
+                    ev.filter(F.col("event_type").isin(kinds))
+                    .groupBy(
+                        F.to_date("ts").alias("date"),
+                        F.col("event_type").alias("kind"),
+                    )
+                    .agg(F.count(F.lit(1)).alias("value"))
+                    .orderBy("date", "kind")
+                )
+                return records(daily, limit)
+
+            return 200, self._cached(
+                f"compare|{','.join(sorted(kinds))}|{limit}", compute, refresh
+            )
         if path.startswith("/query/"):
             name = path.removeprefix("/query/")
             if name not in self.registry:

@@ -65,3 +65,12 @@ def test_cache_and_refresh(server):
     assert rows == [{"poisoned": True}]  # cache hit serves the stub
     status, rows = _get(server, "/data/daily?refresh=true")
     assert len(rows) == 30  # refresh bypassed and re-populated
+
+
+def test_compare_route(server):
+    status, rows = _get(server, "/compare?kinds=view,error")
+    assert status == 200
+    assert {r["kind"] for r in rows} == {"view", "error"}
+    assert len(rows) == 60  # 30 days x 2 kinds, long format
+    status, err = _get(server, "/compare?kinds=view")
+    assert status == 400
