@@ -713,6 +713,41 @@ def ngram_jaccard_pairs(
     return out
 
 
+_WB = np.uint64(1000003)  # polynomial base; uint64 wraparound = mod 2^64
+_WBINV = np.uint64(pow(1000003, -1, 1 << 64))  # modular inverse mod 2^64
+
+
+def _winnow_docwise(texts: list, k: int, window: int) -> list:
+    """Per-doc vectorized winnowing (module-level: testable without Spark)."""
+    out = []
+    for t in texts:
+        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(b)
+        if n < k:
+            h = np.uint64(0)
+            for v in b:
+                h = h * _WB + v
+            v = int(h)
+            out.append([v - (1 << 64) if v >= (1 << 63) else v])
+            continue
+        powers = np.empty(n, dtype=np.uint64)
+        powers[0] = 1
+        np.cumprod(np.full(n - 1, _WB, dtype=np.uint64), out=powers[1:])
+        prefix = np.concatenate(([np.uint64(0)], np.cumsum(b * powers[::-1])))
+        seg = prefix[k:] - prefix[:-k]
+        inv = np.empty(n - k + 1, dtype=np.uint64)
+        inv[0] = 1
+        if n - k > 0:
+            np.cumprod(np.full(n - k, _WBINV, dtype=np.uint64), out=inv[1:])
+        hashes = seg * inv[::-1]
+        if len(hashes) <= window:
+            mins = np.array([hashes.min()], dtype=np.uint64)
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+        out.append(np.unique(mins).view(np.int64).tolist())
+    return out
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     *,
@@ -729,58 +764,25 @@ def winnow_fingerprints(
 
     Output: one (doc_id, fp) row per distinct selected hash.
     Implementation: normalization stays Catalyst; the rolling hash +
-    window-min runs as ONE vectorized numpy pass per Arrow batch
-    (cumulative powers for O(n) k-gram hashes, stride-view window min).
-    A higher-order-function version was 30× slower: Catalyst inlines
-    the normalization into the per-element lambda, so every k-gram
-    re-ran the regex; per-row numpy is the right tool for dense
-    per-character work. Per-doc cost is linear in length; the shuffle
-    carries only (id, fp) pairs (see :func:`winnow_candidates`).
+    window-min is a vectorized numpy pass PER DOC (:func:`_winnow_docwise`:
+    cumulative powers for O(n) k-gram hashes, stride-view window min,
+    small per-doc unique). A whole-batch concatenated variant (one
+    cumprod over all batch bytes, owner-masked boundaries, global
+    lexsort dedup) was built and parity-tested, then REJECTED on
+    measurement: at 10k docs/batch it ran 3× slower — the global
+    (doc, fp) lexsort over ~1.4M window mins loses badly to 10k cheap
+    cache-resident per-doc sorts, and numpy call overhead at ~300
+    chars/doc is only ~10% of the cost. A higher-order-function version
+    was 30× slower still: Catalyst inlines the normalization into the
+    per-element lambda, so every k-gram re-ran the regex. Per-doc cost
+    is linear in length; the shuffle carries only (id, fp) pairs (see
+    :func:`winnow_candidates`).
     """
     from pyspark.sql.functions import pandas_udf
 
-    B = np.uint64(1000003)  # polynomial base; uint64 wraparound = mod 2^64
-    BINV = np.uint64(pow(1000003, -1, 1 << 64))  # modular inverse mod 2^64
-
     @pandas_udf("array<long>")
     def winnow(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(
-                np.uint64
-            )
-            n = len(b)
-            if n < k:
-                # short doc: single hash of the whole content
-                h = np.uint64(0)
-                for v in b:
-                    h = h * B + v
-                v = int(h)
-                out.append([v - (1 << 64) if v >= (1 << 63) else v])
-                continue
-            # prefix[i] = sum_{j<i} b[j] * B^(n-1-j); the k-gram segment
-            # sum at position i then carries a factor B^(n-k-i)
-            powers = np.empty(n, dtype=np.uint64)
-            powers[0] = 1
-            np.cumprod(np.full(n - 1, B, dtype=np.uint64), out=powers[1:])
-            weighted = b * powers[::-1]
-            prefix = np.concatenate(([np.uint64(0)], np.cumsum(weighted)))
-            seg = prefix[k:] - prefix[:-k]  # n-k+1 segments
-            # strip the position factor with the modular inverse so the
-            # same k-gram hashes identically in any doc at any offset:
-            # hash[i] = seg[i] * B^-(n-k-i) = canonical sum b[i+j]*B^(k-1-j)
-            inv = np.empty(n - k + 1, dtype=np.uint64)
-            inv[0] = 1
-            if n - k > 0:
-                np.cumprod(np.full(n - k, BINV, dtype=np.uint64), out=inv[1:])
-            hashes = seg * inv[::-1]
-            if len(hashes) <= window:
-                mins = np.array([hashes.min()], dtype=np.uint64)
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
-                mins = sw.min(axis=1)
-            out.append(np.unique(mins).view(np.int64).tolist())
-        return pd.Series(out)
+        return pd.Series(_winnow_docwise(list(texts), k, window))
 
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     # Widened: with the fingerprint table consumed exactly once (see
