@@ -2976,6 +2976,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank round (bit-exact mirror of
+    operators/graph.pagerank_scaled: integer div by outdeg, damped
+    integer recombination; DuckDB ``//`` == Spark ``div`` on
+    positive BIGINTs)."""
+    return f"""{cur} AS (
+  SELECT e.dst AS node,
+         CAST(150000000 + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT node AS doc_id, r AS rank_scaled FROM r3 ORDER BY doc_id
+"""
+
+
+@query("doc_pagerank", _PAGERANK_SQL)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph: which document
+    is the canonical hub of its duplicate neighborhood?
+
+    Pipeline: exact trigram-Jaccard pairs (≥0.5, same ground truth as
+    dedup_clusters) → symmetric edges → 3 Pregel-style rounds of
+    integer-exact damped rank propagation (operators/graph.py). A doc
+    near-duplicated by many others outranks a leaf that matched once —
+    the keep-this-one signal a cluster-collapse step wants.
+
+    Oracle: the three rounds unrolled as chained CTEs computing the
+    bit-identical integer recurrence.
+
+    Scale: each round is one keyed join + one agg over narrow
+    (id, long) rows; rounds are fixed, never iterate-to-convergence.
+    The pair graph is the LSH-pruned candidate set — orders of
+    magnitude smaller than the corpus.
+    """
+    from etl_weather_spark.operators.dedup import ngram_jaccard_pairs
+    from etl_weather_spark.operators.graph import pagerank_scaled
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
+    pr = pagerank_scaled(pairs.select("id_a", "id_b"), iterations=3)
+    return pr.select(F.col("node").alias("doc_id"), "rank_scaled").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: deterministic splits, cohort retention,
 # grouping sets, per-group top-k
