@@ -3045,6 +3045,52 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("doc_id"), "rank_scaled").orderBy("doc_id")
 
 
+@query(
+    "merge_incremental_custagg",
+    f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def merge_incremental_custagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh via MERGE (operators/merge.merge_frames):
+    a per-customer rollup snapshot built from orders before 1999 is
+    merged with recomputed rows for every customer active in 1999+ —
+    matched keys update, new customers insert, untouched customers keep
+    their snapshot rows.
+
+    Oracle: the merged relation must equal the from-scratch rollup over
+    ALL orders — the defining invariant of incremental maintenance
+    (same bar sources/lakehouse.incremental_refresh is tested to).
+
+    Scale: the changeset side aggregates only active customers'
+    history; the merge is one key-partitioned full-outer join. At
+    100 TB, bucket both sides by o_custkey (write_bucketed) and the
+    join plans shuffle-free.
+    """
+    from etl_weather_spark.operators.merge import merge_frames
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+
+    target = rollup(o.filter(F.col("o_orderdate") < cutoff))
+    active = (
+        o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    )
+    source = rollup(o.join(active, "o_custkey"))
+    return merge_frames(target, source, ["o_custkey"]).orderBy("o_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: deterministic splits, cohort retention,
 # grouping sets, per-group top-k

@@ -155,6 +155,49 @@ def snapshot_compact(
     return snapshot_write(out, table, mode="overwrite")
 
 
+def snapshot_merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    *,
+    delete_condition=None,
+) -> int:
+    """MERGE a changeset into the current version (SCD1 upsert +
+    optional delete), committed copy-on-write as a NEW version.
+
+    Old versions stay readable (time travel), so a bad merge is a
+    pointer rollback, not a restore job. The relational semantics live
+    in operators/merge.merge_frames; at 100 TB pair with
+    partition-pruned rewrite or bucketed targets (see that module's
+    scale notes) so a small changeset doesn't rewrite the world.
+    """
+    from etl_weather_spark.operators.merge import merge_frames
+
+    target = snapshot_read(spark, table)
+    merged = merge_frames(target, source, on, delete_condition=delete_condition)
+    return snapshot_write(merged, table, mode="overwrite")
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table: str,
+    on: list[str],
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CDC between two committed versions: (keys…,
+    change_type ∈ insert/update/delete, row values). The batch analog
+    of Delta's ``table_changes`` — downstream consumers re-derive
+    increments without re-reading either full version twice."""
+    from etl_weather_spark.operators.merge import diff_frames
+
+    old = snapshot_read(spark, table, version=from_version)
+    new = snapshot_read(spark, table, version=to_version)
+    return diff_frames(old, new, on)
+
+
 def expire_snapshots(table: str, *, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` versions and delete data
     dirs no surviving manifest references. Returns expired versions."""

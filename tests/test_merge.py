@@ -1,0 +1,111 @@
+"""operators/merge (MERGE semantics, CDC diff) + snapshot wrappers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_weather_spark.operators.merge import diff_frames, merge_frames
+from etl_weather_spark.sources.snapshots import (
+    snapshot_changes,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_merge_update_insert_keep(spark):
+    target = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    source = _df(spark, [(2, "B"), (4, "D")])
+    out = merge_frames(target, source, ["k"])
+    assert _rows(out) == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
+
+
+def test_merge_delete_condition_on_source(spark):
+    target = _df(spark, [(1, "a"), (2, "b")])
+    source = _df(spark, [(1, "DEL"), (2, "B2"), (9, "DEL")])
+    out = merge_frames(
+        target, source, ["k"], delete_condition=F.col("s.v") == "DEL"
+    )
+    # matched DEL row deletes; unmatched DEL row is a no-op (no insert)
+    assert _rows(out) == [(2, "B2")]
+
+
+def test_merge_null_key_inserts_not_matches(spark):
+    target = spark.createDataFrame([(None, "t")], "k long, v string")
+    source = spark.createDataFrame([(None, "s")], "k long, v string")
+    out = merge_frames(target, source, ["k"])
+    assert sorted(_rows(out)) == [(None, "s"), (None, "t")]
+
+
+def test_merge_requires_target_columns(spark):
+    target = _df(spark, [(1, "a")])
+    source = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError, match="missing merge columns"):
+        merge_frames(target, source, ["k"])
+
+
+def test_merge_source_extra_columns_dropped(spark):
+    target = _df(spark, [(1, "a")])
+    source = spark.createDataFrame([(1, "A", 99)], ["k", "v", "extra"])
+    out = merge_frames(target, source, ["k"])
+    assert out.columns == ["k", "v"] and _rows(out) == [(1, "A")]
+
+
+def test_diff_emits_only_changes(spark):
+    old = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _df(spark, [(1, "a"), (2, "B"), (4, "d")])
+    got = sorted(
+        (r["k"], r["change_type"], r["v"]) for r in diff_frames(old, new, ["k"]).collect()
+    )
+    assert got == [(2, "update", "B"), (3, "delete", "c"), (4, "insert", "d")]
+
+
+def test_diff_null_value_equality_is_null_safe(spark):
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None)], "k long, v string")
+    assert diff_frames(old, new, ["k"]).count() == 0
+
+
+def test_snapshot_merge_commits_new_version_and_changes_feed(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    v0 = snapshot_write(_df(spark, [(1, "a"), (2, "b")]), table)
+    src = _df(spark, [(2, "B"), (3, "c")])
+    v1 = snapshot_merge(spark, table, src, ["k"])
+    assert (v0, v1) == (0, 1)
+    assert _rows(snapshot_read(spark, table)) == [(1, "a"), (2, "B"), (3, "c")]
+    # time travel still sees the pre-merge content
+    assert _rows(snapshot_read(spark, table, version=v0)) == [(1, "a"), (2, "b")]
+    cdc = sorted(
+        (r["k"], r["change_type"], r["v"])
+        for r in snapshot_changes(spark, table, ["k"], from_version=v0).collect()
+    )
+    assert cdc == [(2, "update", "B"), (3, "insert", "c")]
+
+
+def test_snapshot_merge_delete_shows_in_changes(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    v0 = snapshot_write(_df(spark, [(1, "a"), (2, "kill")]), table)
+    v1 = snapshot_merge(
+        spark,
+        table,
+        _df(spark, [(2, "kill")]),
+        ["k"],
+        delete_condition=F.col("s.v") == "kill",
+    )
+    assert _rows(snapshot_read(spark, table)) == [(1, "a")]
+    cdc = [
+        (r["k"], r["change_type"])
+        for r in snapshot_changes(
+            spark, table, ["k"], from_version=v0, to_version=v1
+        ).collect()
+    ]
+    assert cdc == [(2, "delete")]
