@@ -45,16 +45,19 @@ def merge_frames(
       no-op, like ``WHEN NOT MATCHED`` having no insert clause match).
     - key only in target: row is kept untouched.
 
-    ``source`` must carry at least the target's columns; extras are
-    dropped. Null join keys never match (SQL semantics): a null-keyed
-    source row inserts, it does not update every null-keyed target row.
+    ``source`` must carry at least the target's columns; extras (e.g.
+    a CDC op/sequence column) ride through the join so
+    ``delete_condition`` can reference them as ``s.<col>``, but are
+    dropped from the output. Null join keys never match (SQL
+    semantics): a null-keyed source row inserts, it does not update
+    every null-keyed target row.
     """
     cols = target.columns
     missing = [c for c in cols if c not in source.columns]
     if missing:
         raise ValueError(f"source is missing merge columns: {missing}")
     t = target.select(*cols, F.lit(True).alias("_t_exists")).alias("t")
-    s = source.select(*cols, F.lit(True).alias("_s_exists")).alias("s")
+    s = source.withColumn("_s_exists", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
     j = t.join(s, cond, "full_outer")
 
