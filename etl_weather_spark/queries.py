@@ -3091,6 +3091,42 @@ def merge_incremental_custagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_frames(target, source, ["o_custkey"]).orderBy("o_custkey")
 
 
+@query(
+    "heavy_hitter_users",
+    """
+WITH tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id, COUNT(*) AS n_occurrences, tot.n AS total_n
+FROM events, tot
+GROUP BY user_id, tot.n
+HAVING COUNT(*) >= CEIL(0.008 * tot.n)
+ORDER BY n_occurrences DESC, user_id
+""",
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy-hitter users (≥0.8% of all events — the bot/abuse screen
+    a training pipeline runs before trusting engagement signals).
+
+    Two-pass sketch plan (operators/frequent.heavy_hitters): map-side
+    Misra-Gries summaries emit ≤k candidate rows per partition (never
+    the full user distribution through the shuffle), then an exact
+    broadcast-semi-join recount — so the OUTPUT is exact and
+    partitioning-independent while the shuffle stays O(k·partitions).
+    ``slack=1.0`` keeps k at the guarantee floor (k+1 > 1/φ), so the
+    decrement path actually exercises at this corpus's cardinality.
+
+    Oracle: the plain full GROUP BY + HAVING — the exactness claim.
+    """
+    from etl_weather_spark.operators.frequent import heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    hh = heavy_hitters(
+        ev.select(F.col("user_id").alias("item")), phi=0.008, slack=1.0
+    )
+    return hh.select(
+        F.col("item").cast("long").alias("user_id"), "n_occurrences", "total_n"
+    ).orderBy(F.desc("n_occurrences"), "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: deterministic splits, cohort retention,
 # grouping sets, per-group top-k

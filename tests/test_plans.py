@@ -439,3 +439,37 @@ def test_batch_packing_has_no_global_window(spark, sf_dir):
     assert plan.count("windowspecdefinition(") == 2, plan
     assert "windowspecdefinition(__bkt#" in plan, plan
     assert has_partial_aggregation(df), plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    """Pass 2's exact recount must be a broadcast semi-join of the tiny
+    candidate set against the items — a shuffle join here would move
+    the full item distribution, exactly what the sketch exists to
+    avoid. Pass 1 must be the only Python stage."""
+    df = q.heavy_hitter_users(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
+    # one Arrow-batched kernel (the MG summary), nothing row-at-a-time
+    assert count_occurrences(df, "ArrowEvalPython") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_rounds_are_keyed_joins(spark, sf_dir):
+    """Each PageRank round must stay a keyed equi-join + hash agg —
+    no cartesian anywhere, and partial aggregation on the contribution
+    sums so each round's shuffle carries one row per (dst, mapper)."""
+    df = q.doc_pagerank(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert has_partial_aggregation(df), plan
+
+
+def test_merge_is_single_full_outer_join(spark, sf_dir):
+    """MERGE = exactly one full-outer join on the key; the changeset
+    aggregation must partial-aggregate before its shuffle."""
+    df = q.merge_incremental_custagg(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Join type: FullOuter") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert has_partial_aggregation(df), plan
