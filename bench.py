@@ -62,6 +62,11 @@ HEADLINE = [
     "incremental_index_dedup",
     "token_budget_batches",
     "sketch_rollup_weekly_users",
+    # eighth wave (round 2): iterative graph rounds over the dup-pair
+    # graph; two-pass MG heavy hitters (map-side candidates + exact
+    # broadcast recount)
+    "doc_pagerank",
+    "heavy_hitter_users",
 ]
 
 

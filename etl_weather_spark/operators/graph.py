@@ -73,6 +73,13 @@ def pagerank_scaled(
         edges = edges.union(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
+    # the edge relation is consumed by deg + every round: without a
+    # fence the final plan re-derives the (possibly expensive) pair
+    # subtree once per consumer. A lazy local checkpoint materializes
+    # it exactly once per action — and unlike persist() it is bound to
+    # THIS DataFrame object, so repeated calls never share state
+    # (re-entrant benchmarks measure the full computation).
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # one binary relation reused every round: (src, dst, outdeg)
     edges_deg = edges.join(deg, "src")

@@ -3091,6 +3091,183 @@ def merge_incremental_custagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_frames(target, source, ["o_custkey"]).orderBy("o_custkey")
 
 
+_FUNNEL_SQL = r"""
+WITH RECURSIVE
+corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+s1 AS (SELECT * FROM corpus WHERE lang = 'en'),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                   - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
+              END AS n_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS s_en,
+         length(text) AS n_chars_x,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM s1
+),
+qual AS (
+  SELECT doc_id,
+         FLOOR((0.4 * least(n_tokens / 100.0, 1.0)
+                + 0.3 * (1.0 - (CASE WHEN n_chars_x > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_x ELSE 0.0 END))
+                + 0.3 * least((CASE WHEN n_tokens > 0 THEN CAST(s_en AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0))
+               * 10000 + 0.5) / 10000 AS quality
+  FROM scored
+),
+s2 AS (SELECT s1.* FROM s1 JOIN qual USING (doc_id) WHERE quality >= 0.5),
+fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM s2
+),
+s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT MIN(doc_id) FROM fp GROUP BY fingerprint)),
+toks3 AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+  FROM s3
+),
+sh3 AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk) - 2),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION SELECT id_b, id_a FROM prs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+s4 AS (
+  SELECT * FROM s3
+  WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
+),
+btoks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+  FROM documents WHERE doc_id % 50 = 0
+),
+bsh AS (
+  SELECT DISTINCT UNNEST(CASE WHEN len(tk) >= 5
+         THEN list_transform(generate_series(1, len(tk) - 4),
+                             i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM btoks
+),
+ttoks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+  FROM s4
+),
+tsh AS (
+  SELECT DISTINCT doc_id, UNNEST(CASE WHEN len(tk) >= 5
+         THEN list_transform(generate_series(1, len(tk) - 4),
+                             i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM ttoks
+),
+contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON b.sh = t.sh),
+s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT * FROM (
+  SELECT 0 AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs,
+         COALESCE(CAST(SUM(doc_id) AS BIGINT), 0) AS kept_id_sum FROM corpus
+  UNION ALL SELECT 1, 'lang_en', COUNT(*), COALESCE(CAST(SUM(doc_id) AS BIGINT), 0) FROM s1
+  UNION ALL SELECT 2, 'quality', COUNT(*), COALESCE(CAST(SUM(doc_id) AS BIGINT), 0) FROM s2
+  UNION ALL SELECT 3, 'exact_dedup', COUNT(*), COALESCE(CAST(SUM(doc_id) AS BIGINT), 0) FROM s3
+  UNION ALL SELECT 4, 'near_dedup', COUNT(*), COALESCE(CAST(SUM(doc_id) AS BIGINT), 0) FROM s4
+  UNION ALL SELECT 5, 'decontaminated', COUNT(*), COALESCE(CAST(SUM(doc_id) AS BIGINT), 0) FROM s5
+) ORDER BY stage_no
+"""
+
+
+@query("corpus_prep_funnel", _FUNNEL_SQL)
+def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus preparation: the whole training-data prep
+    chain as ONE composition — holdout split → language filter →
+    quality threshold → exact dedup (min-id per fingerprint) →
+    near-dup collapse (trigram-Jaccard ≥0.5 pairs → connected
+    components, keep cluster min) → benchmark decontamination (5-gram
+    overlap vs the held-out set). Emits per-stage survivor counts AND
+    a kept_id_sum checksum, so the oracle verifies the surviving SET
+    at every stage, not just its size.
+
+    Every stage reuses the independently-oracled operator (doc_profile,
+    doc_fingerprint, ngram_jaccard_pairs, connected_components,
+    exploded_shingles) — this query proves they COMPOSE: filters feed
+    dedup feeds decontamination with sequential semantics, the thing a
+    real pipeline runs nightly.
+
+    Scale: each stage is the same plan shape its standalone query
+    runs; survivors pass between stages as narrow (doc_id) keys
+    (semi/anti joins), never re-materialized text. In production each
+    stage's survivor set checkpoints to the lakehouse
+    (materialize_if_absent) instead of recomputing the chain per
+    downstream action.
+    """
+    from functools import reduce
+
+    from etl_weather_spark.operators.dedup import (
+        connected_components,
+        exploded_shingles,
+        ngram_jaccard_pairs,
+    )
+    from etl_weather_spark.operators.textops import doc_profile
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+
+    s1 = corpus.filter(F.col("lang") == "en")
+    good = doc_profile(s1).filter(F.col("quality") >= 0.5).select("doc_id")
+    s2 = s1.join(good, "doc_id")
+    keep3 = (
+        s2.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = s2.join(keep3, "doc_id")
+    cc = connected_components(ngram_jaccard_pairs(s3, shingle_n=3, min_jaccard=0.5))
+    drop4 = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    s4 = s3.join(drop4, "doc_id", "left_anti")
+    bsh = exploded_shingles(bench, text_col="text", keep_cols=[], n=5).select("sh").distinct()
+    tsh = exploded_shingles(s4, text_col="text", keep_cols=["doc_id"], n=5)
+    contaminated = tsh.join(F.broadcast(bsh), "sh").select("doc_id").distinct()
+    s5 = s4.join(contaminated, "doc_id", "left_anti")
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("kept_id_sum"),
+        ).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"),
+            "n_docs", "kept_id_sum",
+        )
+
+    rows = [
+        stage(0, "raw", corpus), stage(1, "lang_en", s1), stage(2, "quality", s2),
+        stage(3, "exact_dedup", s3), stage(4, "near_dedup", s4),
+        stage(5, "decontaminated", s5),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("stage_no")
+
+
 @query(
     "heavy_hitter_users",
     """
