@@ -907,6 +907,33 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
 
 
+@query("prefix_filter_jaccard", _JACCARD05_SQL)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact Jaccard≥0.5 pair set as ngram_jaccard, via
+    prefix-filtering candidates (PPJoin family) + exact verify instead
+    of the shares-any-shingle self-join — the identical oracle IS the
+    completeness proof for the pruned candidate generator.
+
+    Scale: the pair join touches only each doc's (1−t) rarest
+    shingles, so boilerplate shingles (the f²/2 blowup in the naive
+    join) generate no candidates; see
+    operators/dedup.prefix_filter_candidates. Measured sf0.1: 310k
+    candidates vs 1.13M any-shingle pairs (3.6×; this corpus has
+    little boilerplate — the pruning factor grows with shingle-df
+    skew, which is exactly when the naive join degrades; the
+    boilerplate-heavy unit-test corpus shows the stronger case).
+    """
+    from etl_weather_spark.operators.dedup import (
+        prefix_filter_candidates,
+        verify_candidates_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cand = prefix_filter_candidates(docs, shingle_n=3, min_jaccard=0.5)
+    pairs = verify_candidates_jaccard(docs, cand, shingle_n=3, min_jaccard=0.5)
+    return pairs.select("id_a", "id_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
+
+
 _MINHASH_SIG_SQL = ",\n".join(
     f"       MIN(md5('{i}|' || sh)) AS s{i}" for i in range(8)
 )
@@ -1464,6 +1491,62 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "price_qty_correlation",
+    """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sx,
+         CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sy,
+         CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sxx,
+         CAST(SUM(CAST(FLOOR((l_extendedprice * l_extendedprice) * 10 + 0.5) AS BIGINT)) AS DOUBLE) / 10 AS syy,
+         CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       FLOOR(((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000 + 0.5) / 1000000 AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+""",
+)
+def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs extended price per return
+    flag) from exact decimal moment sums — the distributed-statistics
+    pattern that stays bit-reproducible.
+
+    ``F.corr`` (Welford-style streaming covariance) accumulates in
+    partition order, so its last bits vary run to run and cannot
+    hash-match another engine. Instead the five moments are summed
+    exactly (items floor-scaled to integers — quantities are integral,
+    prices 2-dp; squared prices floor at 1dp so the per-item scaled
+    value stays under int64 — then decimal-38 accumulation), and the
+    correlation is assembled in ONE deterministic double expression
+    identical on both engines. Same dsum discipline as
+    functions/rounding.py, extended to second moments.
+
+    Scale: one partial-agg pass, six longs per group per mapper
+    through the shuffle; no second pass, no driver math.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", 2).alias("sx"),
+        dsum("l_extendedprice", 2).alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), 2).alias("sxx"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 1).alias("syy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", "n", rnd(corr, 6).alias("corr_qty_price")
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

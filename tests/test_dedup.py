@@ -371,3 +371,66 @@ def test_verified_pipelines_detect_planted_mutations(spark):
             for r in verify_candidates_jaccard(docs, wn_cand, min_jaccard=0.5).collect()
         }
         assert wn == truth, f"seed {seed}: winnow missed {truth - wn}"
+
+
+def test_prefix_filter_candidates_complete_and_pruned(spark):
+    """Prefix filtering must (a) propose a SUPERSET of every exact
+    Jaccard>=t pair — the PPJoin completeness guarantee — and
+    (b) propose fewer candidates than the shares-any-shingle join on a
+    corpus with a common boilerplate phrase."""
+    import random
+
+    from etl_weather_spark.operators.dedup import (
+        exploded_shingles,
+        ngram_jaccard_pairs,
+        prefix_filter_candidates,
+        verify_candidates_jaccard,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    boiler = "all rights reserved contact us for terms of service apply"
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows, doc_id = [], 0
+        for _ in range(8):
+            base = " ".join(rng.choice(words) for _ in range(40)) + " " + boiler
+            rows.append((doc_id, base)); doc_id += 1
+            toks = base.split()
+            toks[rng.randrange(40)] = rng.choice(words)
+            rows.append((doc_id, " ".join(toks))); doc_id += 1
+        for _ in range(12):
+            rows.append(
+                (doc_id, " ".join(rng.choice(words) for _ in range(30)) + " " + boiler)
+            )
+            doc_id += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        truth = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).collect()
+        }
+        assert truth, f"seed {seed}: no planted pairs"
+        cand = prefix_filter_candidates(docs, shingle_n=3, min_jaccard=0.5)
+        cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+        assert truth <= cand_set, f"seed {seed}: prefix filter dropped a true pair"
+
+        # every doc shares the boilerplate shingles -> the naive join
+        # proposes ~all pairs; the prefix index must propose fewer
+        naive_sh = exploded_shingles(docs, text_col="text", keep_cols=["doc_id"], n=3)
+        naive_pairs = (
+            naive_sh.alias("a")
+            .join(naive_sh.alias("b"), "sh")
+            .filter("a.doc_id < b.doc_id")
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        assert len(cand_set) < naive_pairs, (len(cand_set), naive_pairs)
+
+        verified = {
+            (r.id_a, r.id_b)
+            for r in verify_candidates_jaccard(
+                docs, cand, shingle_n=3, min_jaccard=0.5
+            ).collect()
+        }
+        assert verified == truth
