@@ -117,12 +117,14 @@ _PRIORITY = [
     "recommendation_text", "rolling_avg_7d", "centered_ma3", "minmax_norm",
     "rank_pct_diff", "top5_days", "union_dedup", "unpivot_daily", "asof_join",
     "slugify_parts", "weather_code_decode", "wind_compass_bins",
-    "json_extract_props", "daily_left_join", "hour_labels", "split_part_types",
+    "json_extract_props", "daily_left_join", "corpus_prep_funnel", "split_part_types",
     "regex_customer_ids", "sorted_nations", "today_lookup", "format_dates",
     "nearest_event", "next_events", "semi_anti_customers",
     # round-2 flagships (status_rollup/distinct_daily_users rotated out:
     # their shapes are covered by other checked rows, and the local
-    # replica still verifies them)
+    # replica still verifies them; hour_labels likewise rotated out for
+    # corpus_prep_funnel — the end-to-end prep chain belongs in the
+    # hard signal more than a 12-hour label format)
     "incremental_index_dedup", "token_budget_batches",
     # TPC-shaped join/agg anchors
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",

@@ -40,6 +40,10 @@ OPS = [
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",
+    # round-2 wave-2: iterative graph rounds over the dup-pair graph;
+    # prefix-filtered exact similarity join
+    "doc_pagerank",
+    "prefix_filter_jaccard",
 ]
 
 

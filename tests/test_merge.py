@@ -109,3 +109,37 @@ def test_snapshot_merge_delete_shows_in_changes(spark, tmp_path):
         ).collect()
     ]
     assert cdc == [(2, "delete")]
+
+
+def test_diff_then_merge_reconstructs_new_table(spark):
+    """CDC round trip: applying diff_frames(old, new) to old via
+    merge_frames must reproduce new exactly — the invariant that makes
+    a change feed a faithful replication stream. Randomized over
+    seeded inserts/updates/deletes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        old_rows = [(k, f"v{rng.randint(0, 9)}") for k in range(40)]
+        new_rows = {}
+        for k, v in old_rows:
+            r = rng.random()
+            if r < 0.2:
+                continue  # delete
+            new_rows[k] = f"u{rng.randint(0, 9)}" if r < 0.5 else v
+        for k in range(40, 55):  # inserts
+            if rng.random() < 0.5:
+                new_rows[k] = f"n{rng.randint(0, 9)}"
+        old = _df(spark, old_rows)
+        new = _df(spark, sorted(new_rows.items()))
+
+        changes = diff_frames(old, new, ["k"])
+        applied = merge_frames(
+            old,
+            changes.select("k", "v", "change_type"),
+            ["k"],
+            delete_condition=F.col("s.change_type") == "delete",
+        )
+        assert _rows(applied) == _rows(new), f"seed {seed}"
