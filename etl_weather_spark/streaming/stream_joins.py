@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: the most common streaming
+    join — each micro-batch of facts joins a (small) dimension table.
+
+    Semantics worth knowing: the STATIC side is re-evaluated per
+    micro-batch (a file-backed dim picks up slowly-changing updates at
+    trigger granularity with no restart — asserted in
+    tests/test_streaming_cdc_apply-style two-drain tests); no state is
+    kept for the static side, and no watermark is needed. Broadcast the
+    dim when small: Spark plans a broadcast hash join inside every
+    micro-batch, so the stream side never shuffles.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def attributed_purchases(
     views: DataFrame,
     purchases: DataFrame,
