@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import json
 import re
+from dataclasses import dataclass
 
+from pyspark.sql import types as T
 from pyspark.sql.functions import udtf
+from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
 #: tokenization rule shared with the DuckDB oracle in queries.word_freq:
 #: lowercase, split on non-alphanumeric runs, drop empties
@@ -71,7 +74,61 @@ class HourlyExplodeUDTF:
             yield row
 
 
+@dataclass
+class _MeltResult(AnalyzeResult):
+    """AnalyzeResult subclasses MUST be dataclasses — Spark rebuilds
+    them with dataclasses.replace on the executor before handing the
+    instance to the UDTF constructor."""
+
+    numeric_cols: tuple = ()
+    key_col: str = ""
+
+
+@udtf
+class MeltNumericUDTF:
+    """POLYMORPHIC table function (Spark 4 analyze API): melt every
+    numeric column of ANY input table into long format
+    (row_key, col_name, value) — the column list is discovered from the
+    table argument's schema at plan time, not hardcoded.
+
+    SQL: ``SELECT * FROM melt_numeric(TABLE(SELECT ...))``. The first
+    column is the row key (its type flows through to the output
+    schema — analyze() builds the StructType per call site); remaining
+    numeric columns melt, everything else is ignored.
+
+    This is the dynamic-schema side of §2.13's UDTF surface: the static
+    UDTFs above declare their schema in the decorator, this one computes
+    it per invocation. For fixed column sets prefer native
+    stack()/unpivot (queries.unpivot_daily) — codegen, no Python.
+    """
+
+    def __init__(self, analyze_result=None):
+        self._res = analyze_result
+
+    @staticmethod
+    def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+        fields = t.dataType.fields
+        numeric = tuple(
+            f.name
+            for f in fields[1:]
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType, T.IntegerType))
+        )
+        schema = (
+            T.StructType()
+            .add("row_key", fields[0].dataType)
+            .add("col_name", T.StringType())
+            .add("value", T.DoubleType())
+        )
+        return _MeltResult(schema=schema, numeric_cols=numeric, key_col=fields[0].name)
+
+    def eval(self, row):
+        for c in self._res.numeric_cols:
+            v = row[c]
+            yield row[self._res.key_col], c, (float(v) if v is not None else None)
+
+
 def register_udtfs(spark) -> None:
     """Register the table functions for SQL use."""
     spark.udtf.register("tokenize", TokenizeUDTF)
     spark.udtf.register("hourly_explode", HourlyExplodeUDTF)
+    spark.udtf.register("melt_numeric", MeltNumericUDTF)

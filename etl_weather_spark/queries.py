@@ -2007,6 +2007,38 @@ def word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_melt_events",
+    """
+SELECT event_id AS row_key, 'user_id' AS col_name, CAST(user_id AS DOUBLE) AS value FROM events
+UNION ALL
+SELECT event_id, 'value', value FROM events
+ORDER BY row_key, col_name
+""",
+)
+def udtf_melt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF (Spark 4 analyze API): melt_numeric discovers
+    the numeric columns of its TABLE argument at plan time and emits
+    long-format rows — the dynamic-schema half of the §2.13 UDTF
+    surface (functions/table_functions.MeltNumericUDTF). The oracle is
+    the static UNION ALL the polymorphic call must reduce to on this
+    input.
+    """
+    from etl_weather_spark.functions.table_functions import register_udtfs
+
+    register_udtfs(spark)
+    ev = load(spark, sf_dir, "events")
+    ev.select("event_id", "user_id", "value").createOrReplaceTempView(
+        "__events_for_melt"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM melt_numeric(TABLE(SELECT * FROM __events_for_melt))
+        ORDER BY row_key, col_name
+        """
+    )
+
+
+@query(
     "pivot_event_values",
     """
 SELECT CAST(ts AS DATE) AS date,
@@ -5904,6 +5936,146 @@ def sketch_rollup_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
         .orderBy("week_start")
+    )
+
+
+@query(
+    "kll_rollup_value_quantiles",
+    """
+SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+       COUNT(*) AS n,
+       FLOOR((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000 AS p50_exact,
+       FLOOR((quantile_cont(value, 0.95)) * 10000 + 0.5) / 10000 AS p95_exact,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def kll_rollup_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (DataSketches KLL, Spark 4 builtin):
+    per-day kll_sketch_agg_double over event values, merged upward with
+    kll_merge_agg_double to weekly p50/p95 estimates — the quantile
+    sibling of the HLL rollup. Exact percentiles don't merge across
+    days (a median of medians is not the median); stored daily KLL
+    sketches merge to ANY range with bounded rank error (~1.7% at
+    default k), so a 100 TB pipeline answers latency/size percentile
+    dashboards without rescanning raw events.
+
+    Estimates are engine-specific (approx_stats contract): the output
+    carries exact weekly percentiles both engines compute, plus
+    booleans asserting each merged estimate's VALUE lies inside the
+    exact [p40,p60] / [p90,p99] bracket — a rank-error claim far looser
+    than KLL's guarantee, so a healthy sketch always passes and a
+    broken merge flips the hash.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily_sk = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    wk = daily_sk.groupBy(
+        F.date_trunc("week", F.col("d")).cast("date").alias("week_start")
+    ).agg(F.kll_merge_agg_double("sk").alias("sk"))
+    wk = wk.select(
+        "week_start",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95_est"),
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("ep50"),
+        F.expr("percentile(value, 0.95)").alias("ep95"),
+        F.expr("percentile(value, 0.4)").alias("ep40"),
+        F.expr("percentile(value, 0.6)").alias("ep60"),
+        F.expr("percentile(value, 0.9)").alias("ep90"),
+        F.expr("percentile(value, 0.99)").alias("ep99"),
+    )
+    return (
+        exact.join(wk, "week_start")
+        .select(
+            "week_start",
+            "n",
+            rnd(F.col("ep50"), 4).alias("p50_exact"),
+            rnd(F.col("ep95"), 4).alias("p95_exact"),
+            F.col("p50_est").between(F.col("ep40"), F.col("ep60")).alias("p50_ok"),
+            F.col("p95_est").between(F.col("ep90"), F.col("ep99")).alias("p95_ok"),
+        )
+        .orderBy("week_start")
+    )
+
+
+@query(
+    "theta_user_overlap",
+    """
+WITH f AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(SUM(v) AS BIGINT) AS n_view,
+       CAST(SUM(c) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN v = 1 OR c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_either,
+       CAST(SUM(CASE WHEN v = 1 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only,
+       TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+FROM f
+""",
+)
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Spark 4 builtin) for distinct-set ALGEBRA:
+    |viewers ∩ clickers|, |viewers ∪ clickers|, |viewers \\ clickers|
+    estimated from two per-segment sketches — the operation HLL cannot
+    do (HLL unions only; intersections need inclusion-exclusion with
+    compounding error, theta supports them natively). At 100 TB the
+    audience-overlap question ("how many users did both X and Y") runs
+    on stored per-segment sketches instead of a users×segments join.
+
+    Exact sides both engines compute (one conditional-flag aggregation
+    per user — a single shuffle); booleans assert each estimate within
+    max(2, 15%) of exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+    )
+    exact = flags.agg(
+        F.sum("v").cast("long").alias("n_view"),
+        F.sum("c").cast("long").alias("n_click"),
+        F.sum(((F.col("v") == 1) & (F.col("c") == 1)).cast("int"))
+        .cast("long").alias("n_both"),
+        F.sum(((F.col("v") == 1) | (F.col("c") == 1)).cast("int"))
+        .cast("long").alias("n_either"),
+        F.sum(((F.col("v") == 1) & (F.col("c") == 0)).cast("int"))
+        .cast("long").alias("n_view_only"),
+    )
+    th = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("th"))
+    )
+    a = th.filter(F.col("event_type") == "view").select(F.col("th").alias("tha"))
+    b = th.filter(F.col("event_type") == "click").select(F.col("th").alias("thb"))
+    est = a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.theta_intersection("tha", "thb")).alias("e_inter"),
+        F.theta_sketch_estimate(F.theta_union("tha", "thb")).alias("e_union"),
+        F.theta_sketch_estimate(F.theta_difference("tha", "thb")).alias("e_diff"),
+    )
+
+    def ok(est_col: str, exact_col: str) -> Column:
+        tol = F.greatest(F.lit(2.0), 0.15 * F.col(exact_col))
+        return (F.abs(F.col(est_col) - F.col(exact_col)) <= tol)
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_view", "n_click", "n_both", "n_either", "n_view_only",
+        ok("e_inter", "n_both").alias("inter_ok"),
+        ok("e_union", "n_either").alias("union_ok"),
+        ok("e_diff", "n_view_only").alias("diff_ok"),
     )
 
 

@@ -47,3 +47,33 @@ def test_hourly_explode_null_padding(spark):
     rows2 = spark.sql("SELECT h.* FROM t_raw2, LATERAL hourly_explode(doc) h").collect()
     assert all(r.temperature_2m is None for r in rows2)
     assert [r.precipitation for r in rows2] == [0.0, 0.1]
+
+
+def test_melt_numeric_polymorphic_schema(spark):
+    """The analyze API must derive both the output key type and the
+    melted column set from the TABLE argument — different inputs,
+    different plans, no code change."""
+    from etl_weather_spark.functions.table_functions import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, 10, 2.5, "skip"), (2, 20, None, "skip")],
+        "id long, cnt long, x double, s string",
+    ).createOrReplaceTempView("__melt_a")
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM melt_numeric(TABLE(SELECT * FROM __melt_a)) ORDER BY row_key, col_name"
+        ).collect()
+    ]
+    assert got == [
+        (1, "cnt", 10.0), (1, "x", 2.5), (2, "cnt", 20.0), (2, "x", None),
+    ]
+
+    # a STRING-keyed table: the key type flows through to the schema
+    spark.createDataFrame(
+        [("a", 1.5)], "name string, metric double"
+    ).createOrReplaceTempView("__melt_b")
+    out = spark.sql("SELECT * FROM melt_numeric(TABLE(SELECT * FROM __melt_b))")
+    assert dict(out.dtypes)["row_key"] == "string"
+    assert [tuple(r) for r in out.collect()] == [("a", "metric", 1.5)]
