@@ -473,3 +473,29 @@ def test_merge_is_single_full_outer_join(spark, sf_dir):
     assert plan.count("Join type: FullOuter") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert has_partial_aggregation(df), plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a selectively-filtered dim must
+    plan a runtime dynamicpruning partition filter — at 100 TB this is
+    scanning the 3 matching date partitions instead of all of them.
+    (Static pushdown can't do it: the surviving dates are only known
+    after the dim filter runs.)"""
+    from etl_weather_spark import queries as q
+
+    ev = q.load(spark, sf_dir, "events")
+    fact_dir = str(tmp_path / "fact_by_date")
+    ev.withColumn("d", F.to_date("ts").cast("string")).write.partitionBy(
+        "d"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dates = sorted(r["d"] for r in fact.select("d").distinct().collect())
+    dim = spark.createDataFrame(
+        [(d, "keep" if i < 3 else "drop") for i, d in enumerate(dates)],
+        "dd string, tag string",
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), fact["d"] == dim["dd"])
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruning is real: only the 3 kept dates' rows come back
+    assert {r["d"] for r in joined.select("d").distinct().collect()} == set(dates[:3])
