@@ -3134,6 +3134,100 @@ SELECT node AS doc_id, r AS rank_scaled FROM r3 ORDER BY doc_id
 """
 
 
+_CANONICALS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")},
+uedges AS (SELECT DISTINCT src, dst FROM edges),
+reach(node, rch) AS (
+  SELECT src, src FROM uedges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN uedges e ON e.src = reach.rch
+),
+clusters AS (SELECT node, MIN(rch) AS cluster_id FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.cluster_id, c.node, r3.r,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY r3.r DESC, c.node) AS rn
+  FROM clusters c JOIN r3 ON r3.node = c.node
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rn = 1 THEN node END) AS canonical_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN r END) AS BIGINT) AS canonical_rank,
+       COUNT(*) AS cluster_size
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+@query("dup_canonicals", _CANONICALS_SQL)
+def dup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL decision: one canonical document per
+    near-dup cluster, chosen by PageRank centrality (rank desc, doc_id
+    as the deterministic tie-break) — connected components say WHICH
+    docs collapse together, centrality says which one to KEEP.
+
+    Composition of the two independently-oracled graph results
+    (dedup_clusters × doc_pagerank) in one plan; the oracle recomputes
+    both (recursive-CTE reachability + unrolled integer PageRank) and
+    picks the same per-cluster argmax.
+
+    Scale: clusters and ranks are both narrow (id, long) relations
+    over the LSH-pruned pair graph; the keep-pick is one window over
+    cluster_id.
+    """
+    from etl_weather_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from etl_weather_spark.operators.graph import pagerank_scaled
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)
+    cc = connected_components(pairs)
+    pr = pagerank_scaled(pairs, iterations=3)
+    joined = cc.join(pr, "node")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank_scaled"), F.col("node")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias(
+                "canonical_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("rank_scaled"))).alias(
+                "canonical_rank"
+            ),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @query("doc_pagerank", _PAGERANK_SQL)
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup pair graph: which document
