@@ -143,3 +143,36 @@ def test_diff_then_merge_reconstructs_new_table(spark):
             delete_condition=F.col("s.change_type") == "delete",
         )
         assert _rows(applied) == _rows(new), f"seed {seed}"
+
+
+def test_forget_keys_physically_after_expiry(spark, tmp_path):
+    """Right-to-be-forgotten: a merge-delete removes a key from the
+    CURRENT version, but time travel still sees it — the data is only
+    physically gone once expire_snapshots drops every manifest that
+    references the old files. Asserted at the byte level: after
+    expiry, no parquet file under the table contains the forgotten
+    value."""
+    import glob as g
+
+    from etl_weather_spark.sources.snapshots import expire_snapshots
+
+    table = str(tmp_path / "tbl")
+    secret = "SECRET-PAYLOAD-424242"
+    snapshot_write(_df(spark, [(1, "a"), (2, secret)]), table)
+    snapshot_merge(
+        spark,
+        table,
+        _df(spark, [(2, secret)]),
+        ["k"],
+        delete_condition=F.lit(True),
+    )
+    # logically gone, physically still present (old version readable)
+    assert _rows(snapshot_read(spark, table)) == [(1, "a")]
+    assert _rows(snapshot_read(spark, table, version=0)) == [(1, "a"), (2, secret)]
+
+    expired = expire_snapshots(table, keep_last=1)
+    assert expired == [0]
+    files = g.glob(f"{table}/**/*.parquet", recursive=True)
+    assert files
+    blob = b"".join(open(f, "rb").read() for f in files)
+    assert secret.encode() not in blob  # bytes are actually gone
