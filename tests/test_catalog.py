@@ -1,0 +1,87 @@
+"""Multi-table catalog: atomic cross-table snapshot commits."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_weather_spark.sources.catalog import (
+    catalog_commit_tables,
+    catalog_current,
+    catalog_read,
+    catalog_versions,
+)
+from etl_weather_spark.sources.snapshots import snapshot_write
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, norm double")
+
+
+def _pairs(spark, cat, cv=None):
+    d = {r["doc_id"]: r["text"] for r in catalog_read(spark, cat, "docs", catalog_version=cv).collect()}
+    e = {r["doc_id"]: r["norm"] for r in catalog_read(spark, cat, "embs", catalog_version=cv).collect()}
+    return d, e
+
+
+def test_atomic_commit_and_cross_table_time_travel(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    v0 = catalog_commit_tables(
+        spark, cat,
+        {"docs": _docs(spark, [(1, "one")]), "embs": _embs(spark, [(1, 0.5)])},
+    )
+    v1 = catalog_commit_tables(
+        spark, cat,
+        {"docs": _docs(spark, [(1, "one"), (2, "two")]),
+         "embs": _embs(spark, [(1, 0.5), (2, 0.7)])},
+    )
+    assert (v0, v1) == (0, 1)
+    assert _pairs(spark, cat) == ({1: "one", 2: "two"}, {1: 0.5, 2: 0.7})
+    # cross-table time travel: BOTH tables at the v0 pin
+    assert _pairs(spark, cat, cv=v0) == ({1: "one"}, {1: 0.5})
+
+
+def test_partial_update_carries_other_tables_forward(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    catalog_commit_tables(
+        spark, cat,
+        {"docs": _docs(spark, [(1, "a")]), "embs": _embs(spark, [(1, 0.1)])},
+    )
+    v1 = catalog_commit_tables(spark, cat, {"docs": _docs(spark, [(1, "a2")])})
+    d, e = _pairs(spark, cat, cv=v1)
+    assert d == {1: "a2"} and e == {1: 0.1}  # embs pinned forward unchanged
+
+
+def test_writer_crash_before_catalog_swap_is_invisible(spark, tmp_path):
+    """Simulated torn writer: one table already has a NEW per-table
+    snapshot version, but the catalog pointer was never swapped —
+    catalog readers must keep seeing the old, mutually-consistent
+    pair (the per-table pointer is never consulted)."""
+    cat = str(tmp_path / "cat")
+    catalog_commit_tables(
+        spark, cat,
+        {"docs": _docs(spark, [(1, "old")]), "embs": _embs(spark, [(1, 0.1)])},
+    )
+    pins = catalog_versions(cat)
+    # the "crash": docs advances out-of-band, no catalog commit
+    snapshot_write(_docs(spark, [(1, "TORN"), (2, "TORN")]), pins["docs"]["path"])
+    assert catalog_current(cat) == 0
+    assert _pairs(spark, cat) == ({1: "old"}, {1: 0.1})
+    # and the next successful commit heals: it pins fresh versions
+    catalog_commit_tables(
+        spark, cat,
+        {"docs": _docs(spark, [(1, "new")]), "embs": _embs(spark, [(1, 0.2)])},
+    )
+    assert _pairs(spark, cat) == ({1: "new"}, {1: 0.2})
+
+
+def test_read_unknown_table_or_empty_catalog_raises(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    with pytest.raises(FileNotFoundError):
+        catalog_versions(cat)
+    catalog_commit_tables(spark, cat, {"docs": _docs(spark, [(1, "x")])})
+    with pytest.raises(KeyError):
+        catalog_read(spark, cat, "nope")
