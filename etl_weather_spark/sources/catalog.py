@@ -74,7 +74,9 @@ def catalog_versions(catalog: str, *, version: int | None = None) -> dict:
         version = catalog_current(catalog)
     if version is None:
         raise FileNotFoundError(f"no committed catalog version at {catalog}")
-    return _load(catalog, version)
+    pins = dict(_load(catalog, version))
+    pins.pop("__batch_id", None)  # streaming commit marker, not a table
+    return pins
 
 
 def catalog_commit_tables(
@@ -96,6 +98,7 @@ def catalog_commit_tables(
     table_root = table_root or os.path.join(catalog, "tables")
     prev = catalog_current(catalog)
     pinned = dict(_load(catalog, prev)) if prev is not None else {}
+    pinned.pop("__batch_id", None)  # never carry a batch marker forward
 
     for name, df in writes.items():
         path = pinned.get(name, {}).get("path") or os.path.join(table_root, name)
@@ -125,3 +128,120 @@ def catalog_read(
     consistent, regardless of in-flight writers."""
     pin = catalog_versions(catalog, version=catalog_version)[table]
     return snapshot_read(spark, pin["path"], version=pin["version"])
+
+
+def catalog_history(catalog: str) -> list[int]:
+    """All committed catalog versions, oldest first."""
+    vdir = _vdir(catalog)
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def catalog_expire(catalog: str, *, keep_last: int = 2) -> dict[str, list[int]]:
+    """Catalog-AWARE garbage collection. The naive per-table
+    ``expire_snapshots(keep_last=k)`` is UNSAFE under a catalog: a
+    table that hasn't changed in many catalog commits may be pinned at
+    an old per-table version that a blind keep-last-k would delete,
+    breaking cross-table time travel (or even the CURRENT catalog
+    read).
+
+    This drops catalog versions beyond the newest ``keep_last``, then
+    expires, per table, exactly the per-table versions no SURVIVING
+    catalog version pins (data dirs referenced by a surviving version's
+    manifest are kept). Returns {table_name: [expired versions]}.
+    """
+    import shutil
+
+    from etl_weather_spark.sources.snapshots import (
+        _load_manifest,
+        _manifest_dir,
+        snapshot_history,
+    )
+
+    history = catalog_history(catalog)
+    surviving_cat = history[-keep_last:]
+    for v in history[:-keep_last]:
+        os.remove(os.path.join(_vdir(catalog), f"v{v}.json"))
+
+    pinned: dict[str, set[int]] = {}
+    paths: dict[str, str] = {}
+    for cv in surviving_cat:
+        for name, pin in _load(catalog, cv).items():
+            if name == "__batch_id":
+                continue
+            pinned.setdefault(name, set()).add(pin["version"])
+            paths[name] = pin["path"]
+
+    expired: dict[str, list[int]] = {}
+    for name, keep_versions in pinned.items():
+        table = paths[name]
+        gone: list[int] = []
+        keep_dirs = {
+            d
+            for v in keep_versions
+            for d in _load_manifest(table, v)["data_dirs"]
+        }
+        for m in snapshot_history(table):
+            v = m["version"]
+            if v in keep_versions:
+                continue
+            for d in m["data_dirs"]:
+                if d not in keep_dirs:
+                    shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+            os.remove(os.path.join(_manifest_dir(table), f"v{v}.json"))
+            gone.append(v)
+        if gone:
+            expired[name] = gone
+    return expired
+
+
+def stream_commit_tables(
+    changes: DataFrame,
+    *,
+    catalog: str,
+    checkpoint: str,
+    derive: "dict[str, callable]",
+    query_name: str = "catalog_publish",
+    available_now: bool = True,
+):
+    """Streaming medallion publish: every micro-batch derives N tables
+    (``derive`` maps table name → fn(batch_df) -> DataFrame) and
+    commits them as ONE atomic catalog version — downstream consumers
+    never see table A from batch 7 next to table B from batch 6.
+
+    Exactly-once: the catalog manifest records the batch id; a
+    replayed batch whose id is already the latest commit's marker is
+    skipped (foreachBatch is at-least-once).
+    """
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        cur = catalog_current(catalog)
+        if cur is not None and _load(catalog, cur).get("__batch_id") == batch_id:
+            return  # replay of the committed batch
+        writes = {name: fn(batch_df) for name, fn in derive.items()}
+        v = catalog_commit_tables(batch_df.sparkSession, catalog, writes)
+        # stamp the marker into the just-written manifest (pre-swap
+        # would be cleaner; post-stamp is fine because the pointer
+        # already names this version and the stamp is idempotent)
+        mpath = os.path.join(_vdir(catalog), f"v{v}.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        manifest["__batch_id"] = batch_id
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+
+    writer = (
+        changes.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -85,3 +85,92 @@ def test_read_unknown_table_or_empty_catalog_raises(spark, tmp_path):
     catalog_commit_tables(spark, cat, {"docs": _docs(spark, [(1, "x")])})
     with pytest.raises(KeyError):
         catalog_read(spark, cat, "nope")
+
+
+def test_catalog_expire_keeps_pinned_old_versions(spark, tmp_path):
+    """A table unchanged across many catalog commits stays pinned at an
+    OLD per-table version — catalog-aware GC must keep it while
+    dropping truly-unreferenced versions."""
+    from etl_weather_spark.sources.catalog import catalog_expire
+
+    cat = str(tmp_path / "cat")
+    catalog_commit_tables(
+        spark, cat,
+        {"docs": _docs(spark, [(1, "d0")]), "embs": _embs(spark, [(1, 0.0)])},
+    )
+    # docs churns 3 more times; embs never changes (stays pinned at v0)
+    for i in range(1, 4):
+        catalog_commit_tables(spark, cat, {"docs": _docs(spark, [(1, f"d{i}")])})
+
+    expired = catalog_expire(cat, keep_last=2)
+    # catalog v2, v3 survive -> docs v2, v3 pinned; docs v0, v1 expired
+    assert expired == {"docs": [0, 1]}
+    d, e = _pairs(spark, cat)
+    assert d == {1: "d3"} and e == {1: 0.0}  # embs v0 still readable
+    d2, e2 = _pairs(spark, cat, cv=2)
+    assert d2 == {1: "d2"} and e2 == {1: 0.0}
+    with pytest.raises(FileNotFoundError):
+        _pairs(spark, cat, cv=0)  # genuinely expired
+
+
+def test_stream_commit_tables_atomic_per_batch_and_replay_safe(spark, tmp_path):
+    """Streaming medallion publish: each micro-batch commits its
+    derived tables as one catalog version; a replayed batch id is a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.sources.catalog import (
+        catalog_history,
+        stream_commit_tables,
+    )
+
+    src = str(tmp_path / "in")
+    cat = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, name):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    derive = {
+        "docs": lambda b: b,
+        "stats": lambda b: b.select(
+            "doc_id", F.length("text").alias("n_chars")
+        ),
+    }
+    land([(1, "alpha")], "b0")
+    q = stream_commit_tables(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "10")
+        .parquet(src + "/*"),
+        catalog=cat, checkpoint=ckpt, derive=derive,
+    )
+    q.awaitTermination(120)
+    v_after = catalog_current(cat)
+    docs = {r["doc_id"]: r["text"] for r in catalog_read(spark, cat, "docs").collect()}
+    stats = {r["doc_id"]: r["n_chars"] for r in catalog_read(spark, cat, "stats").collect()}
+    assert docs == {1: "alpha"} and stats == {1: 5}
+
+    # replay: same checkpoint, no new files -> no new catalog version
+    q2 = stream_commit_tables(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "10")
+        .parquet(src + "/*"),
+        catalog=cat, checkpoint=ckpt, derive=derive,
+    )
+    q2.awaitTermination(120)
+    assert catalog_current(cat) == v_after
+
+    # second batch: both derived tables advance together
+    land([(2, "bee")], "b1")
+    q3 = stream_commit_tables(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "10")
+        .parquet(src + "/*"),
+        catalog=cat, checkpoint=ckpt, derive=derive,
+    )
+    q3.awaitTermination(120)
+    assert len(catalog_history(cat)) == v_after + 2
+    stats2 = {r["doc_id"]: r["n_chars"] for r in catalog_read(spark, cat, "stats").collect()}
+    assert stats2 == {2: 3}  # overwrite mode: per-batch derived tables
