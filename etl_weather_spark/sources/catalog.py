@@ -105,14 +105,39 @@ def catalog_commit_tables(
         v = snapshot_write(df, path, mode=mode)
         pinned[name] = {"path": path, "version": v}
 
-    version = 0 if prev is None else prev + 1
+    # Optimistic concurrency: CLAIM the next manifest number by
+    # hard-linking a fully-written temp manifest into place — os.link
+    # fails if v{N}.json already exists, and the claim lands WITH its
+    # content (no torn-read window). The loser rebases: tables it
+    # didn't write follow the winner's pins, then it retries at N+1.
+    # On object stores this is a conditional PUT (if-none-match).
     os.makedirs(_vdir(catalog), exist_ok=True)
-    with open(os.path.join(_vdir(catalog), f"v{version}.json"), "w") as f:
-        json.dump(pinned, f)
-    tmp = _pointer(catalog) + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _pointer(catalog))  # the commit point
+    version = 0 if prev is None else prev + 1
+    while True:
+        target = os.path.join(_vdir(catalog), f"v{version}.json")
+        tmpm = target + f".tmp.{uuid.uuid4().hex}"
+        with open(tmpm, "w") as f:
+            json.dump(pinned, f)
+        try:
+            os.link(tmpm, target)
+            os.remove(tmpm)
+            break
+        except FileExistsError:
+            os.remove(tmpm)
+            theirs = dict(_load(catalog, version))
+            theirs.pop("__batch_id", None)
+            for name, pin in theirs.items():
+                if name not in writes:
+                    pinned[name] = pin
+            version += 1
+    # forward-only pointer swap: a slow writer that claimed a lower
+    # number must not regress the pointer past a faster writer's commit
+    cur = catalog_current(catalog)
+    if cur is None or cur < version:
+        tmp = _pointer(catalog) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, _pointer(catalog))  # the commit point
     return version
 
 

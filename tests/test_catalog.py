@@ -174,3 +174,35 @@ def test_stream_commit_tables_atomic_per_batch_and_replay_safe(spark, tmp_path):
     assert len(catalog_history(cat)) == v_after + 2
     stats2 = {r["doc_id"]: r["n_chars"] for r in catalog_read(spark, cat, "stats").collect()}
     assert stats2 == {2: 3}  # overwrite mode: per-batch derived tables
+
+
+def test_concurrent_commit_claim_rebases_not_overwrites(spark, tmp_path):
+    """Optimistic concurrency: if another writer claimed v{N} between
+    our read and our commit, our commit must NOT overwrite it — it
+    rebases (untouched tables follow the winner's pins) and lands at
+    N+1."""
+    import json
+    import os
+
+    cat = str(tmp_path / "cat")
+    catalog_commit_tables(
+        spark, cat,
+        {"docs": _docs(spark, [(1, "d0")]), "embs": _embs(spark, [(1, 0.1)])},
+    )
+    # simulate a racer that claimed v1: pin embs at a new version
+    pins = catalog_versions(cat)
+    racer = {
+        "docs": pins["docs"],
+        "embs": {"path": pins["embs"]["path"], "version": pins["embs"]["version"]},
+    }
+    racer["embs"] = dict(racer["embs"])
+    with open(os.path.join(cat, "_versions", "v1.json"), "w") as f:
+        json.dump(racer, f)
+
+    v = catalog_commit_tables(spark, cat, {"docs": _docs(spark, [(1, "mine")])})
+    assert v == 2  # rebased past the racer's claim
+    # racer's manifest untouched
+    with open(os.path.join(cat, "_versions", "v1.json")) as f:
+        assert json.load(f) == racer
+    d, e = _pairs(spark, cat)
+    assert d == {1: "mine"} and e == {1: 0.1}
