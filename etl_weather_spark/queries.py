@@ -3621,10 +3621,18 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: DAU distinct-ize is the dominant shuffle (keyed on
     user_id+date); the self-join is DAU-sized (users x days, tiny vs
-    raw events) and co-partitions on user_id.
+    raw events) and co-partitions on user_id. The DAU relation has
+    THREE consumers (base counts + both join sides) — the lazy local
+    checkpoint makes the plan distinct-ize once per action instead of
+    re-scanning events per consumer (same fence as pagerank_scaled;
+    object-bound, so repeat benchmark runs still measure full work).
     """
     ev = load(spark, sf_dir, "events")
-    dau = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     base = dau.groupBy("d").agg(F.count(F.lit(1)).alias("n_users"))
     fut = dau.select("user_id", F.date_sub(F.col("d"), 7).alias("d"))
     ret = (
