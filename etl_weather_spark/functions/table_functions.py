@@ -7,9 +7,14 @@ many rows. Spark ≥3.5 exposes exactly that shape as a Python UDTF:
 ``LATERAL`` join after ``spark.udtf.register``.
 
 Scale notes:
-- UDTFs run Python per input row; both classes here yield bounded
-  row counts per input (hours per doc / tokens per doc), so the
-  expansion is data-proportional, never driver-materialized.
+- All UDTFs here are declared ``useArrow=True``: inputs/outputs move
+  as Arrow batches (plans show ArrowEvalPythonUDTF, not the
+  row-pickling BatchEvalPythonUDTF — asserted registry-wide in
+  tests/test_plans.py). ``eval`` is still called per input row, but
+  serialization — the usual Python-UDTF tax — is batched.
+- Each class yields bounded row counts per input (hours per doc /
+  tokens per doc), so the expansion is data-proportional, never
+  driver-materialized.
 - For hot paths prefer the native equivalents (``explode`` +
   ``arrays_zip``; ``split`` + ``explode``): those stay in codegen.
   The UDTF surface is for logic that genuinely needs imperative
@@ -31,7 +36,7 @@ from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 _TOKEN_RE = re.compile(r"[^a-z0-9]+")
 
 
-@udtf(returnType="doc_id bigint, pos int, word string")
+@udtf(returnType="doc_id bigint, pos int, word string", useArrow=True)
 class TokenizeUDTF:
     """text → one row per token with position.
 
@@ -48,7 +53,7 @@ class TokenizeUDTF:
                 pos += 1
 
 
-@udtf(returnType="time string, temperature_2m double, precipitation double")
+@udtf(returnType="time string, temperature_2m double, precipitation double", useArrow=True)
 class HourlyExplodeUDTF:
     """Open-Meteo columnar JSON document → one row per hour (P1,
     transform.py:18-29 as a table function).
@@ -84,7 +89,7 @@ class _MeltResult(AnalyzeResult):
     key_col: str = ""
 
 
-@udtf
+@udtf(useArrow=True)
 class MeltNumericUDTF:
     """POLYMORPHIC table function (Spark 4 analyze API): melt every
     numeric column of ANY input table into long format

@@ -499,3 +499,40 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the pruning is real: only the 3 kept dates' rows come back
     assert {r["d"] for r in joined.select("d").distinct().collect()} == set(dates[:3])
+
+
+def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
+    """Global invariants over EVERY registered query's physical plan:
+
+    - no BatchEvalPython anywhere (row-at-a-time Python UDFs are the
+      canonical 100 TB anti-pattern; all Python here must be
+      Arrow-batched);
+    - no CartesianProduct (a true cartesian of two multi-row relations
+      is always a bug at scale; 1-row scalar joins plan as broadcast
+      nested loop, which is allowed);
+    - ArrowEvalPython / mapInPandas stages only in the known
+      kernel-backed pipelines.
+
+    Plans are built (analysis + physical planning), not executed, so
+    the sweep stays cheap.
+    """
+    ARROW_OK = {
+        # pandas/Arrow kernels by design
+        "slugify_parts", "geo_mean_values", "winnow_candidates",
+        "heavy_hitter_users", "media_payload_stats", "doc_pagerank",
+        "dup_canonicals", "udtf_melt_events", "word_freq",
+        "recommendation_text", "ann_cosine_lsh", "ann_cosine_ivf",
+    }
+    bad: list[str] = []
+    for name, fn in q.queries().items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: BatchEvalPython")
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if (
+            ("ArrowEvalPython" in plan or "MapInPandas" in plan)
+            and name not in ARROW_OK
+        ):
+            bad.append(f"{name}: unexpected Arrow/pandas stage")
+    assert not bad, bad
