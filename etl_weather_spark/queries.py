@@ -3480,6 +3480,75 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_dropout_augment",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, len(tk) AS n_in,
+         list_filter(
+           list_transform(tk, (x, i) ->
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR) || '|' || x), 1, 1) = '0'
+                  THEN NULL ELSE x END),
+           x -> x IS NOT NULL) AS kept_tk
+  FROM toks
+)
+SELECT doc_id, n_in, len(kept_tk) AS n_out,
+       array_to_string(kept_tk, ' ') AS aug_text
+FROM kept
+ORDER BY doc_id
+""",
+)
+def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation (~1/16 of tokens
+    dropped): a noising pass for training-data robustness that is
+    content-addressed — md5(doc|position|token) decides each drop, so
+    re-runs, repartitions, and appends reproduce the identical
+    augmented text (the same determinism discipline as
+    train_test_split). Entirely Catalyst higher-order functions: no
+    Python, no shuffle — a pure map stage at any scale.
+
+    NOTE the index-base trap this query pins: DuckDB's list_transform
+    lambda index is 1-based, Spark's ``transform`` is 0-based — the
+    Spark side hashes ``i+1`` so both engines hash identical strings.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    kept = F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit("|"),
+                            (i + 1).cast("string"), F.lit("|"), x,
+                        )
+                    ),
+                    1, 1,
+                )
+                == "0",
+                F.lit(None),
+            ).otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_in"),
+            F.size(kept).alias("n_out"),
+            F.array_join(kept, " ").alias("aug_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "heavy_hitter_users",
     """
 WITH tot AS (SELECT COUNT(*) AS n FROM events)
