@@ -155,6 +155,67 @@ def snapshot_compact(
     return snapshot_write(out, table, mode="overwrite")
 
 
+class CheckViolation(ValueError):
+    """Raised by :func:`snapshot_write_checked` — carries the failing
+    (check, violations) rows so callers can log/alert precisely."""
+
+    def __init__(self, failures: list):
+        self.failures = failures
+        super().__init__(f"write rejected by checks: {failures}")
+
+
+def snapshot_write_checked(
+    df: DataFrame,
+    table: str,
+    *,
+    checks: list,
+    mode: str = "overwrite",
+    ingest_ts: str | None = None,
+) -> int:
+    """Constraint-enforced commit: evaluate Deequ-style checks
+    (operators/profiling — not_null / unique_key / in_range / in_set)
+    in ONE aggregate pass; commit only if every check passes, else
+    raise :class:`CheckViolation` with the per-check violation counts.
+
+    The table NEVER sees a bad version — readers and time travel only
+    observe constraint-clean commits (write-audit-publish with the
+    audit inlined). At scale the check pass is one partial-agg scan of
+    the incoming data, which the write was going to scan anyway.
+    """
+    from etl_weather_spark.operators.profiling import run_checks
+
+    results = run_checks(df, checks).collect()
+    failures = [(r["check"], r["violations"]) for r in results if not r["passed"]]
+    if failures:
+        raise CheckViolation(failures)
+    return snapshot_write(df, table, mode=mode, ingest_ts=ingest_ts)
+
+
+def snapshot_rollback(table: str, *, to_version: int) -> int:
+    """Roll back to an earlier version APPEND-ONLY: commit a NEW
+    version whose manifest references the old version's data dirs —
+    no data moves, history stays intact (the bad version remains
+    time-travelable for forensics until expiry), and concurrent
+    readers just see the pointer advance.
+    """
+    manifest = _load_manifest(table, to_version)
+    prev = current_version(table)
+    version = (prev or 0) + 1
+    rolled = {
+        "version": version,
+        "data_dirs": manifest["data_dirs"],
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "mode": f"rollback(to=v{to_version})",
+    }
+    with open(os.path.join(_manifest_dir(table), f"v{version}.json"), "w") as f:
+        json.dump(rolled, f)
+    tmp = _pointer_path(table) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer_path(table))
+    return version
+
+
 def snapshot_merge(
     spark: SparkSession,
     table: str,

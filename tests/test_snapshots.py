@@ -92,3 +92,55 @@ def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
         f.write('{"version": 1, "data_dirs": ["data/deadbeef"], "mode": "overwrite"}')
     assert current_version(t) == 0
     assert snapshot_read(spark, t).count() == 7
+
+
+def test_checked_write_rejects_bad_data_and_commits_clean(spark, tmp_path):
+    from etl_weather_spark.operators.profiling import in_range, not_null, unique_key
+    from etl_weather_spark.sources.snapshots import (
+        CheckViolation,
+        current_version,
+        snapshot_read,
+        snapshot_write_checked,
+    )
+
+    table = str(tmp_path / "tbl")
+    checks = [not_null("k"), unique_key("k"), in_range("v", 0, 100)]
+    good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    v = snapshot_write_checked(good, table, checks=checks)
+    assert v == 0
+
+    bad = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (None, 999.0)], "k long, v double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(CheckViolation) as ei:
+        snapshot_write_checked(bad, table, checks=checks)
+    names = {c for c, _ in ei.value.failures}
+    assert names == {"not_null(k)", "unique_key(k)", "in_range(v,0,100)"}
+    # the table never saw the bad version
+    assert current_version(table) == 0
+    assert snapshot_read(spark, table).count() == 2
+
+
+def test_rollback_is_append_only_and_expiry_safe(spark, tmp_path):
+    from etl_weather_spark.sources.snapshots import (
+        current_version,
+        expire_snapshots,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "good")], "k long, v string"), table)
+    snapshot_write(spark.createDataFrame([(1, "BAD")], "k long, v string"), table)
+    v2 = snapshot_rollback(table, to_version=0)
+    assert v2 == 2 and current_version(table) == 2
+    assert [tuple(r) for r in snapshot_read(spark, table).collect()] == [(1, "good")]
+    # the bad version stays time-travelable for forensics
+    assert [tuple(r) for r in snapshot_read(spark, table, version=1).collect()] == [(1, "BAD")]
+    # expiry keeps the rolled-back-to data: v2's manifest references
+    # v0's data dirs, so dropping v0/v1 must not delete them
+    assert expire_snapshots(table, keep_last=1) == [0, 1]
+    assert [tuple(r) for r in snapshot_read(spark, table).collect()] == [(1, "good")]
