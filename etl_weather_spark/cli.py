@@ -113,6 +113,33 @@ def cmd_serve(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_maintain(args: argparse.Namespace) -> int:
+    """Table maintenance over a snapshot table: compact / expire /
+    rollback / history — the operational loop a lakehouse needs."""
+    import json as _json
+
+    from etl_weather_spark.sources import snapshots as sn
+
+    if args.action == "history":
+        for m in sn.snapshot_history(args.table):
+            print(_json.dumps(m))
+        return 0
+    if args.action == "compact":
+        spark = _spark(args.cpus)
+        v = sn.snapshot_compact(spark, args.table)
+        print(f"compacted -> v{v}")
+        return 0
+    if args.action == "expire":
+        gone = sn.expire_snapshots(args.table, keep_last=args.keep_last)
+        print(f"expired versions: {gone}")
+        return 0
+    if args.action == "rollback":
+        v = sn.snapshot_rollback(args.table, to_version=args.to_version)
+        print(f"rolled back to v{args.to_version} as new v{v}")
+        return 0
+    raise SystemExit(f"unknown action {args.action}")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl-weather-spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
@@ -144,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
     sv = sub.add_parser("serve", help="stdlib JSON API over the query registry")
     sv.add_argument("--port", type=int, default=8000)
     sv.set_defaults(fn=cmd_serve)
+
+    m = sub.add_parser("maintain", help="snapshot-table maintenance")
+    m.add_argument("action", choices=["history", "compact", "expire", "rollback"])
+    m.add_argument("table")
+    m.add_argument("--keep-last", type=int, default=2, dest="keep_last")
+    m.add_argument("--to-version", type=int, default=0, dest="to_version")
+    m.set_defaults(fn=cmd_maintain)
 
     args = p.parse_args(argv)
     return args.fn(args)

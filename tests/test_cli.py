@@ -25,3 +25,23 @@ def test_cli_report(sf_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "period summary:" in out and "recommendations:" in out
+
+
+def test_cli_maintain_roundtrip(spark, tmp_path, capsys):
+    from etl_weather_spark.cli import main
+    from etl_weather_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    table = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "good")], "k long, v string"), table)
+    snapshot_write(spark.createDataFrame([(1, "BAD")], "k long, v string"), table)
+
+    assert main(["maintain", "history", table]) == 0
+    out = capsys.readouterr().out
+    assert '"version": 0' in out and '"version": 1' in out
+
+    assert main(["maintain", "rollback", table, "--to-version", "0"]) == 0
+    assert [tuple(r) for r in snapshot_read(spark, table).collect()] == [(1, "good")]
+
+    assert main(["maintain", "expire", table, "--keep-last", "1"]) == 0
+    assert "expired versions: [0, 1]" in capsys.readouterr().out
+    assert [tuple(r) for r in snapshot_read(spark, table).collect()] == [(1, "good")]
