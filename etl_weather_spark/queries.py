@@ -3256,6 +3256,84 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("doc_id"), "rank_scaled").orderBy("doc_id")
 
 
+_SEMANTIC_SIM_SQL = """FLOOR((list_dot_product(a.v, b.v)
+       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+      * 1000000 + 0.5) / 1000000"""
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_SEMANTIC_SIM_SQL} >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON e2.src = reach.r
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       (COALESCE(c.cluster_id, e.vec_id) = e.vec_id) AS is_canonical
+FROM e LEFT JOIN clusters c ON c.node = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+@query("semantic_dedup", _SEMANTIC_DEDUP_SQL)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup decision per document: collapse
+    embedding-cosine near-dup groups (sim ≥ 0.3 within label blocks)
+    via connected components and keep one canonical per group —
+    (vec_id, cluster_id, is_canonical) for every embedding row,
+    singletons canonical by construction.
+
+    The embedding twin of dup_canonicals (which collapses the LEXICAL
+    trigram-Jaccard graph): semantic dedup catches paraphrases and
+    re-encodings that share no n-grams, the published motivation for
+    embedding-space dedup of web-scale training corpora (SemDeDup,
+    Abbas et al. 2023 — here the cluster prune is the label block and
+    the keep rule is min id; swap in IVF cluster ids via
+    train_ivf_centroids for the data-adaptive blocking at 100 TB).
+
+    Oracle: DuckDB recomputes the same rounded-cosine pair graph and
+    resolves components by recursive-CTE reachability (MIN reachable
+    id == min-label-propagation fixpoint), then left-joins the full
+    id spine so singleton docs keep themselves.
+
+    Scale: pairs never go all-pairs (blocked comparison), components
+    run on the pruned pair graph only, and the final decision is one
+    left join of two narrow (id, id) relations.
+    """
+    from etl_weather_spark.operators.dedup import connected_components
+    from etl_weather_spark.operators.similarity import (
+        embedding_near_dupes as near_dupes,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = near_dupes(emb, block_col="label", threshold=0.3)
+    clusters = connected_components(pairs.select("id_a", "id_b"))
+    cluster_of = F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(clusters, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            cluster_of.alias("cluster_id"),
+            (cluster_of == F.col("vec_id")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "merge_incremental_custagg",
     f"""

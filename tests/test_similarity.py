@@ -125,3 +125,37 @@ def test_recall_gate_counts_and_threshold(spark):
     rows = {r.query_id: r for r in recall_gate(exact, approx, threshold=0.5).collect()}
     assert rows[1].n_exact == 4 and rows[1].n_approx == 4 and rows[1].recall_ok
     assert rows[2].n_exact == 4 and rows[2].n_approx == 4 and not rows[2].recall_ok
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """semantic_dedup: full id spine, one canonical per cluster,
+    cluster_id = min member, and members agree with its own pair graph."""
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.operators.dedup import connected_components
+
+    out = q.semantic_dedup(spark, sf_dir).collect()
+    emb = q.load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert len(out) == n  # every doc gets a decision
+
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.vec_id for m in members)  # min-id label
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].vec_id == cid
+
+    # decisions consistent with the underlying near-dup pair graph
+    pairs = embedding_near_dupes(emb, block_col="label", threshold=0.3)
+    cc = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs.select("id_a", "id_b")).collect()
+    }
+    got = {r.vec_id: r.cluster_id for r in out}
+    for node, cid in cc.items():
+        assert got[node] == cid
+    # singletons (no edges) keep themselves
+    for vid, cid in got.items():
+        if vid not in cc:
+            assert cid == vid
