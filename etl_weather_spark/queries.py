@@ -6049,6 +6049,49 @@ def incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_screen_new_docs",
+    """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+idx AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0')
+SELECT f.doc_id, (idx.fp IS NULL) AS is_new
+FROM fp f LEFT JOIN idx ON idx.fp = f.fp
+WHERE f.source <> 'src0'
+ORDER BY f.doc_id
+""",
+)
+def bloom_screen_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT novelty screen of a new ingestion batch against the
+    standing fingerprint index via a broadcast Bloom filter: src0 is
+    the index, every other source the batch; output is (doc_id,
+    is_new) for every batch doc.
+
+    The Bloom bitmap (built in one distributed pass, partial bitmaps
+    OR-ed — operators/bloom.py) answers "definitely new" executor-
+    locally; only might-contain rows pay the exact confirm join, so
+    the result equals the plain anti-join oracle while the index-sized
+    shuffle shrinks to the collision candidates. At 100 TB the bitmap
+    is built once and persisted next to the signature index
+    (operators/dedup.minhash_sig_table), not rebuilt per batch.
+    """
+    from etl_weather_spark.operators.bloom import bloom_screen
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    index = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+    return (
+        bloom_screen(index, batch, key_col="fp", fp_rate=0.01)
+        .select("doc_id", "is_new")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "source_mix_rebalance",
     """
 WITH w AS (
