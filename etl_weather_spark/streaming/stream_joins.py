@@ -90,3 +90,59 @@ def attributed_purchases(
             ).alias("lag_sec"),
         )
     )
+
+
+def view_attribution_outer(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: EVERY view eventually
+    emits — matched views carry their purchase(s) immediately (inner
+    results don't wait), unmatched views emit with a NULL purchase once
+    the watermark passes ``view_ts + horizon`` and no match can still
+    arrive. The "did this impression convert?" feed, nulls included.
+
+    Same code runs on static frames (plain left join, everything emits
+    at once — the batch-parity contract) and on streams, where the
+    outer-null decision is exactly the state-eviction decision: a view
+    row is held until the watermark proves the answer, then emitted
+    once. Spark requires the time-bound condition + both watermarks for
+    this reason — without them "no match can still arrive" is
+    undecidable and outer state would grow forever.
+
+    Emission latency is inherent: an unmatched view emits only when a
+    LATER event advances the watermark past its horizon (or a no-data
+    micro-batch flushes eligible state). Tests drive this with
+    heartbeat rows.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (v["user_id"] == p["p_user"])
+        & (p["purchase_ts"] >= v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond, "leftOuter").select(
+        "user_id",
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).alias("lag_sec"),
+    )

@@ -291,3 +291,71 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (1, 11, 20, 300),
         (1, 11, 21, 1500),
     }
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER interval join: matched views emit eagerly; an
+    unmatched view emits with NULL purchase once the global watermark
+    passes view_ts + horizon (driven here by heartbeat rows); and the
+    emitted set for settled users equals the batch left join."""
+    from etl_weather_spark.streaming.stream_joins import view_attribution_outer
+
+    def ev(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype, "value": 0.0, "props": "{}"}
+
+    views_b1 = [
+        ev(101, "2024-01-01T01:00:00", 1, "view"),   # will match p201
+        ev(102, "2024-01-01T01:05:00", 2, "view"),   # never matches
+    ]
+    purchases_b1 = [ev(201, "2024-01-01T01:10:00", 1, "purchase")]
+    # heartbeats: advance BOTH sides' watermarks (global wm = min)
+    views_b2 = [ev(109, "2024-01-01T03:00:00", 9, "view")]
+    purchases_b2 = [ev(209, "2024-01-01T03:00:00", 9, "purchase")]
+    # third batch executes WITH the 03:00 watermark -> evicts/emits u2
+    views_b3 = [ev(108, "2024-01-01T05:00:00", 8, "view")]
+    purchases_b3 = [ev(208, "2024-01-01T05:00:00", 8, "purchase")]
+
+    vsrc = tmp_path / "v"; vsrc.mkdir()
+    psrc = tmp_path / "p"; psrc.mkdir()
+    for name, rows in [("b1", views_b1), ("b2", views_b2), ("b3", views_b3)]:
+        (vsrc / f"{name}.json").write_text("\n".join(json.dumps(e) for e in rows))
+    for name, rows in [("b1", purchases_b1), ("b2", purchases_b2), ("b3", purchases_b3)]:
+        (psrc / f"{name}.json").write_text("\n".join(json.dumps(e) for e in rows))
+
+    vstream = read_event_stream(spark, str(vsrc), fmt="json", max_files_per_trigger=1)
+    pstream = read_event_stream(spark, str(psrc), fmt="json", max_files_per_trigger=1)
+    q = (
+        view_attribution_outer(vstream, pstream, horizon="30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_outer_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    settled = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_sec)
+        for r in spark.sql(
+            "SELECT * FROM t_outer_attrib WHERE user_id IN (1, 2)"
+        ).collect()
+    }
+    # u1's view matched eagerly; u2's view emitted as an outer null
+    assert settled == {(1, 101, 201, 600), (2, 102, None, None)}
+
+    # batch parity on the settled users: same function, static frames
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    as_df = lambda rows: spark.createDataFrame(
+        [tuple(e.values()) for e in rows], schema
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_sec)
+        for r in view_attribution_outer(
+            as_df(views_b1 + views_b2 + views_b3),
+            as_df(purchases_b1 + purchases_b2 + purchases_b3),
+            horizon="30 minutes",
+        )
+        .filter(F.col("user_id").isin(1, 2))
+        .collect()
+    }
+    assert batch == settled
