@@ -67,6 +67,11 @@ HEADLINE = [
     # broadcast recount)
     "doc_pagerank",
     "heavy_hitter_users",
+    # ninth wave (round 2): embedding-graph semantic dedup, Bloom-screen
+    # incremental dedup, PQ compressed-ANN with exact re-rank
+    "semantic_dedup",
+    "bloom_screen_new_docs",
+    "ann_cosine_pq",
 ]
 
 

@@ -522,6 +522,8 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         "heavy_hitter_users", "media_payload_stats", "doc_pagerank",
         "dup_canonicals", "udtf_melt_events", "word_freq",
         "recommendation_text", "ann_cosine_lsh", "ann_cosine_ivf",
+        # round-2 wave 2: Bloom probe + PQ encode/ADC are Arrow kernels
+        "bloom_screen_new_docs", "ann_cosine_pq",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():
@@ -536,3 +538,30 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         ):
             bad.append(f"{name}: unexpected Arrow/pandas stage")
     assert not bad, bad
+
+
+def test_semantic_dedup_no_cartesian_and_blocked_pairs(spark, sf_dir):
+    # pair generation must stay blocked (equi-join on label), the
+    # decision join narrow — never an all-pairs product
+    df = q.semantic_dedup(spark, sf_dir)
+    assert count_occurrences(df, "CartesianProduct") == 0, formatted_plan(df)
+    assert count_occurrences(df, "BroadcastNestedLoopJoin") == 0, formatted_plan(df)
+
+
+def test_bloom_screen_probe_is_arrow_not_row_python(spark, sf_dir):
+    # the might-contain probe must be an Arrow-batched kernel; the only
+    # joins are the maybe-side confirm (definite-new rows join nothing)
+    df = q.bloom_screen_new_docs(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert count_occurrences(df, "CartesianProduct") == 0, plan
+
+
+def test_pq_full_vectors_only_in_rerank(spark, sf_dir):
+    # the ADC scan is a projection over codes (no join); full vectors
+    # enter exactly via the shortlist re-rank joins — never all-pairs
+    df = q.ann_cosine_pq(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert count_occurrences(df, "CartesianProduct") == 0, plan
