@@ -3389,6 +3389,153 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hard_negatives",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS clabel, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         FLOOR((list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+               * 1000000 + 0.5) / 1000000 AS sim
+  FROM q CROSS JOIN c
+  WHERE qlabel <> clabel
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: for each query
+    embedding, the top-5 most-similar vectors with a DIFFERENT label —
+    the near-miss examples that teach an encoder its decision boundary
+    (random negatives are trivially separable; hard ones carry the
+    gradient signal).
+
+    Same scale shape as the brute-force ANN baseline (queries
+    broadcast, corpus partitioned, one window top-k); at 100 TB swap
+    the exact scan for the IVF/PQ shortlist and keep the label-mismatch
+    filter — the mining logic is unchanged.
+    """
+    from etl_weather_spark.operators.similarity import (
+        as_double_array,
+        dot,
+        norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            as_double_array(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    sim = rnd(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("qlabel") != F.col("clabel"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+
+_CLUSTER_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+spine AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5('gsplit|' || CAST(cluster_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substr(md5('gsplit|' || CAST(cluster_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+            ELSE 'test' END AS split
+FROM spine
+ORDER BY doc_id
+"""
+
+
+@query("cluster_safe_split", _CLUSTER_SAFE_SPLIT_SQL)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: near-duplicate CLUSTERS are
+    the split unit, not documents — every member of a trigram-Jaccard
+    cluster lands in the same split, so no near-copy of a test document
+    can sit in train (the dedup-leakage failure mode benchmark papers
+    keep finding; plain per-doc splits cannot prevent it).
+
+    Split assignment reuses train_test_split's content-addressed rule,
+    applied to the CLUSTER id (md5('gsplit|' || cluster_id) nibble →
+    ~81/6/13), so membership stays stable under re-runs, repartitioning,
+    and appends that don't merge clusters.
+
+    Scale: cluster ids come from the LSH-pruned pair graph (narrow),
+    the spine join is one keyed left join, the split rule is map-side.
+    """
+    from etl_weather_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    cluster_of = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    spine = docs.select("doc_id").join(
+        cc, F.col("doc_id") == F.col("node"), "left"
+    ).select("doc_id", cluster_of.alias("cluster_id"))
+    nib = F.substring(
+        F.md5(F.concat(F.lit("gsplit|"), F.col("cluster_id").cast("string"))), 1, 1
+    )
+    split = (
+        F.when(nib < "d", "train").when(nib == "d", "val").otherwise("test")
+    ).alias("split")
+    return spine.select("doc_id", "cluster_id", split).orderBy("doc_id")
+
+
+@query(
     "merge_incremental_custagg",
     f"""
 SELECT o_custkey,

@@ -434,3 +434,28 @@ def test_prefix_filter_candidates_complete_and_pruned(spark):
             ).collect()
         }
         assert verified == truth
+
+
+def test_cluster_safe_split_no_cross_split_near_dups(spark, sf_dir):
+    """The leakage property itself: every near-dup pair lands in ONE
+    split, every cluster is split-homogeneous, every doc is assigned."""
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {r.doc_id: (r.cluster_id, r.split)
+           for r in q.cluster_safe_split(spark, sf_dir).collect()}
+    docs = q.load(spark, sf_dir, "documents")
+    assert len(out) == docs.count()
+    assert set(s for _, s in out.values()) <= {"train", "val", "test"}
+
+    # split is a function of the cluster -> cluster-homogeneous
+    by_cluster: dict[int, set] = {}
+    for cid, split in out.values():
+        by_cluster.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    # and therefore no near-dup pair straddles two splits
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).collect()
+    assert len(pairs) > 0  # corpus has planted near-dups; test is live
+    for p in pairs:
+        assert out[p.id_a][1] == out[p.id_b][1], (p.id_a, p.id_b)
