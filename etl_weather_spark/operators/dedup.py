@@ -760,13 +760,36 @@ def prefix_filter_candidates(
             <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
         )
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
-    b = prefix.select(F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+    a = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "sh",
+        F.col("n_sh").alias("n_a"),
+        F.col("rnk").alias("rnk_a"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"),
+        "sh",
+        F.col("n_sh").alias("n_b"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    # positional filter (PPJoin): J ≥ t needs overlap α ≥
+    # ceil(t/(1+t)·(|A|+|B|)); a shared prefix shingle at positions
+    # (i, j) caps the still-achievable overlap at 1 + min(|A|−i, |B|−j).
+    # For a true pair the EARLIEST shared prefix shingle satisfies the
+    # cap, so keeping a pair when ANY of its shared rows passes stays
+    # complete while pruning the dense-shingle candidates the length
+    # filter can't (measured 3.1M → far fewer on the word-soup corpus,
+    # where every doc shares rare-ish trigrams with hundreds of others).
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")))
+    pos_cap = F.lit(1) + F.least(
+        F.col("n_a") - F.col("rnk_a"), F.col("n_b") - F.col("rnk_b")
+    )
     return (
         a.join(b, "sh")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.lit(t) * F.greatest("n_a", "n_b") <= F.least("n_a", "n_b"))
+            & (pos_cap >= alpha)
         )
         .select("id_a", "id_b")
         .distinct()

@@ -44,6 +44,13 @@ OPS = [
     # prefix-filtered exact similarity join
     "doc_pagerank",
     "prefix_filter_jaccard",
+    # round-2 wave-3: Bloom novelty screen (bitmap build is the fixed
+    # cost; probe is map-side), PQ ANN (code scan + shortlist re-rank),
+    # embedding-graph dedup, cluster-unit split
+    "bloom_screen_new_docs",
+    "ann_cosine_pq",
+    "semantic_dedup",
+    "cluster_safe_split",
 ]
 
 
