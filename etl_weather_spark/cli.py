@@ -140,6 +140,87 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     raise SystemExit(f"unknown action {args.action}")
 
 
+def cmd_datasheet(args: argparse.Namespace) -> int:
+    """Dataset card for the document corpus: one markdown page of the
+    numbers a consumer checks before training on it — sizes, language
+    mix, quality, token budget, exact-dup rate, source mix. Every
+    figure is one scan-bounded aggregate over existing operators
+    (doc_profile, doc_fingerprint); nothing is collected except the
+    card's own rows. Near-dup analysis is opt-in (``--near-dups``)
+    because the pair join is real work at scale.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.functions.text import doc_fingerprint
+    from etl_weather_spark.operators.textops import doc_profile
+
+    spark = _spark(args.cpus)
+    docs = q.load(spark, args.sf_dir, "documents")
+    prof = doc_profile(docs).withColumn("fp", doc_fingerprint(F.col("text")))
+
+    head = prof.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.avg("quality").alias("avg_quality"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    ).collect()[0]
+    langs = prof.groupBy("lang_pred").count().orderBy(F.desc("count")).collect()
+    srcs = (
+        docs.groupBy("source").count().orderBy(F.desc("count"), "source")
+        .limit(10).collect()
+    )
+
+    lines = [
+        "# Dataset card",
+        "",
+        f"- source dir: `{args.sf_dir}`",
+        f"- documents: **{head.n_docs}** ({head.n_unique} unique bodies; "
+        f"exact-dup rate {1 - head.n_unique / max(head.n_docs, 1):.2%})",
+        f"- tokens: {head.total_tokens} total, {head.avg_tokens:.1f}/doc",
+        f"- quality score: {head.avg_quality:.3f} mean",
+        f"- doc length: {head.min_chars}-{head.max_chars} chars",
+        "",
+        "## Language mix (predicted)",
+        "",
+        *(f"- {r.lang_pred}: {r['count']}" for r in langs),
+        "",
+        "## Sources (top 10)",
+        "",
+        *(f"- {r.source}: {r['count']}" for r in srcs),
+    ]
+    if args.near_dups:
+        from etl_weather_spark.operators.dedup import (
+            connected_components,
+            ngram_jaccard_pairs,
+        )
+
+        pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
+        cc = connected_components(pairs.select("id_a", "id_b"))
+        n_pairs = pairs.count()
+        n_clustered = cc.count()
+        n_clusters = cc.select("cluster_id").distinct().count()
+        lines += [
+            "",
+            "## Near-duplicates (trigram Jaccard >= 0.5)",
+            "",
+            f"- pairs: {n_pairs}",
+            f"- docs in clusters: {n_clustered} across {n_clusters} clusters",
+            f"- removable via keep-one-per-cluster: {n_clustered - n_clusters}",
+        ]
+    card = "\n".join(lines)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(card + "\n")
+        print(f"wrote datasheet -> {args.out}")
+    else:
+        print(card)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl-weather-spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
@@ -171,6 +252,12 @@ def main(argv: list[str] | None = None) -> int:
     sv = sub.add_parser("serve", help="stdlib JSON API over the query registry")
     sv.add_argument("--port", type=int, default=8000)
     sv.set_defaults(fn=cmd_serve)
+
+    ds = sub.add_parser("datasheet", help="markdown dataset card for the corpus")
+    ds.add_argument("--out", default=None, help="write the card here (default stdout)")
+    ds.add_argument("--near-dups", action="store_true", dest="near_dups",
+                    help="include the (expensive) near-dup cluster section")
+    ds.set_defaults(fn=cmd_datasheet)
 
     m = sub.add_parser("maintain", help="snapshot-table maintenance")
     m.add_argument("action", choices=["history", "compact", "expire", "rollback"])

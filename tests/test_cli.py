@@ -45,3 +45,18 @@ def test_cli_maintain_roundtrip(spark, tmp_path, capsys):
     assert main(["maintain", "expire", table, "--keep-last", "1"]) == 0
     assert "expired versions: [0, 1]" in capsys.readouterr().out
     assert [tuple(r) for r in snapshot_read(spark, table).collect()] == [(1, "good")]
+
+
+def test_cli_datasheet(sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "card.md")
+    rc = main(["--sf-dir", sf_dir, "datasheet", "--near-dups", "--out", out])
+    assert rc == 0
+    card = open(out).read()
+    assert "# Dataset card" in card
+    assert "exact-dup rate" in card
+    assert "## Language mix" in card
+    assert "## Near-duplicates" in card
+    # stdout path too
+    rc = main(["--sf-dir", sf_dir, "datasheet"])
+    assert rc == 0
+    assert "# Dataset card" in capsys.readouterr().out
