@@ -6573,6 +6573,64 @@ def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_user_freq",
+    """
+WITH counts AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id)
+SELECT user_id, n_exact, TRUE AS lower_ok, TRUE AS upper_ok
+FROM (
+  SELECT user_id, n_exact,
+         ROW_NUMBER() OVER (ORDER BY n_exact DESC, user_id) AS r
+  FROM counts
+)
+WHERE r <= 10
+ORDER BY user_id
+""",
+)
+def cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point-frequency estimates for the top-10 most
+    active users, error-bounded against exact counts in one plan — the
+    FREQUENCY member of the mergeable-sketch tier (HLL distincts, KLL
+    quantiles, theta set algebra, and now CMS counts;
+    operators/sketches.py).
+
+    Where Misra-Gries (heavy_hitter_users) needs its recount pass
+    planned up front, a stored CMS answers point queries over keys
+    chosen AFTER the scan from a fixed (depth×width) artifact, and
+    per-day CMS matrices ADD into any range — dashboards at 100 TB
+    probe stored sketches, not raw events.
+
+    Oracle contract (approx_stats pattern): exact counts both engines
+    compute, plus the CMS guarantees as booleans — lower_ok is the
+    HARD one-sided bound (estimate ≥ exact, always true for a correct
+    build), upper_ok the εN overshoot cap (ε = e/width) that holds
+    w.h.p. and is measured stable at sf 0.001/0.01/0.1.
+    """
+    import math
+
+    from etl_weather_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = load(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", depth=5, width=2048)
+
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("user_id"))
+    top = counts.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 10)
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    bound = F.ceil(F.lit(math.e / 2048) * F.col("n_total"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("est", cms_estimate(F.col("user_id"), cms))
+        .select(
+            "user_id",
+            "n_exact",
+            (F.col("est") >= F.col("n_exact")).alias("lower_ok"),
+            (F.col("est") <= F.col("n_exact") + bound).alias("upper_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "rolling_distinct_users_7d",
     """
 WITH dau AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

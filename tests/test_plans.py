@@ -522,8 +522,9 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         "heavy_hitter_users", "media_payload_stats", "doc_pagerank",
         "dup_canonicals", "udtf_melt_events", "word_freq",
         "recommendation_text", "ann_cosine_lsh", "ann_cosine_ivf",
-        # round-2 wave 2: Bloom probe + PQ encode/ADC are Arrow kernels
-        "bloom_screen_new_docs", "ann_cosine_pq",
+        # round-2 wave 2/3: Bloom probe, PQ encode/ADC, CMS probe are
+        # Arrow kernels
+        "bloom_screen_new_docs", "ann_cosine_pq", "cms_user_freq",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():
