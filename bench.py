@@ -72,6 +72,11 @@ HEADLINE = [
     "semantic_dedup",
     "bloom_screen_new_docs",
     "ann_cosine_pq",
+    # tenth wave (round 2): leakage-safe split, contrastive hard
+    # negatives, CMS frequency sketch
+    "cluster_safe_split",
+    "hard_negatives",
+    "cms_user_freq",
 ]
 
 

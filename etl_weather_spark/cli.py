@@ -140,6 +140,23 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     raise SystemExit(f"unknown action {args.action}")
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the formatted physical plan of a registered query — the
+    review surface for pushdown/pruning/broadcast decisions (same
+    renderer PLANS.md is generated from), without executing the query.
+    """
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.plans.explain import formatted_plan
+
+    registry = q.queries()
+    if args.name not in registry:
+        print(f"unknown query {args.name!r}; see QUERIES.md", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    print(formatted_plan(registry[args.name](spark, args.sf_dir)))
+    return 0
+
+
 def cmd_datasheet(args: argparse.Namespace) -> int:
     """Dataset card for the document corpus: one markdown page of the
     numbers a consumer checks before training on it — sizes, language
@@ -252,6 +269,10 @@ def main(argv: list[str] | None = None) -> int:
     sv = sub.add_parser("serve", help="stdlib JSON API over the query registry")
     sv.add_argument("--port", type=int, default=8000)
     sv.set_defaults(fn=cmd_serve)
+
+    ex = sub.add_parser("explain", help="print a registered query's physical plan")
+    ex.add_argument("name")
+    ex.set_defaults(fn=cmd_explain)
 
     ds = sub.add_parser("datasheet", help="markdown dataset card for the corpus")
     ds.add_argument("--out", default=None, help="write the card here (default stdout)")

@@ -60,3 +60,11 @@ def test_cli_datasheet(sf_dir, tmp_path, capsys):
     rc = main(["--sf-dir", sf_dir, "datasheet"])
     assert rc == 0
     assert "# Dataset card" in capsys.readouterr().out
+
+
+def test_cli_explain(sf_dir, capsys):
+    rc = main(["--sf-dir", sf_dir, "explain", "pricing_summary"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out or "Physical Plan" in out
+    assert main(["--sf-dir", sf_dir, "explain", "nope"]) == 2
