@@ -77,6 +77,12 @@ HEADLINE = [
     "cluster_safe_split",
     "hard_negatives",
     "cms_user_freq",
+    # eleventh wave (round 3): data-adaptive IVF-cell semantic dedup
+    # (replaces the fixed-label block's quadratic term), PPJoin
+    # prefix-filter exact Jaccard (the generator the cluster pipelines
+    # now compose)
+    "semantic_dedup_ivf",
+    "prefix_filter_jaccard",
 ]
 
 

@@ -33,6 +33,31 @@ def _spark(cpus: int | None = None):
     return get_spark(app_name="etl-weather-spark-cli", **kwargs)
 
 
+def cmd_fetch(args: argparse.Namespace) -> int:
+    """Reference `etl-weather fetch` (fetch.py:85-139): land raw JSON
+    for a city into the bronze dir. --offline uses --sample-dir; the
+    live path uses the public Open-Meteo endpoints via stdlib urllib.
+    No Spark session needed — landing is the driver/edge step."""
+    from etl_weather_spark.sources.openmeteo import NetworkError, land_raw
+
+    try:
+        out = land_raw(
+            args.city,
+            args.raw_dir,
+            days=args.days,
+            timezone=args.timezone,
+            offline=args.offline,
+            sample_dir=args.sample_dir,
+            fallback=not args.no_fallback,
+        )
+    except (NetworkError, FileNotFoundError, ValueError) as ex:
+        print(f"fetch failed: {ex}")
+        return 1
+    for k, v in out.items():
+        print(f"  {k}: {v}")
+    return 0
+
+
 def cmd_daily(args: argparse.Namespace) -> int:
     from etl_weather_spark import queries as q
 
@@ -243,6 +268,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
     p.add_argument("--cpus", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fetch", help="land raw weather+air JSON for a city")
+    f.add_argument("city")
+    f.add_argument("--raw-dir", required=True, dest="raw_dir")
+    f.add_argument("--days", type=int, default=7)
+    f.add_argument("--timezone", default=None)
+    f.add_argument("--offline", action="store_true")
+    f.add_argument("--sample-dir", default=None, dest="sample_dir")
+    f.add_argument("--no-fallback", action="store_true", dest="no_fallback")
+    f.set_defaults(fn=cmd_fetch)
 
     d = sub.add_parser("daily", help="build + write the gold daily table")
     d.add_argument("--out", required=True)

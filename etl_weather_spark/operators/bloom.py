@@ -66,7 +66,13 @@ def optimal_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
 
 
 def _positions(keys: pd.Series, m_bits: int, k: int) -> np.ndarray:
-    """(len(keys), k) int64 probe positions. One BLAKE2b per key."""
+    """(len(keys), k) int64 probe positions. One BLAKE2b per key.
+
+    Callers must pass keys already cast to STRING on the Spark side:
+    ``str(key)`` on a raw numeric pandas column is not stable — a null
+    anywhere in the batch coerces int64→float64, so the same key
+    stringifies as '5.0' in one batch and '5' in another, silently
+    desynchronizing build and probe bytes (ADVICE r2)."""
     g = np.empty((len(keys), 2), dtype=np.uint64)
     for j, key in enumerate(keys):
         d = blake2b(str(key).encode("utf-8"), digest_size=16).digest()
@@ -104,7 +110,11 @@ def bloom_build(
         if seen:
             yield pd.DataFrame({"bm": [bits.tobytes()]})
 
-    rows = df.select(key_col).mapInPandas(partials, "bm binary").collect()
+    rows = (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .mapInPandas(partials, "bm binary")
+        .collect()
+    )
     out = np.zeros(n_words, dtype=np.uint64)
     for r in rows:
         out |= np.frombuffer(r.bm, dtype=np.uint64)
@@ -134,7 +144,7 @@ def bloom_might_contain(
         ) & np.uint64(1)
         return pd.Series(hit.all(axis=1) & keys.notna().to_numpy())
 
-    return probe(key)
+    return probe(key.cast("string"))
 
 
 def bloom_screen(

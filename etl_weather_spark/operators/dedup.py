@@ -796,6 +796,117 @@ def prefix_filter_candidates(
     )
 
 
+def pruned_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ t pairs via prefix-filter candidates +
+    exact verify — the SAME pair set as :func:`ngram_jaccard_pairs`
+    (completeness of the prefix/length/positional filters, asserted
+    pair-set-identical in tests and by the shared exact oracle of
+    queries.prefix_filter_jaccard) without its f²/2 blowup on frequent
+    shingles.
+
+    This is the generator the downstream graph pipelines (clusters,
+    PageRank canonical pick, leakage-safe split, corpus funnel) compose:
+    at 100 TB the any-shared-shingle self-join is the plan's quadratic
+    term, while the prefix index joins only each doc's rarest
+    (1−t)·|d|+1 shingles. Requires ``min_jaccard > 0`` (the filters'
+    completeness bound is vacuous at t = 0 — use
+    :func:`ngram_jaccard_pairs` for the exhaustive baseline).
+    """
+    if min_jaccard <= 0:
+        raise ValueError("pruned_jaccard_pairs requires min_jaccard > 0")
+    from pyspark.sql import Window
+
+    t = min_jaccard
+    # One persisted table carries ALL the expensive text work: per-doc
+    # DISTINCT shingle arrays. The prefix index, document frequencies,
+    # and the verify stage all derive from it, so tokenization runs
+    # once and the eager count is the single materialization barrier
+    # (same AQE-race rationale as verify_candidates_jaccard, one
+    # barrier instead of two).
+    shsets = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_of_tokens(tokens(F.col(text_col)), shingle_n)
+            ).alias("__sh_arr"),
+        )
+        .withColumn("n_sh", F.size("__sh_arr"))
+        .persist()
+    )
+    shsets.count()
+    sh = shsets.select(id_col, "n_sh", F.explode("__sh_arr").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "sh")
+    prefix = (
+        sh.join(dfreq, "sh")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "sh",
+        F.col("n_sh").alias("n_a"), F.col("rnk").alias("rnk_a"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "sh",
+        F.col("n_sh").alias("n_b"), F.col("rnk").alias("rnk_b"),
+    )
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")))
+    pos_cap = F.lit(1) + F.least(
+        F.col("n_a") - F.col("rnk_a"), F.col("n_b") - F.col("rnk_b")
+    )
+    cand = (
+        a.join(b, "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(t) * F.greatest("n_a", "n_b") <= F.least("n_a", "n_b"))
+            & (pos_cap >= alpha)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify: per-pair exact intersection over the cached shingle ARRAYS
+    # (JVM array_intersect), not a re-exploded shingle join — the join
+    # moves |cand| rows with two array payloads instead of
+    # |cand|×|shingles| slim rows. AQE broadcasts the shsets side while
+    # it is small and falls back to a keyed shuffle join when it is
+    # corpus-sized — exactly the scale behaviour wanted, so no hint.
+    sa = shsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh_arr").alias("__a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = shsets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh_arr").alias("__b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    counted = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("__a", "__b")).alias("__ni"),
+        "n_a", "n_b",
+    )
+    # aggregate fence against predicate-pushdown re-inlining (see
+    # verify_pairs_jaccard_inline's load-bearing-fence comment)
+    fenced = counted.groupBy("id_a", "id_b").agg(
+        F.max("__ni").alias("__ni"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return fenced.select(
+        "id_a", "id_b",
+        (F.col("__ni") / (F.col("n_a") + F.col("n_b") - F.col("__ni"))).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
 _WB = np.uint64(1000003)  # polynomial base; uint64 wraparound = mod 2^64
 _WBINV = np.uint64(pow(1000003, -1, 1 << 64))  # modular inverse mod 2^64
 

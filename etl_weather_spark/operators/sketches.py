@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from etl_weather_spark.operators.bloom import _positions
 
@@ -58,7 +59,11 @@ def cms_build(
         if seen:
             yield pd.DataFrame({"m": [m.tobytes()]})
 
-    rows = df.select(key_col).mapInPandas(partials, "m binary").collect()
+    rows = (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .mapInPandas(partials, "m binary")
+        .collect()
+    )
     out = np.zeros((depth, width), dtype=np.int64)
     for r in rows:
         out += np.frombuffer(r.m, dtype=np.int64).reshape(depth, width)
@@ -85,10 +90,13 @@ def cms_estimate(key: Column, cms: np.ndarray) -> Column:
     def probe(keys: pd.Series) -> pd.Series:
         if len(keys) == 0:
             return pd.Series([], dtype="int64")
-        pos = _positions(keys, width, depth)  # (B, depth)
+        pos = _positions(keys.fillna(""), width, depth)  # (B, depth)
         ests = np.min(
             np.stack([m[d, pos[:, d]] for d in range(depth)], axis=1), axis=1
         )
+        # null keys never enter the build (dropna) — estimate 0, not
+        # whatever cell str(None) happens to hash into
+        ests = np.where(keys.notna().to_numpy(), ests, 0)
         return pd.Series(ests)
 
-    return probe(key)
+    return probe(key.cast("string"))

@@ -123,12 +123,21 @@ _PRIORITY = [
     "recommendation_text", "rolling_avg_7d", "minmax_norm",
     "rank_pct_diff", "union_dedup", "unpivot_daily", "asof_join",
     "slugify_parts", "weather_code_decode",
+    # round-3 rotations: today_lookup (J4 — J family keeps asof_join/
+    # nearest_event/daily_left_join), format_dates (C7 — C family keeps
+    # slugify_parts/weather_code_decode/split_part_types),
+    # semi_anti_customers (semi/anti shape stays via
+    # decontaminate_overlap), ngram_jaccard (identical oracle stays
+    # checked via prefix_filter_jaccard) rotated out for
+    # semantic_dedup_ivf, prefix_filter_jaccard, scd2_user_tiers,
+    # kll_rollup_value_quantiles
     "json_extract_props", "daily_left_join", "corpus_prep_funnel", "split_part_types",
-    "regex_customer_ids", "sorted_nations", "today_lookup", "format_dates",
-    "nearest_event", "next_events", "semi_anti_customers",
-    # round-2 flagships, wave 2: embedding-graph semantic dedup,
-    # Bloom-screen incremental dedup, PQ compressed ANN
-    "semantic_dedup", "bloom_screen_new_docs", "ann_cosine_pq",
+    "regex_customer_ids", "sorted_nations", "scd2_user_tiers",
+    "nearest_event", "next_events", "kll_rollup_value_quantiles",
+    # round-2/3 flagships, wave 2: embedding-graph semantic dedup (label
+    # block + the round-3 data-adaptive IVF-cell block), Bloom-screen
+    # incremental dedup, PQ compressed ANN
+    "semantic_dedup", "semantic_dedup_ivf", "bloom_screen_new_docs", "ann_cosine_pq",
     # round-2 flagships (status_rollup/distinct_daily_users rotated out:
     # their shapes are covered by other checked rows, and the local
     # replica still verifies them; hour_labels likewise rotated out for
@@ -138,7 +147,7 @@ _PRIORITY = [
     # TPC-shaped join/agg anchors
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     # training-data pipeline: text analysis + dedup + similarity
-    "doc_stats", "dedup_exact", "ngram_jaccard", "minhash_lsh",
+    "doc_stats", "dedup_exact", "prefix_filter_jaccard", "minhash_lsh",
     "ann_cosine_topk", "embedding_near_dupes", "lang_quality",
     "simhash_sigs", "ann_cosine_lsh", "ann_cosine_ivf", "approx_stats",
     "winnow_candidates", "minhash_lsh_fast",
@@ -276,7 +285,7 @@ s AS (
   SELECT FLOOR((MIN(vmin)) * 100 + 0.5) / 100 AS period_min,
          FLOOR((MAX(vmax)) * 100 + 0.5) / 100 AS period_max,
          FLOOR(((CAST(SUM(CAST(FLOOR(((vavg)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(vavg)) * 100 + 0.5) / 100 AS period_avg,
-         SUM(CASE WHEN vsum > 0 THEN 1 ELSE 0 END) AS rainy_days,
+         CAST(SUM(CASE WHEN vsum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rainy_days,
          COUNT(*) AS n_days
   FROM daily
 ),
@@ -314,7 +323,7 @@ def global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS ({_DAILY_SQL}),
 s AS (
   SELECT FLOOR(((CAST(SUM(CAST(FLOOR(((vavg)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(vavg)) * 100 + 0.5) / 100 AS period_avg, FLOOR((MAX(vmax)) * 100 + 0.5) / 100 AS period_max,
-         SUM(CASE WHEN vsum > 0 THEN 1 ELSE 0 END) AS rainy_days
+         CAST(SUM(CASE WHEN vsum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rainy_days
   FROM daily
 )
 SELECT period_avg, period_max, rainy_days,
@@ -3135,11 +3144,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_weather_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        pruned_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
+    pairs = pruned_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
     return (
         connected_components(pairs)
         .select(F.col("node").alias("doc_id"), "cluster_id")
@@ -3252,12 +3261,12 @@ def dup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_weather_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        pruned_jaccard_pairs,
     )
     from etl_weather_spark.operators.graph import pagerank_scaled
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).select(
+    pairs = pruned_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).select(
         "id_a", "id_b"
     ).localCheckpoint(eager=False)
     cc = connected_components(pairs)
@@ -3301,12 +3310,18 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair graph is the LSH-pruned candidate set — orders of
     magnitude smaller than the corpus.
     """
-    from etl_weather_spark.operators.dedup import ngram_jaccard_pairs
+    from etl_weather_spark.operators.dedup import pruned_jaccard_pairs
     from etl_weather_spark.operators.graph import pagerank_scaled
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
-    pr = pagerank_scaled(pairs.select("id_a", "id_b"), iterations=3)
+    # lazy localCheckpoint fences the pair-generator lineage so the 3
+    # Pregel rounds re-read a materialized edge relation instead of
+    # re-running the prefix-filter join per round (same fence as
+    # dup_canonicals)
+    pairs = pruned_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)
+    pr = pagerank_scaled(pairs, iterations=3)
     return pr.select(F.col("node").alias("doc_id"), "rank_scaled").orderBy("doc_id")
 
 
@@ -3388,6 +3403,111 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_CSIM_SQL = """FLOOR((list_dot_product(e.v, cent.cv)
+       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))))
+      * 1000000 + 0.5) / 1000000"""
+
+_SEMANTIC_DEDUP_IVF_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+kk AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e, kk WHERE e.vec_id < kk.k),
+scored AS (
+  SELECT e.vec_id, cent.cid, {_SEMANTIC_CSIM_SQL} AS csim
+  FROM e CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ev AS (SELECT c.vec_id, c.cell, e.v FROM cells c JOIN e ON e.vec_id = c.vec_id),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_SEMANTIC_SIM_SQL} >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON e2.src = reach.r
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       (COALESCE(c.cluster_id, e.vec_id) = e.vec_id) AS is_canonical
+FROM e LEFT JOIN clusters c ON c.node = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+@query("semantic_dedup_ivf", _SEMANTIC_DEDUP_IVF_SQL)
+def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup's 100 TB shape: blocking on DATA-ADAPTIVE IVF
+    cell ids instead of the fixed label set (VERDICT r2 "What's wrong"
+    #3 — L fixed labels make 10× rows ≈ 100× comparisons per block;
+    K = ⌈√N⌉ cells keep expected block size ∝ √N, so blocked pair
+    generation grows Θ(N·√N), benchmarked in scripts/bench_scale.py).
+
+    Cells come from operators/similarity.ivf_cells_seeded: centroids =
+    the K lowest-id vectors (IVF with deterministic seeding, zero
+    Lloyd rounds), assignment = max rounded cosine with lowest-cid tie
+    break — every ingredient a pure function of the table, so the
+    DuckDB oracle replays K, the centroid set, the cell of every
+    vector, and the within-cell pair graph exactly. Swap
+    train_ivf_centroids in for trained spherical-kmeans cells in
+    production (same plan shape; engine-internal, so oracled via the
+    recall-gate pattern instead).
+
+    Like any blocked dedup (SemDeDup included), near-dups straddling a
+    cell boundary are missed by design — the recall/throughput trade
+    the paper makes with its k-means clusters.
+    """
+    from etl_weather_spark.operators.dedup import connected_components
+    from etl_weather_spark.operators.similarity import ivf_cells_seeded
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = ivf_cells_seeded(emb, cells_per_sqrt_n=1)
+    a = cells.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = cells.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    from etl_weather_spark.operators.similarity import dot as _dot
+    from etl_weather_spark.operators.similarity import norm as _norm
+
+    sim = rnd(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.3)
+        .select("id_a", "id_b")
+    )
+    clusters = connected_components(pairs)
+    cluster_of = F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(clusters, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            cluster_of.alias("cluster_id"),
+            (cluster_of == F.col("vec_id")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "hard_negatives",
     """
@@ -3411,6 +3531,7 @@ SELECT query_id, neighbor_id, sim, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 5
+ORDER BY query_id, rank
 """,
 )
 def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3452,11 +3573,10 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qlabel") != F.col("clabel"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 5
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    return topk_per_group(scored, group_col="query_id", k=5).orderBy(
+        "query_id", "rank"
     )
 
 
@@ -3516,11 +3636,11 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_weather_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        pruned_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
+    pairs = pruned_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
     cc = connected_components(pairs.select("id_a", "id_b"))
     cluster_of = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     spine = docs.select("doc_id").join(
@@ -3696,7 +3816,7 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every stage, not just its size.
 
     Every stage reuses the independently-oracled operator (doc_profile,
-    doc_fingerprint, ngram_jaccard_pairs, connected_components,
+    doc_fingerprint, pruned_jaccard_pairs, connected_components,
     exploded_shingles) — this query proves they COMPOSE: filters feed
     dedup feeds decontamination with sequential semantics, the thing a
     real pipeline runs nightly.
@@ -3713,7 +3833,7 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_weather_spark.operators.dedup import (
         connected_components,
         exploded_shingles,
-        ngram_jaccard_pairs,
+        pruned_jaccard_pairs,
     )
     from etl_weather_spark.operators.textops import doc_profile
 
@@ -3731,7 +3851,7 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     s3 = s2.join(keep3, "doc_id")
-    cc = connected_components(ngram_jaccard_pairs(s3, shingle_n=3, min_jaccard=0.5))
+    cc = connected_components(pruned_jaccard_pairs(s3, shingle_n=3, min_jaccard=0.5))
     drop4 = cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
@@ -4403,7 +4523,7 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS modality,
        COUNT(*) AS n_media,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT sha256(text)) AS n_distinct_content
 FROM documents
 GROUP BY 1
@@ -4490,8 +4610,8 @@ def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_linestatus_mix",
     """
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY l.l_linestatus
@@ -4682,7 +4802,7 @@ WITH assigned AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_total,
-       SUM(CASE WHEN nib < keep_of_16 THEN 1 ELSE 0 END) AS n_sampled
+       CAST(SUM(CASE WHEN nib < keep_of_16 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM assigned
 GROUP BY lang
 ORDER BY lang
@@ -4774,9 +4894,9 @@ lagged AS (
   FROM base
 ),
 ver AS (
-  SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> tier THEN 1 ELSE 0 END)
+  SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR prev <> tier THEN 1 ELSE 0 END)
               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) AS version
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
   FROM lagged
 ),
 seg AS (
@@ -5061,14 +5181,14 @@ def monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly_band_counts",
     """
 SELECT
-  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 0 AND 2 THEN 1 ELSE 0 END) AS h00_02,
-  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 3 AND 5 THEN 1 ELSE 0 END) AS h03_05,
-  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 8 THEN 1 ELSE 0 END) AS h06_08,
-  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 11 THEN 1 ELSE 0 END) AS h09_11,
-  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 12 AND 14 THEN 1 ELSE 0 END) AS h12_14,
-  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 15 AND 17 THEN 1 ELSE 0 END) AS h15_17,
-  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 20 THEN 1 ELSE 0 END) AS h18_20,
-  SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 21 AND 23 THEN 1 ELSE 0 END) AS h21_23
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 0 AND 2 THEN 1 ELSE 0 END) AS BIGINT) AS h00_02,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 3 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS h03_05,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 8 THEN 1 ELSE 0 END) AS BIGINT) AS h06_08,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS h09_11,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 12 AND 14 THEN 1 ELSE 0 END) AS BIGINT) AS h12_14,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 15 AND 17 THEN 1 ELSE 0 END) AS BIGINT) AS h15_17,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS h18_20,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 21 AND 23 THEN 1 ELSE 0 END) AS BIGINT) AS h21_23
 FROM events
 """,
 )
@@ -5629,7 +5749,7 @@ df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
 per_doc AS (
   SELECT sh.doc_id,
          COUNT(*) AS n_bigrams,
-         SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique_bigrams
+         CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_bigrams
   FROM sh JOIN df ON df.sh = sh.sh
   GROUP BY sh.doc_id
 )

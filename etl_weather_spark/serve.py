@@ -7,8 +7,20 @@ Routes (all GET, all JSON):
 - ``/data/daily``                 daily gold rows (daily_flags)
 - ``/data/hourly?limit=24``       hourly join rows, serving-edge limit
 - ``/summary``                    global summary + recommendations
+- ``/search?q=...&count=5``       geocode top-k city search over the
+                                  broadcast places dim (web.py:123-151,
+                                  334-341)
+- ``/provinces``                  static dim listing (web.py:177-180)
+- ``/regencies/<code>``           static dim by parent key (web.py:183-186)
+- ``/city/funfact/<city>``        enrichment route over
+                                  functions/enrich.enrich_batched with the
+                                  reference's fresh/fast semantics
+                                  (web.py:219-244): ``fresh=true`` bypasses
+                                  the cache, ``fast=true`` answers from
+                                  cache instantly and refreshes in a
+                                  background thread (M4)
 - ``/query/<name>?limit=N``       ANY registry query — the engine's real
-                                  serving surface (127 named queries)
+                                  serving surface (145+ named queries)
 - ``?refresh=true`` on any data route bypasses the cache (web.py's
   ``refresh`` param, M4)
 
@@ -57,17 +69,111 @@ def records(df, limit: int | None = None) -> list[dict]:
     ]
 
 
+def default_geocode_dim(spark, sf_dir: str):
+    """Places dimension for /search when no external geocoder is wired:
+    nation × region as (name, country, admin1, lat, lon, timezone).
+
+    The reference calls a live geocoding API (web.py:123-151); the
+    engine-side equivalent is a broadcast dim lookup (S3's pattern) —
+    coordinates here are deterministic synthetics derived from the key,
+    clearly not real geography, swapped for a landed geocode table in
+    production.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark import queries as q
+
+    n = q.load(spark, sf_dir, "nation")
+    r = q.load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.initcap(F.lower(F.col("n_name"))).alias("name"),
+            F.col("n_name").alias("country"),
+            F.initcap(F.lower(F.col("r_name"))).alias("admin1"),
+            (F.pmod(F.col("n_nationkey") * 7, F.lit(180)) - 90.0).alias("lat"),
+            (F.pmod(F.col("n_nationkey") * 29, F.lit(360)) - 180.0).alias("lon"),
+            F.lit("UTC").alias("timezone"),
+        )
+    )
+
+
 class EngineAPI:
     """Route table + bounded result cache over the query registry."""
 
-    def __init__(self, spark, sf_dir: str) -> None:
+    def __init__(
+        self, spark, sf_dir: str, *, geocode_dim=None, funfact_model=None
+    ) -> None:
         from etl_weather_spark import queries as q
+        from etl_weather_spark.functions.enrich import deterministic_fake_model
 
         self.spark = spark
         self.sf_dir = sf_dir
         self.q = q
         self.registry = q.queries()
         self._cache: OrderedDict[str, list[dict]] = OrderedDict()
+        self._geocode_dim = geocode_dim
+        self._funfact_model = funfact_model or deterministic_fake_model
+        self._funfact_cache: dict[str, str] = {}
+        self._funfact_threads: list = []  # joinable by tests
+
+    # -- geocode search (web.py /search) ---------------------------------
+    def geocode(self):
+        if self._geocode_dim is None:
+            self._geocode_dim = default_geocode_dim(self.spark, self.sf_dir)
+        return self._geocode_dim
+
+    def search_places(self, query: str, count: int) -> list[dict]:
+        """Top-``count`` name matches: exact prefix ranks above substring,
+        then lexicographic — all filter/rank/limit in-plan (TakeOrdered),
+        the dim side broadcast-small."""
+        from pyspark.sql import functions as F
+
+        qn = query.strip().lower()
+        dim = self.geocode()
+        matched = dim.filter(F.lower(F.col("name")).contains(qn)).orderBy(
+            F.when(F.lower(F.col("name")).startswith(qn), 0).otherwise(1),
+            "name",
+        )
+        return records(matched, count)
+
+    # -- fun-fact enrichment (web.py /city/funfact) ----------------------
+    def _compute_funfact(self, city: str) -> str:
+        from pyspark.sql import functions as F
+
+        from etl_weather_spark.functions.enrich import enrich_batched
+
+        one = self.spark.createDataFrame([(city,)], "city string")
+        row = enrich_batched(
+            one, key_col="city", out_col="fun_fact", model=self._funfact_model
+        ).collect()[0]
+        if row.enrich_error is not None:
+            raise RuntimeError(row.enrich_error)
+        out = row.fun_fact
+        self._funfact_cache[city] = out
+        return out
+
+    def funfact(self, city: str, fresh: bool, fast: bool) -> dict:
+        import threading
+
+        if fast and not fresh and city in self._funfact_cache:
+            t = threading.Thread(
+                target=lambda: self._compute_funfact(city), daemon=True
+            )
+            self._funfact_threads.append(t)
+            t.start()  # reference's background refresh (web.py:236-239)
+            return {
+                "city": city,
+                "fun_fact": self._funfact_cache[city],
+                "source": "cache-fast",
+            }
+        if not fresh and city in self._funfact_cache:
+            return {
+                "city": city,
+                "fun_fact": self._funfact_cache[city],
+                "source": "cache",
+            }
+        return {"city": city, "fun_fact": self._compute_funfact(city), "source": "model"}
 
     def _cached(self, key: str, compute, refresh: bool) -> list[dict]:
         if not refresh and key in self._cache:
@@ -133,6 +239,59 @@ class EngineAPI:
             return 200, self._cached(
                 f"compare|{','.join(sorted(kinds))}|{limit}", compute, refresh
             )
+        if path == "/search":
+            qstr = params.get("q", [""])[0]
+            if not qstr.strip():
+                return 400, {"error": "empty q parameter"}
+            count = int(params.get("count", ["5"])[0])
+            results = self._cached(
+                f"search|{qstr.strip().lower()}|{count}",
+                lambda: self.search_places(qstr, count),
+                refresh,
+            )
+            return 200, {"query": qstr, "count": len(results), "results": results}
+        if path == "/provinces":
+            def compute():
+                from pyspark.sql import functions as F
+
+                r = self.q.load(self.spark, self.sf_dir, "region")
+                return records(
+                    r.select(
+                        F.col("r_regionkey").alias("code"),
+                        F.initcap(F.lower("r_name")).alias("name"),
+                    ).orderBy("code")
+                )
+
+            return 200, {"results": self._cached("provinces", compute, refresh)}
+        if path.startswith("/regencies/"):
+            code = path.removeprefix("/regencies/")
+            if not code.isdigit():
+                return 400, {"error": f"bad province code: {code}"}
+
+            def compute():
+                from pyspark.sql import functions as F
+
+                n = self.q.load(self.spark, self.sf_dir, "nation")
+                return records(
+                    n.filter(F.col("n_regionkey") == int(code))
+                    .select(
+                        F.col("n_nationkey").alias("code"),
+                        F.initcap(F.lower("n_name")).alias("name"),
+                    )
+                    .orderBy("code")
+                )
+
+            return 200, {"results": self._cached(f"regencies|{code}", compute, refresh)}
+        if path.startswith("/city/funfact/"):
+            city = path.removeprefix("/city/funfact/")
+            if not city:
+                return 400, {"error": "empty city"}
+            fresh = params.get("fresh", ["false"])[0].lower() == "true"
+            fast = params.get("fast", ["false"])[0].lower() == "true"
+            try:
+                return 200, self.funfact(city, fresh=fresh, fast=fast)
+            except RuntimeError as ex:
+                return 500, {"error": str(ex)[:500]}
         if path.startswith("/query/"):
             name = path.removeprefix("/query/")
             if name not in self.registry:
@@ -145,9 +304,13 @@ class EngineAPI:
         return 404, {"error": f"no route: {path}"}
 
 
-def make_server(spark, sf_dir: str, port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    spark, sf_dir: str, port: int = 0, *, geocode_dim=None, funfact_model=None
+) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; port 0 = ephemeral."""
-    api = EngineAPI(spark, sf_dir)
+    api = EngineAPI(
+        spark, sf_dir, geocode_dim=geocode_dim, funfact_model=funfact_model
+    )
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 - stdlib API name

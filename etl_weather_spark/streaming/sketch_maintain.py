@@ -14,6 +14,13 @@ of applied batch ids; a replayed batch finds its id and SKIPS the add —
 double-counting a batch would silently inflate every estimate, which
 no downstream check could detect (CMS only promises estimate ≥ truth).
 
+The applied-id set is only meaningful within ONE checkpoint lineage:
+batch ids restart at 0 under a fresh checkpoint, so an old state file
+would silently SKIP legitimate new batches (the under-counting twin of
+the double-count hazard; ADVICE r2). The state therefore records the
+checkpoint path it was built under and refuses to load against a
+different one — delete the state file together with the checkpoint.
+
 Persistence is a single .npz (matrix + applied ids) written
 atomically via tmp+rename; at cluster scale put it next to the
 snapshot tables on the object store (a conditional PUT replaces the
@@ -32,17 +39,46 @@ from etl_weather_spark.operators.sketches import cms_build
 __all__ = ["load_cms_state", "process_cms_batch", "stream_maintain_cms"]
 
 
-def load_cms_state(path: str, *, depth: int, width: int):
-    """(matrix, applied_batch_ids) — zeros/empty when absent."""
+def _read_state(path: str):
+    """(matrix, applied ids, stored lineage; '' = unscoped legacy state)."""
+    with np.load(path) as z:
+        stored = str(z["lineage"]) if "lineage" in z.files else ""
+        return z["m"].copy(), set(int(b) for b in z["applied"]), stored
+
+
+def _check_lineage(path: str, stored: str, lineage: str | None) -> None:
+    if lineage and stored and stored != lineage:
+        raise ValueError(
+            f"CMS state {path} was maintained under checkpoint "
+            f"{stored!r}, not {lineage!r}: its applied batch ids are "
+            "meaningless in this lineage (ids restart at 0, so new "
+            "batches would be silently skipped). Delete the state file "
+            "together with the old checkpoint."
+        )
+
+
+def load_cms_state(path: str, *, depth: int, width: int, lineage: str | None = None):
+    """(matrix, applied_batch_ids) — zeros/empty when absent.
+
+    ``lineage`` is the checkpoint location the applied ids are scoped
+    by; a state file recorded under a DIFFERENT lineage raises instead
+    of silently skipping replayed-looking (but legitimate) batch ids.
+    """
     if not os.path.exists(path):
         return np.zeros((depth, width), dtype=np.int64), set()
-    with np.load(path) as z:
-        return z["m"].copy(), set(int(b) for b in z["applied"])
+    m, applied, stored = _read_state(path)
+    _check_lineage(path, stored, lineage)
+    return m, applied
 
 
-def _save_cms_state(path: str, m: np.ndarray, applied: set) -> None:
+def _save_cms_state(path: str, m: np.ndarray, applied: set, lineage: str) -> None:
     tmp = f"{path}.tmp.{os.getpid()}.npz"  # savez appends .npz otherwise
-    np.savez(tmp[:-4], m=m, applied=np.array(sorted(applied), dtype=np.int64))
+    np.savez(
+        tmp[:-4],
+        m=m,
+        applied=np.array(sorted(applied), dtype=np.int64),
+        lineage=np.str_(lineage),
+    )
     os.replace(tmp, path)
 
 
@@ -54,14 +90,19 @@ def process_cms_batch(
     key_col: str,
     depth: int = 5,
     width: int = 2048,
+    lineage: str | None = None,
 ) -> None:
     """The foreachBatch body — re-callable: a replayed batch id is a
     no-op (its partial was already added)."""
-    m, applied = load_cms_state(state_path, depth=depth, width=width)
+    if os.path.exists(state_path):
+        m, applied, stored = _read_state(state_path)
+        _check_lineage(state_path, stored, lineage)
+    else:
+        m, applied, stored = np.zeros((depth, width), dtype=np.int64), set(), ""
     if batch_id in applied:
         return
     partial = cms_build(batch_df, key_col, depth=depth, width=width)
-    _save_cms_state(state_path, m + partial, applied | {batch_id})
+    _save_cms_state(state_path, m + partial, applied | {batch_id}, lineage or stored)
 
 
 def stream_maintain_cms(
@@ -86,6 +127,7 @@ def stream_maintain_cms(
                 key_col=key_col,
                 depth=depth,
                 width=width,
+                lineage=checkpoint,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -51,6 +51,12 @@ OPS = [
     "ann_cosine_pq",
     "semantic_dedup",
     "cluster_safe_split",
+    # round-3: IVF-cell-blocked semantic dedup (K grows with sqrt(N), so
+    # the 10x ratio should sit near prefix_filter's, far under the
+    # fixed-label block's), canonical-pick pipeline on the swapped
+    # prefix-filter generator
+    "semantic_dedup_ivf",
+    "dup_canonicals",
 ]
 
 

@@ -435,6 +435,34 @@ def test_prefix_filter_candidates_complete_and_pruned(spark):
         }
         assert verified == truth
 
+        # the fused generator the graph pipelines compose (round 3) must
+        # produce the identical pair set AND the same jaccard values
+        from etl_weather_spark.operators.dedup import pruned_jaccard_pairs
+
+        fused = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in pruned_jaccard_pairs(
+                docs, shingle_n=3, min_jaccard=0.5
+            ).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(
+                docs, shingle_n=3, min_jaccard=0.5
+            ).collect()
+        }
+        assert fused == exact
+
+
+def test_pruned_jaccard_pairs_rejects_zero_threshold(spark):
+    import pytest as _pytest
+
+    from etl_weather_spark.operators.dedup import pruned_jaccard_pairs
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_jaccard"):
+        pruned_jaccard_pairs(docs, min_jaccard=0.0)
+
 
 def test_cluster_safe_split_no_cross_split_near_dups(spark, sf_dir):
     """The leakage property itself: every near-dup pair lands in ONE

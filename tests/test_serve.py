@@ -74,3 +74,64 @@ def test_compare_route(server):
     assert len(rows) == 60  # 30 days x 2 kinds, long format
     status, err = _get(server, "/compare?kinds=view")
     assert status == 400
+
+
+def test_search_route(server):
+    # prefix matches rank before substring matches; top-k limit applies
+    status, body = _get(server, "/search?q=in&count=3")
+    assert status == 200
+    assert body["query"] == "in"
+    assert body["count"] == len(body["results"]) <= 3
+    names = [r["name"].lower() for r in body["results"]]
+    assert all("in" in n for n in names)
+    # prefix hits (india, indonesia) sort before substring hits (argentina, china)
+    prefix = [n for n in names if n.startswith("in")]
+    assert names[: len(prefix)] == sorted(prefix)
+    status, body = _get(server, "/search?q=%20")
+    assert status == 400
+
+
+def test_provinces_and_regencies_routes(server):
+    status, body = _get(server, "/provinces")
+    assert status == 200
+    provinces = body["results"]
+    assert len(provinces) == 5 and provinces[0]["code"] == 0
+    status, body = _get(server, f"/regencies/{provinces[0]['code']}")
+    assert status == 200
+    assert len(body["results"]) == 5  # 25 nations over 5 regions
+    status, body = _get(server, "/regencies/notanumber")
+    assert status == 400
+
+
+def test_funfact_route_fresh_fast_semantics(server, tmp_path):
+    # the model executes inside a Spark task (enrich_batched/mapInPandas),
+    # so call state must live outside the pickled closure — a file works
+    # in local mode
+    counter = str(tmp_path / "calls")
+
+    def counting_model(prompt: str) -> str:
+        import os
+
+        n = 1
+        if os.path.exists(counter):
+            n = int(open(counter).read()) + 1
+        open(counter, "w").write(str(n))
+        return f"fact-{n}"
+
+    server.api._funfact_model = counting_model
+    # first hit computes through enrich_batched
+    status, body = _get(server, "/city/funfact/jakarta")
+    assert status == 200 and body["source"] == "model"
+    assert body["fun_fact"] == "fact-1"
+    # cached on repeat
+    status, body = _get(server, "/city/funfact/jakarta")
+    assert body["source"] == "cache" and body["fun_fact"] == "fact-1"
+    # fresh=true bypasses the cache
+    status, body = _get(server, "/city/funfact/jakarta?fresh=true")
+    assert body["source"] == "model" and body["fun_fact"] == "fact-2"
+    # fast=true answers from cache instantly and refreshes in background
+    status, body = _get(server, "/city/funfact/jakarta?fast=true")
+    assert body["source"] == "cache-fast" and body["fun_fact"] == "fact-2"
+    for t in server.api._funfact_threads:
+        t.join(60)
+    assert server.api._funfact_cache["jakarta"] == "fact-3"

@@ -80,3 +80,29 @@ def test_streaming_cms_equals_batch_and_resumes(spark, tmp_path):
         "k", depth=D, width=W,
     )
     assert np.array_equal(m3, whole3)
+
+
+def test_fresh_checkpoint_against_old_state_refuses(spark, tmp_path):
+    # batch ids restart at 0 under a new checkpoint; silently reusing
+    # the applied-id set would skip legitimate batches (ADVICE r2) —
+    # the load must refuse instead
+    import pytest
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "cms.npz")
+    _land(spark, src, ["a", "b"], "b0")
+    _drain(spark, src, state, str(tmp_path / "ckpt1"))
+    _land(spark, src, ["c", "d"], "b1")
+    with pytest.raises(ValueError, match="lineage"):
+        _drain_raise = stream_maintain_cms(
+            spark.readStream.schema("k string").parquet(src + "/*"),
+            state_path=state,
+            checkpoint=str(tmp_path / "ckpt2"),  # FRESH checkpoint
+            key_col="k",
+            depth=D,
+            width=W,
+        )
+        try:
+            _drain_raise.awaitTermination(120)
+        except Exception as ex:  # unwrap StreamingQueryException
+            raise ValueError(str(ex)) from ex
