@@ -1,10 +1,19 @@
 """Token-budget batch packing for training-data pipelines.
 
-Packs an ordered document stream into consecutive batches of at most
-``budget`` tokens (a document larger than the budget gets a batch of its
-own) — the deterministic "fill sequential batches" layout a dataloader
-consumes. Reference scope: beyond the reference engine (BASELINE.json
-north-star training-pipeline ops); the reference has no batching stage.
+Packs an ordered document stream into consecutive batches by token
+budget: ``batch_id = floor(running_token_prefix / budget)``, the
+deterministic "fill sequential batches" layout a dataloader consumes.
+Precise semantics: batch boundaries fall at multiples of ``budget`` in
+prefix-sum space, so a document straddling a boundary belongs to the
+batch its FIRST token falls in and that batch can exceed ``budget`` by
+up to that document's length − 1 (and an over-budget document spans
+batches by id but never splits rows). This is the partition-friendly
+rule — true at-most-budget greedy packing has data-dependent boundaries
+(each depends on every earlier decision), which forces a sequential
+scan; the fixed-boundary rule keeps the whole operator an exact,
+order-independent prefix sum. Reference scope: beyond the reference
+engine (BASELINE.json north-star training-pipeline ops); the reference
+has no batching stage.
 
 The whole operator is one exact global prefix-sum — implemented WITHOUT
 a global single-reducer window. ``SUM() OVER (ORDER BY id)`` funnels
@@ -35,7 +44,9 @@ def pack_token_batches(
     order_col: str = "doc_id",
     group_size: int = 4096,
 ) -> DataFrame:
-    """(order_col, n_tok, batch_id) with batch_id = floor(prefix/budget).
+    """(order_col, n_tok, batch_id) with batch_id = floor(prefix/budget)
+    — fixed boundaries in prefix space, NOT at-most-budget greedy fill
+    (see module docstring for the exact boundary rule).
 
     ``token_col``: expression producing the per-row token count (kept an
     expression so callers choose the tokenizer — arithmetic whitespace

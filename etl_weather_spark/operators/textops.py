@@ -133,3 +133,98 @@ def chunk_documents(
             F.array_join("_c", " ").alias("chunk_text"),
         )
     )
+
+
+def token_entropy_profile(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, token_entropy) — per-doc token-level Shannon
+    entropy in bits, the cheap perplexity proxy quality filters use
+    (low entropy = repetitive keyword soup, near-log2(n) = no reuse).
+
+    Entropy is computed as ``log2(n) − (Σ c·log2(c))/n`` over per-token
+    counts c so the floating-point work is per-DISTINCT-token and the
+    accumulation is the decimal-exact ``dsum`` (order-independent,
+    oracle-reproducible — each c·log2(c) term is rounded to 6 dp before
+    summation, the same per-item discipline as weighted_sample_topk's
+    Gumbel keys).
+
+    Scale: explode → two hash aggs, all map-side-combinable; no joins.
+    """
+    from etl_weather_spark.functions.rounding import dsum
+    from etl_weather_spark.operators.dedup import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        dsum(F.col("c").cast("double") * F.log2("c"), 6).alias("__s"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    ent = rnd(F.log2("n_tokens") - F.col("__s") / F.col("n_tokens"), 6)
+    return agg.select("doc_id", "n_tokens", ent.alias("token_entropy"))
+
+
+def vocab_coverage(
+    docs: DataFrame, *, text_col: str = "text", vocab_k: int = 100
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate) — per-doc out-of-vocabulary
+    token share against the corpus's own top-``vocab_k`` token
+    vocabulary (frequency desc, token asc tie-break). The tokenizer-fit
+    signal: docs full of OOV occurrences fragment into long BPE
+    sequences and waste training budget.
+
+    Scale: the vocabulary is an aggregate of the token stream cut to K
+    rows — broadcast; the membership probe is a map-side left join, and
+    the top-K cut itself is the tiny global sort of an already-reduced
+    (distinct tokens) relation.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__f"))
+    vocab = (
+        freq.orderBy(F.col("__f").desc(), F.col("t"))
+        .limit(vocab_k)
+        .select("t", F.lit(True).alias("__in_vocab"))
+    )
+    probed = tok.join(F.broadcast(vocab), "t", "left")
+    out = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_oov",
+        rnd(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+    )
+
+
+def shared_shingle_fraction(
+    docs: DataFrame, *, text_col: str = "text", min_df: int = 2, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, n_shingles, n_shared, shared_fraction) — the share of a
+    doc's DISTINCT word n-grams that also appear in ≥ ``min_df`` docs:
+    the boilerplate/near-dup saturation signal C4-style cleaners
+    threshold on (a doc made of corpus-common phrasing carries little
+    novel text).
+
+    Scale: one shingle explode feeds both the document-frequency agg
+    and the per-doc rollup; the df join is keyed on the shingle — the
+    same plan shape as the prefix-filter index build.
+    """
+    from etl_weather_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(
+        docs, text_col=text_col, keep_cols=["doc_id"], n=shingle_n
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    joined = sh.join(dfreq, "sh")
+    out = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("__df") >= min_df, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared"),
+    )
+    return out.select(
+        "doc_id", "n_shingles", "n_shared",
+        rnd(F.col("n_shared") / F.col("n_shingles"), 6).alias("shared_fraction"),
+    )

@@ -5671,6 +5671,115 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_entropy_quality",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(tk) AS t FROM toks),
+cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         {sql_dsum('c * log2(c)', 6)} AS s,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       FLOOR((log2(n_tokens) - s / n_tokens) * 1000000 + 0.5) / 1000000 AS token_entropy
+FROM agg ORDER BY doc_id
+""",
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token Shannon entropy (bits) — the cheap perplexity
+    proxy quality filters threshold on (operators/textops.
+    token_entropy_profile): repetitive keyword soup scores low,
+    vocabulary-rich prose approaches log2(n).
+
+    Determinism: entropy = log2(n) − (Σ c·log2(c))/n, each c·log2(c)
+    term rounded to 6 dp then decimal-summed (dsum) — the same
+    per-item FP discipline as weighted_sample_topk's Gumbel keys, so
+    both engines accumulate identical values in any order.
+    """
+    from etl_weather_spark.operators.textops import token_entropy_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return token_entropy_profile(docs).orderBy("doc_id")
+
+
+@query(
+    "vocab_coverage",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(tk) AS t FROM toks),
+freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS rn FROM freq
+  ) WHERE rn <= 100
+),
+probed AS (
+  SELECT tok.doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok LEFT JOIN vocab v ON v.t = tok.t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       FLOOR((CAST(SUM(oov) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS oov_rate
+FROM probed GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-100
+    token vocabulary (operators/textops.vocab_coverage) — the
+    tokenizer-fit signal: high-OOV docs fragment into long BPE
+    sequences and waste training budget.
+
+    Scale: vocabulary = tiny top-K cut of the distinct-token agg,
+    broadcast into a map-side membership probe; no corpus-sized
+    shuffle beyond the token count itself.
+    """
+    from etl_weather_spark.operators.textops import vocab_coverage as vc
+
+    docs = load(spark, sf_dir, "documents")
+    return vc(docs, vocab_k=100).orderBy("doc_id")
+
+
+@query(
+    "shared_shingle_fraction",
+    f"""
+WITH {_SHINGLE_SQL},
+dfq AS (SELECT sh AS s2, COUNT(*) AS df FROM sh GROUP BY 1),
+j AS (SELECT sh.doc_id, dfq.df FROM sh JOIN dfq ON dfq.s2 = sh.sh)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       FLOOR((CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS shared_fraction
+FROM j GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def shared_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc share of distinct word trigrams appearing in ≥2 docs
+    (operators/textops.shared_shingle_fraction) — the boilerplate/
+    near-dup saturation signal C4-style cleaners threshold on; on this
+    corpus it lights up exactly the planted near-duplicates.
+
+    Scale: one shingle explode feeds the document-frequency agg and
+    the per-doc rollup; the df join keys on the shingle — the same
+    plan shape as the prefix-filter index build.
+    """
+    from etl_weather_spark.operators.textops import (
+        shared_shingle_fraction as ssf,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return ssf(docs, min_df=2, shingle_n=3).orderBy("doc_id")
+
+
+@query(
     "weighted_sample_topk",
     """
 WITH keyed AS (

@@ -66,3 +66,22 @@ def test_filter_to_empty_through_daily_spine(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     )
     assert out.count() == 0
+
+
+def test_empty_docs_through_round3_textops_and_pruned_pairs(spark):
+    from etl_weather_spark.operators.dedup import pruned_jaccard_pairs
+    from etl_weather_spark.operators.similarity import ivf_cells_seeded
+    from etl_weather_spark.operators.textops import (
+        shared_shingle_fraction,
+        token_entropy_profile,
+        vocab_coverage,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert token_entropy_profile(empty).count() == 0
+    assert vocab_coverage(empty).count() == 0
+    assert shared_shingle_fraction(empty).count() == 0
+    assert pruned_jaccard_pairs(empty, min_jaccard=0.5).count() == 0
+
+    evecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_cells_seeded(evecs).count() == 0

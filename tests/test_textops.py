@@ -66,3 +66,50 @@ def test_chunk_documents_invariants(spark):
             seen[c.chunk_start + i] = t
     assert [seen[i] for i in range(95)] == [f"w{i}" for i in range(95)]
     assert by_doc[3][0].chunk_text == "solo"
+
+
+def test_token_entropy_profile_hand_values(spark):
+    import math
+
+    from etl_weather_spark.operators.textops import token_entropy_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),        # one token type -> entropy 0
+            (1, "a b c d"),        # uniform over 4 -> 2 bits
+            (2, "a a b b b c"),    # H = log2(6) - (2log2 2 + 3log2 3)/6
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_entropy_profile(docs).collect()}
+    assert out[0].n_tokens == 4 and out[0].token_entropy == 0.0
+    assert out[1].n_tokens == 4 and out[1].token_entropy == 2.0
+    expected = math.log2(6) - (2 * math.log2(2) + 3 * math.log2(3)) / 6
+    assert abs(out[2].token_entropy - expected) < 2e-6
+
+
+def test_vocab_coverage_hand_values(spark):
+    from etl_weather_spark.operators.textops import vocab_coverage
+
+    # vocab_k=2 -> vocab = {'a' (4 hits), 'b' (3)}; 'c'/'d' are OOV
+    docs = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a a b b d d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in vocab_coverage(docs, vocab_k=2).collect()}
+    assert (out[0].n_tokens, out[0].n_oov, out[0].oov_rate) == (4, 1, 0.25)
+    assert (out[1].n_tokens, out[1].n_oov, out[1].oov_rate) == (6, 2, round(2 / 6, 6))
+
+
+def test_shared_shingle_fraction_hand_values(spark):
+    from etl_weather_spark.operators.textops import shared_shingle_fraction
+
+    # docs 0 and 1 share the 'x y z' trigram; doc 2 shares nothing
+    docs = spark.createDataFrame(
+        [(0, "x y z p q"), (1, "x y z r s"), (2, "m n o u v")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in shared_shingle_fraction(docs, min_df=2).collect()}
+    assert (out[0].n_shingles, out[0].n_shared) == (3, 1)
+    assert out[0].shared_fraction == round(1 / 3, 6)
+    assert (out[2].n_shingles, out[2].n_shared, out[2].shared_fraction) == (3, 0, 0.0)
