@@ -58,6 +58,93 @@ def cmd_fetch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_all(args: argparse.Namespace) -> int:
+    """Reference `etl-weather all` (cli.py:82-109): fetch → transform →
+    report for one city. Lands raw JSON, builds the daily gold table
+    (normalize → outer-merge → daily agg), writes it as CSV, and
+    renders the city HTML report — the complete reference pipeline in
+    one command."""
+    import csv as _csv
+    import os
+
+    from etl_weather_spark.operators.pipeline import (
+        daily_from_hourly,
+        merge_hourly,
+        summary_from_daily,
+    )
+    from etl_weather_spark.report import render_report
+    from etl_weather_spark.sources.openmeteo import (
+        HOURLY_AIR_FIELDS,
+        HOURLY_WEATHER_FIELDS,
+        NetworkError,
+        land_raw,
+        normalize_hourly,
+        read_raw_json,
+    )
+
+    try:
+        landed = land_raw(
+            args.city,
+            args.raw_dir,
+            days=args.days,
+            timezone=args.timezone,
+            offline=args.offline,
+            sample_dir=args.sample_dir,
+            fallback=not args.no_fallback,
+        )
+    except (NetworkError, FileNotFoundError, ValueError) as ex:
+        print(f"fetch failed: {ex}")
+        return 1
+
+    spark = _spark(args.cpus)
+    hw = normalize_hourly(
+        read_raw_json(spark, landed["weather_latest"], HOURLY_WEATHER_FIELDS),
+        HOURLY_WEATHER_FIELDS,
+    )
+    ha = normalize_hourly(
+        read_raw_json(spark, landed["air_latest"], HOURLY_AIR_FIELDS),
+        HOURLY_AIR_FIELDS,
+    )
+    daily = daily_from_hourly(merge_hourly(hw, ha))
+    rows = [r.asDict() for r in daily.orderBy("date").collect()]
+    if not rows:
+        print("no daily rows produced")
+        return 1
+
+    slug = landed["slug"]
+    csv_path = args.csv_out or os.path.join(args.raw_dir, "..", "gold", f"{slug}_daily.csv")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        w = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    s = summary_from_daily(daily).collect()[0].asDict()
+    html_text = render_report(
+        title=args.city,
+        summary={
+            "period_avg": s["period_pm25_avg"],
+            "period_max": s["period_temp_max"],
+            "wettest_date": s["wettest_date"],
+            "wettest_sum": s["wettest_rain"],
+            "rainy_days": s["rainy_days"],
+            "n_days": s["n_days"],
+        },
+        daily=[
+            {"date": d["date"], "vavg": d["pm25_avg"], "vsum": d["total_rain"]}
+            for d in rows
+        ],
+        recommendation=str(s["recommendation"]),
+    )
+    out_path = args.output or os.path.join("reports", f"{slug}.html")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(html_text)
+    print(f"daily csv -> {csv_path}")
+    print(f"report -> {out_path}")
+    return 0
+
+
 def cmd_daily(args: argparse.Namespace) -> int:
     from etl_weather_spark import queries as q
 
@@ -278,6 +365,18 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--sample-dir", default=None, dest="sample_dir")
     f.add_argument("--no-fallback", action="store_true", dest="no_fallback")
     f.set_defaults(fn=cmd_fetch)
+
+    al = sub.add_parser("all", help="fetch -> transform -> report for one city")
+    al.add_argument("city")
+    al.add_argument("--raw-dir", required=True, dest="raw_dir")
+    al.add_argument("--days", type=int, default=7)
+    al.add_argument("--timezone", default=None)
+    al.add_argument("--offline", action="store_true")
+    al.add_argument("--sample-dir", default=None, dest="sample_dir")
+    al.add_argument("--no-fallback", action="store_true", dest="no_fallback")
+    al.add_argument("--csv-out", default=None, dest="csv_out")
+    al.add_argument("--output", default=None, help="HTML report path")
+    al.set_defaults(fn=cmd_all)
 
     d = sub.add_parser("daily", help="build + write the gold daily table")
     d.add_argument("--out", required=True)

@@ -195,3 +195,95 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInArrow(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL header metadata decode — pure byte arithmetic, no codec libraries.
+# The container lacks Pillow/ffmpeg for pixel/sample decode (stubbed
+# above), but container FORMAT headers are just bytes: PNG's IHDR chunk
+# and WAV's RIFF fmt chunk parse with substring + hex→int conversion,
+# entirely JVM-side Catalyst expressions (codegen'd, no Python).
+# ---------------------------------------------------------------------------
+
+
+def _be_uint(payload, offset_1based: int, nbytes: int):
+    """Big-endian unsigned int from ``nbytes`` at 1-based ``offset``."""
+    return F.conv(F.hex(F.substring(payload, offset_1based, nbytes)), 16, 10).cast(
+        "long"
+    )
+
+
+def _le_uint(payload, offset_1based: int, nbytes: int):
+    """Little-endian unsigned int: per-byte reads recombined by weight
+    (hex() of a multi-byte slice would read big-endian)."""
+    out = None
+    for i in range(nbytes):
+        b = F.conv(F.hex(F.substring(payload, offset_1based + i, 1)), 16, 10).cast(
+            "long"
+        ) * F.lit(256**i)
+        out = b if out is None else out + b
+    return out
+
+
+def png_header_meta(payload):
+    """struct(width, height, bit_depth, color_type) decoded from a PNG
+    IHDR chunk — null when the 8-byte PNG signature doesn't match.
+
+    Layout (PNG spec, RFC 2083): signature bytes 1-8, IHDR length 9-12,
+    'IHDR' 13-16, width BE u32 @17, height BE u32 @21, bit depth @25,
+    color type @26 (1-based offsets).
+    """
+    is_png = F.hex(F.substring(payload, 1, 8)) == F.lit("89504E470D0A1A0A")
+    meta = F.struct(
+        _be_uint(payload, 17, 4).cast("int").alias("width"),
+        _be_uint(payload, 21, 4).cast("int").alias("height"),
+        _be_uint(payload, 25, 1).cast("int").alias("bit_depth"),
+        _be_uint(payload, 26, 1).cast("int").alias("color_type"),
+    )
+    return F.when(is_png & (F.length(payload) >= 26), meta)
+
+
+def wav_header_meta(payload):
+    """struct(n_channels, sample_rate, bits_per_sample, data_bytes,
+    duration_ms) decoded from a canonical 44-byte RIFF/WAVE header —
+    null when the RIFF/WAVE magics don't match.
+
+    Layout (canonical PCM): 'RIFF' @1, 'WAVE' @9, 'fmt ' @13, channels
+    LE u16 @23, sample rate LE u32 @25, block align LE u16 @33, bits
+    LE u16 @35, 'data' @37, data size LE u32 @41 (1-based offsets).
+    """
+    is_wav = (
+        (F.substring(payload, 1, 4).cast("string") == "RIFF")
+        & (F.substring(payload, 9, 4).cast("string") == "WAVE")
+        & (F.substring(payload, 37, 4).cast("string") == "data")
+    )
+    n_channels = _le_uint(payload, 23, 2).cast("int")
+    sample_rate = _le_uint(payload, 25, 4).cast("int")
+    bits = _le_uint(payload, 35, 2).cast("int")
+    data_bytes = _le_uint(payload, 41, 4).cast("long")
+    bytes_per_sec = (
+        sample_rate.cast("long") * n_channels.cast("long") * (bits / F.lit(8)).cast("long")
+    )
+    duration_ms = F.when(
+        bytes_per_sec > 0, (data_bytes * 1000 / bytes_per_sec).cast("int")
+    )
+    meta = F.struct(
+        n_channels.alias("n_channels"),
+        sample_rate.alias("sample_rate"),
+        bits.alias("bits_per_sample"),
+        data_bytes.alias("data_bytes"),
+        duration_ms.alias("duration_ms"),
+    )
+    return F.when(is_wav & (F.length(payload) >= 44), meta)
+
+
+def probe_media_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """media + ``png_meta``/``wav_meta`` struct columns — the real
+    (codec-free) slice of metadata extraction: format headers parse as
+    plain Catalyst byte arithmetic, so this runs JVM-side at full scan
+    speed; only pixel/sample DECODE needs the stubbed codec path.
+    """
+    p = F.col(payload_col)
+    return media.withColumns(
+        {"png_meta": png_header_meta(p), "wav_meta": wav_header_meta(p)}
+    )

@@ -2000,6 +2000,69 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1),
+joined AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+         a.user_id
+  FROM firsts f JOIN activity a ON a.user_id = f.user_id
+)
+SELECT j.cohort_week, j.week_offset,
+       CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       FLOOR((CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size) * 1000000 + 0.5) / 1000000 AS retention
+FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+ORDER BY j.cohort_week, j.week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by first-active
+    week, per (cohort, weeks-since-first) distinct-active counts and
+    retention rate — the canonical product-analytics rollup (and the
+    training-data analog: contributor/source survival across snapshot
+    weeks).
+
+    Scale: two hash aggs over (user, week) + one keyed join on
+    user_id; the cohort dimension (weeks) is tiny so the sizes join
+    broadcasts. No window over the raw event stream.
+    """
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("act_week")).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    week_offset = F.expr(
+        "CAST(datediff(act_week, cohort_week) div 7 AS BIGINT)"
+    ).alias("week_offset")
+    joined = firsts.join(activity, "user_id").select(
+        "cohort_week", week_offset, "user_id"
+    )
+    out = (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+    )
+    return out.select(
+        "cohort_week", "week_offset", "n_active",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        rnd(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+@query(
     "user_sessions",
     """
 WITH marked AS (

@@ -184,3 +184,35 @@ def test_cli_fetch_offline(tmp_path, capsys):
          "--sample-dir", str(tmp_path / "nope")]
     )
     assert rc == 1
+
+
+def test_cli_all_offline_end_to_end(tmp_path, capsys):
+    """Reference `etl-weather all` parity: fetch (offline sample) →
+    daily CSV → HTML report, one command."""
+    import csv
+
+    from etl_weather_spark.cli import main
+
+    sdir = tmp_path / "samples"
+    sdir.mkdir()
+    (sdir / "bandung_weather.json").write_text(json.dumps({"hourly": WEATHER_HOURLY}))
+    (sdir / "bandung_air.json").write_text(json.dumps({"hourly": AIR_HOURLY}))
+    csv_out = str(tmp_path / "gold" / "bandung_daily.csv")
+    html_out = str(tmp_path / "reports" / "bandung.html")
+    rc = main(
+        [
+            "all", "bandung",
+            "--raw-dir", str(tmp_path / "raw"),
+            "--offline", "--sample-dir", str(sdir),
+            "--csv-out", csv_out, "--output", html_out,
+        ]
+    )
+    assert rc == 0
+    rows = list(csv.DictReader(open(csv_out)))
+    assert len(rows) == 2
+    assert rows[0]["date"] == "2025-01-01"
+    assert float(rows[0]["temp_max"]) == 26.5
+    assert rows[1]["pm25_category"] == "Tidak sehat (sensitif)"
+    html_text = open(html_out).read()
+    assert "bandung" in html_text and "<svg" in html_text
+    assert "2025-01-02" in html_text
