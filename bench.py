@@ -83,6 +83,11 @@ HEADLINE = [
     # now compose)
     "semantic_dedup_ivf",
     "prefix_filter_jaccard",
+    # twelfth wave (round 3): corpus-LM perplexity-proxy scoring
+    # (vocabulary-sized join + decimal-exact accumulation), weekly
+    # cohort-retention triangle (two hash aggs + broadcast sizes join)
+    "unigram_logprob_quality",
+    "cohort_retention",
 ]
 
 

@@ -340,7 +340,7 @@ def ivf_cells_seeded(
     cells_per_sqrt_n: int = 4,
     sim_decimals: int = 6,
 ) -> DataFrame:
-    """Engine-portable IVF cell assignment: (id, cell, v).
+    """Engine-portable IVF cell assignment: (vec_id, cell, v, nv).
 
     Centroids are the ``K = cells_per_sqrt_n · ⌈√N⌉`` lowest-id vectors
     (IVF with deterministic init and zero Lloyd iterations); every
@@ -357,28 +357,36 @@ def ivf_cells_seeded(
     dots with the K-row centroid side broadcast. Both stages are plain
     equi-join shapes.
     """
+    # norms are computed ONCE per side, not per (vector, centroid) pair:
+    # the value is the identical sequential aggregate over the identical
+    # array, so oracle parity is unaffected while the N×K scoring stage
+    # drops the 2×dim per-pair norm work (higher-order functions are
+    # interpreted — this is the stage's hot loop)
     e = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     n_total = e.agg(F.count(F.lit(1)).alias("__n"))
     k_expr = (F.lit(cells_per_sqrt_n) * F.ceil(F.sqrt(F.col("__n")))).cast("long")
     cent = (
         e.crossJoin(F.broadcast(n_total))
         .filter(F.col("vec_id") < k_expr)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nv").alias("nc"),
+        )
     )
     csim = rnd(
-        dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv"))),
-        sim_decimals,
+        dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")), sim_decimals
     )
     scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "cid", csim.alias("csim")
+        "vec_id", "v", "nv", "cid", csim.alias("csim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "v")
+        .select("vec_id", F.col("cid").alias("cell"), "v", "nv")
     )
 
 

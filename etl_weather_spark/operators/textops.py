@@ -228,3 +228,37 @@ def shared_shingle_fraction(
         "doc_id", "n_shingles", "n_shared",
         rnd(F.col("n_shared") / F.col("n_shingles"), 6).alias("shared_fraction"),
     )
+
+
+def unigram_logprob_profile(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_nll) — average per-token negative
+    log2-probability under the corpus's OWN unigram LM, the CCNet-style
+    perplexity filter: low avg_nll = built from corpus-common tokens,
+    high = rare-token heavy (or out-of-domain).
+
+    Determinism: per-(doc, token-type) contribution
+    c_d · (log2(total) − log2(c)) is rounded to 6 dp then decimal-summed
+    (dsum), so both engines accumulate identically in any order.
+
+    Scale: token explode → two hash aggs + one join keyed on the token
+    (the LM side is vocabulary-sized); the corpus total rides as a
+    broadcast 1-row cross join, keeping the plan fully lazy.
+    """
+    from etl_weather_spark.functions.rounding import dsum
+    from etl_weather_spark.operators.dedup import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+    cnt_doc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c_d"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("long").alias("__total"))
+    per = F.col("c_d").cast("double") * (F.log2("__total") - F.log2("c"))
+    agg = (
+        cnt_doc.join(freq, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(dsum(per, 6).alias("__s"), F.sum("c_d").cast("long").alias("n_tokens"))
+    )
+    return agg.select(
+        "doc_id", "n_tokens",
+        rnd(F.col("__s") / F.col("n_tokens"), 6).alias("avg_nll"),
+    )

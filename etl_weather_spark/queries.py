@@ -3539,18 +3539,18 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cells = ivf_cells_seeded(emb, cells_per_sqrt_n=1)
     a = cells.select(
-        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        F.col("cell"), F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
     )
     b = cells.select(
-        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        F.col("cell"), F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
     from etl_weather_spark.operators.similarity import dot as _dot
-    from etl_weather_spark.operators.similarity import norm as _norm
 
-    sim = rnd(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
-        6,
-    )
+    # norms precomputed once per vector in ivf_cells_seeded — identical
+    # value to the oracle's per-pair sqrt(list_dot_product(v,v))
+    sim = rnd(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -5768,6 +5768,43 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return token_entropy_profile(docs).orderBy("doc_id")
+
+
+@query(
+    "unigram_logprob_quality",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(tk) AS t FROM toks),
+cnt_doc AS (SELECT doc_id, t, COUNT(*) AS c_d FROM tok GROUP BY 1, 2),
+freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM freq),
+agg AS (
+  SELECT doc_id,
+         {sql_dsum('c_d * (log2(tt) - log2(c))', 6)} AS s,
+         CAST(SUM(c_d) AS BIGINT) AS n_tokens
+  FROM cnt_doc JOIN freq USING (t) CROSS JOIN total
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       FLOOR((s / n_tokens) * 1000000 + 0.5) / 1000000 AS avg_nll
+FROM agg ORDER BY doc_id
+""",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering signal: average per-token
+    negative log2-probability under the corpus's own unigram LM
+    (operators/textops.unigram_logprob_profile). The complement of
+    token_entropy_quality — entropy measures WITHIN-doc diversity,
+    avg_nll measures rarity AGAINST the corpus distribution; quality
+    pipelines threshold both.
+    """
+    from etl_weather_spark.operators.textops import unigram_logprob_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logprob_profile(docs).orderBy("doc_id")
 
 
 @query(

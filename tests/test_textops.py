@@ -113,3 +113,27 @@ def test_shared_shingle_fraction_hand_values(spark):
     assert (out[0].n_shingles, out[0].n_shared) == (3, 1)
     assert out[0].shared_fraction == round(1 / 3, 6)
     assert (out[2].n_shingles, out[2].n_shared, out[2].shared_fraction) == (3, 0, 0.0)
+
+
+def test_unigram_logprob_hand_values(spark):
+    import math
+
+    from etl_weather_spark.operators.textops import unigram_logprob_profile
+
+    # corpus: 'a' x4, 'b' x2, 'c' x2 -> total 8
+    docs = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_profile(docs).collect()}
+    # per doc: 2*(-log2(4/8)) + (-log2(2/8)) + (-log2(2/8)) all over 4
+    expected = (2 * 1.0 + 2.0 + 2.0) / 4
+    assert out[0].n_tokens == 4
+    assert abs(out[0].avg_nll - expected) < 2e-6
+    assert out[0].avg_nll == out[1].avg_nll  # identical docs, same score
+
+    # a rare-token doc scores strictly higher than a common-token doc
+    docs2 = spark.createDataFrame(
+        [(0, "x x x x x x"), (1, "q")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r.avg_nll for r in unigram_logprob_profile(docs2).collect()}
+    assert out2[1] > out2[0]
