@@ -113,7 +113,7 @@ def cmd_all(args: argparse.Namespace) -> int:
 
     slug = landed["slug"]
     csv_path = args.csv_out or os.path.join(args.raw_dir, "..", "gold", f"{slug}_daily.csv")
-    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
     with open(csv_path, "w", newline="", encoding="utf-8") as f:
         w = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
@@ -137,7 +137,7 @@ def cmd_all(args: argparse.Namespace) -> int:
         recommendation=str(s["recommendation"]),
     )
     out_path = args.output or os.path.join("reports", f"{slug}.html")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w", encoding="utf-8") as f:
         f.write(html_text)
     print(f"daily csv -> {csv_path}")

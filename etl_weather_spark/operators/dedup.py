@@ -744,17 +744,29 @@ def prefix_filter_candidates(
     join (completeness asserted against ``ngram_jaccard_pairs`` in
     tests and by the shared oracle of queries.prefix_filter_jaccard).
     """
-    from pyspark.sql import Window
-
-    t = min_jaccard
     sh = exploded_shingles(docs, text_col=text_col, keep_cols=[id_col], n=shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return _candidates_from_sized_shingles(
+        sh.join(sizes, id_col), id_col=id_col, t=min_jaccard
+    )
+
+
+def _candidates_from_sized_shingles(
+    sh: DataFrame, *, id_col: str, t: float
+) -> DataFrame:
+    """PPJoin candidate pairs from a (id, n_sh, sh) relation — the ONE
+    implementation of the prefix/length/positional filter bounds,
+    shared by :func:`prefix_filter_candidates` (docs input) and
+    :func:`pruned_jaccard_pairs` (precomputed shingle-array input) so
+    the FP-sensitive cut expressions can never diverge between them.
+    """
+    from pyspark.sql import Window
+
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "sh")
     prefix = (
         sh.join(dfreq, "sh")
         .withColumn("rnk", F.row_number().over(w))
-        .join(sizes, id_col)
         .filter(
             F.col("rnk")
             <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
@@ -821,20 +833,23 @@ def pruned_jaccard_pairs(
     """
     if min_jaccard <= 0:
         raise ValueError("pruned_jaccard_pairs requires min_jaccard > 0")
-    from pyspark.sql import Window
-
-    t = min_jaccard
     # One persisted table carries ALL the expensive text work: per-doc
     # DISTINCT shingle arrays. The prefix index, document frequencies,
     # and the verify stage all derive from it, so tokenization runs
     # once and the eager count is the single materialization barrier
     # (same AQE-race rationale as verify_candidates_jaccard, one
-    # barrier instead of two).
+    # barrier instead of two). Tokens are bound in their OWN projection
+    # first — passing the tokens() expression straight into the shingle
+    # lambda would re-evaluate the regex+split per element (the
+    # CollapseProject inlining trap, see :func:`shingles`).
+    toked = widen_narrow_input(docs, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
     shsets = (
-        docs.select(
+        toked.select(
             F.col(id_col),
             F.array_distinct(
-                shingles_of_tokens(tokens(F.col(text_col)), shingle_n)
+                shingles_of_tokens(F.col("__toks"), shingle_n)
             ).alias("__sh_arr"),
         )
         .withColumn("n_sh", F.size("__sh_arr"))
@@ -842,35 +857,7 @@ def pruned_jaccard_pairs(
     )
     shsets.count()
     sh = shsets.select(id_col, "n_sh", F.explode("__sh_arr").alias("sh"))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "sh")
-    prefix = (
-        sh.join(dfreq, "sh")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
-    )
-    a = prefix.select(
-        F.col(id_col).alias("id_a"), "sh",
-        F.col("n_sh").alias("n_a"), F.col("rnk").alias("rnk_a"),
-    )
-    b = prefix.select(
-        F.col(id_col).alias("id_b"), "sh",
-        F.col("n_sh").alias("n_b"), F.col("rnk").alias("rnk_b"),
-    )
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")))
-    pos_cap = F.lit(1) + F.least(
-        F.col("n_a") - F.col("rnk_a"), F.col("n_b") - F.col("rnk_b")
-    )
-    cand = (
-        a.join(b, "sh")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.lit(t) * F.greatest("n_a", "n_b") <= F.least("n_a", "n_b"))
-            & (pos_cap >= alpha)
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _candidates_from_sized_shingles(sh, id_col=id_col, t=min_jaccard)
     # verify: per-pair exact intersection over the cached shingle ARRAYS
     # (JVM array_intersect), not a re-exploded shingle join — the join
     # moves |cand| rows with two array payloads instead of

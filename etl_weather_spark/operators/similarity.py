@@ -17,6 +17,8 @@ computes one dot product per candidate pair.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -34,6 +36,17 @@ def dot(a: Column, b: Column) -> Column:
 
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def norm_safe(a: Column) -> Column:
+    """Cosine-denominator norm, eps-clamped: a zero vector must yield a
+    deterministic 0-similarity on BOTH engines instead of Spark NaN vs
+    DuckDB NULL (which sort to opposite ends and can flip argmax /
+    threshold results). Every oracle mirrors the identical
+    ``GREATEST(sqrt(list_dot_product(v, v)), 1e-12)``; for any nonzero
+    vector the clamp is the exact same double, so parity is unchanged.
+    """
+    return F.greatest(norm(a), F.lit(1e-12))
 
 
 def as_double_array(col: Column) -> Column:
@@ -97,10 +110,10 @@ def cosine_topk_bruteforce(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm_safe(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm_safe(F.col("cv")))
 
     sim = rnd(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), sim_decimals)
     scored = (
@@ -199,7 +212,7 @@ def cosine_topk_lsh(
         .distinct()
     )
     sim = rnd(
-        dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+        dot(F.col("qv"), F.col("cv")) / (norm_safe(F.col("qv")) * norm_safe(F.col("cv"))),
         sim_decimals,
     )
     scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
@@ -269,7 +282,7 @@ def embedding_near_dupes(
             "allow_full_cross=True to confirm the corpus is small enough"
         )
     v = as_double_array(F.col(vec_col))
-    base = emb.select(F.col(id_col), *( [F.col(block_col)] if block_col else [] ), v.alias("v")).withColumn("n", norm(F.col("v")))
+    base = emb.select(F.col(id_col), *( [F.col(block_col)] if block_col else [] ), v.alias("v")).withColumn("n", norm_safe(F.col("v")))
     a = base.select(
         F.col(id_col).alias("id_a"), *([F.col(block_col)] if block_col else []),
         F.col("v").alias("va"), F.col("n").alias("na"),
@@ -318,7 +331,7 @@ def train_ivf_centroids(
     v = as_double_array(F.col(vec_col))
     unit = (
         df.select(v.alias("v"))
-        .withColumn("n", norm(F.col("v")))
+        .withColumn("n", norm_safe(F.col("v")))
         .select(
             array_to_vector(
                 F.transform(F.col("v"), lambda x: x / F.col("n"))
@@ -364,12 +377,18 @@ def ivf_cells_seeded(
     # interpreted — this is the stage's hot loop)
     e = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("v")
-    ).withColumn("nv", norm(F.col("v")))
-    n_total = e.agg(F.count(F.lit(1)).alias("__n"))
-    k_expr = (F.lit(cells_per_sqrt_n) * F.ceil(F.sqrt(F.col("__n")))).cast("long")
+    ).withColumn("nv", norm_safe(F.col("v")))
+    # K lowest ids BY RANK, not by `id < K`: offset/sparse id spaces
+    # would otherwise yield fewer (or zero) centroids and silently
+    # disable the dedup. orderBy+limit plans as TakeOrdered (distributed
+    # partial top-K per partition, never one reducer); the count() is a
+    # driver action — acceptable for what is a train-once index
+    # artifact, same as the PQ/IVF training collects.
+    n = e.count()
+    k = max(1, int(cells_per_sqrt_n) * math.ceil(math.sqrt(max(n, 1))))
     cent = (
-        e.crossJoin(F.broadcast(n_total))
-        .filter(F.col("vec_id") < k_expr)
+        e.orderBy("vec_id")
+        .limit(k)
         .select(
             F.col("vec_id").alias("cid"),
             F.col("v").alias("cv"),
@@ -583,10 +602,10 @@ def cosine_topk_pq(
     # exact re-rank: full vectors only for shortlist ids × queries
     c_full = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm_safe(F.col("cv")))
     q_full = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm_safe(F.col("qv")))
     sim = rnd(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), sim_decimals)
     reranked = (
         short.join(c_full, "neighbor_id")
@@ -628,7 +647,7 @@ def cosine_topk_ivf(
         v = as_double_array(F.col(vec_col))
         base = (
             df.select(F.col(id_col).alias(out_id), v.alias("v"))
-            .withColumn("n", norm(F.col("v")))
+            .withColumn("n", norm_safe(F.col("v")))
             .withColumn(
                 "uv", F.transform(F.col("v"), lambda x: x / F.col("n"))
             )

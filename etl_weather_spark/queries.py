@@ -1064,7 +1064,7 @@ c AS (
 scored AS (
   SELECT query_id, neighbor_id,
          FLOOR((list_dot_product(qv, cv)
-                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+                / (GREATEST(sqrt(list_dot_product(qv, qv)), 1e-12) * GREATEST(sqrt(list_dot_product(cv, cv)), 1e-12)))
                * 1000000 + 0.5) / 1000000 AS sim
   FROM q CROSS JOIN c
   WHERE query_id <> neighbor_id
@@ -1135,11 +1135,11 @@ WITH e AS (
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        FLOOR((list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+              / (GREATEST(sqrt(list_dot_product(a.v, a.v)), 1e-12) * GREATEST(sqrt(list_dot_product(b.v, b.v)), 1e-12)))
              * 1000000 + 0.5) / 1000000 AS sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE FLOOR((list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+             / (GREATEST(sqrt(list_dot_product(a.v, a.v)), 1e-12) * GREATEST(sqrt(list_dot_product(b.v, b.v)), 1e-12)))
             * 1000000 + 0.5) / 1000000 >= 0.3
 """,
 )
@@ -3389,7 +3389,7 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMANTIC_SIM_SQL = """FLOOR((list_dot_product(a.v, b.v)
-       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+       / (GREATEST(sqrt(list_dot_product(a.v, a.v)), 1e-12) * GREATEST(sqrt(list_dot_product(b.v, b.v)), 1e-12)))
       * 1000000 + 0.5) / 1000000"""
 
 _SEMANTIC_DEDUP_SQL = f"""
@@ -3467,7 +3467,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMANTIC_CSIM_SQL = """FLOOR((list_dot_product(e.v, cent.cv)
-       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))))
+       / (GREATEST(sqrt(list_dot_product(e.v, e.v)), 1e-12) * GREATEST(sqrt(list_dot_product(cent.cv, cent.cv)), 1e-12)))
       * 1000000 + 0.5) / 1000000"""
 
 _SEMANTIC_DEDUP_IVF_SQL = f"""
@@ -3475,7 +3475,7 @@ WITH RECURSIVE e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 kk AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM e),
-cent AS (SELECT vec_id AS cid, v AS cv FROM e, kk WHERE e.vec_id < kk.k),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT (SELECT k FROM kk)),
 scored AS (
   SELECT e.vec_id, cent.cid, {_SEMANTIC_CSIM_SQL} AS csim
   FROM e CROSS JOIN cent
@@ -3585,7 +3585,7 @@ c AS (
 scored AS (
   SELECT query_id, neighbor_id,
          FLOOR((list_dot_product(qv, cv)
-                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+                / (GREATEST(sqrt(list_dot_product(qv, qv)), 1e-12) * GREATEST(sqrt(list_dot_product(cv, cv)), 1e-12)))
                * 1000000 + 0.5) / 1000000 AS sim
   FROM q CROSS JOIN c
   WHERE qlabel <> clabel
@@ -3612,7 +3612,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_weather_spark.operators.similarity import (
         as_double_array,
         dot,
-        norm,
+        norm_safe,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -3623,13 +3623,13 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("qlabel"),
             as_double_array(F.col("embedding")).alias("qv"),
         )
-        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("qn", norm_safe(F.col("qv")))
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
         as_double_array(F.col("embedding")).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm_safe(F.col("cv")))
     sim = rnd(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     scored = (
         c.crossJoin(F.broadcast(qs))

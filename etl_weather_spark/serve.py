@@ -160,6 +160,11 @@ class EngineAPI:
             t = threading.Thread(
                 target=lambda: self._compute_funfact(city), daemon=True
             )
+            # prune finished refreshers so a long-running server doesn't
+            # accumulate one dead Thread per fast request
+            self._funfact_threads = [
+                x for x in self._funfact_threads if x.is_alive()
+            ]
             self._funfact_threads.append(t)
             t.start()  # reference's background refresh (web.py:236-239)
             return {
@@ -243,7 +248,10 @@ class EngineAPI:
             qstr = params.get("q", [""])[0]
             if not qstr.strip():
                 return 400, {"error": "empty q parameter"}
-            count = int(params.get("count", ["5"])[0])
+            count_raw = params.get("count", ["5"])[0]
+            if not count_raw.isdigit() or int(count_raw) < 1:
+                return 400, {"error": f"bad count: {count_raw}"}
+            count = int(count_raw)
             results = self._cached(
                 f"search|{qstr.strip().lower()}|{count}",
                 lambda: self.search_places(qstr, count),
@@ -283,7 +291,12 @@ class EngineAPI:
 
             return 200, {"results": self._cached(f"regencies|{code}", compute, refresh)}
         if path.startswith("/city/funfact/"):
-            city = path.removeprefix("/city/funfact/")
+            from urllib.parse import unquote
+
+            # the path segment arrives percent-encoded ('New%20York');
+            # decode so the model prompt and cache key see the real name,
+            # consistent with parse_qs-decoded query params
+            city = unquote(path.removeprefix("/city/funfact/"))
             if not city:
                 return 400, {"error": "empty city"}
             fresh = params.get("fresh", ["false"])[0].lower() == "true"

@@ -96,8 +96,10 @@ def process_corpus_batch(
         "doc_id", "text", "lang", "fingerprint", F.lit(batch_id).alias("batch_id")
     )
     n_accepted = accepted.count()
-    mode = "append" if current_version(accepted_table) is not None else "overwrite"
-    snapshot_write(accepted, accepted_table, mode=mode, ingest_ts=marker)
+    # stats BEFORE the marker-carrying snapshot commit: a crash between
+    # the two writes then replays past the marker check above, and the
+    # replay must still find (or idempotently rewrite) the stats row —
+    # writing stats after the commit would leave a permanent hole
     stats = spark.createDataFrame(
         [(batch_id, n_raw, n_accepted)],
         "batch_id long, n_raw long, n_accepted long",
@@ -105,6 +107,8 @@ def process_corpus_batch(
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stats_dir, f"batch_id={batch_id}")
     )
+    mode = "append" if current_version(accepted_table) is not None else "overwrite"
+    snapshot_write(accepted, accepted_table, mode=mode, ingest_ts=marker)
 
 
 def stream_corpus_ingest(

@@ -216,3 +216,20 @@ def test_cli_all_offline_end_to_end(tmp_path, capsys):
     html_text = open(html_out).read()
     assert "bandung" in html_text and "<svg" in html_text
     assert "2025-01-02" in html_text
+
+
+def test_cli_all_bare_output_filenames(tmp_path, capsys, monkeypatch):
+    """Bare (directory-less) --csv-out/--output must not crash makedirs."""
+    from etl_weather_spark.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    sdir = tmp_path / "samples"
+    sdir.mkdir()
+    (sdir / "bandung_weather.json").write_text(json.dumps({"hourly": WEATHER_HOURLY}))
+    (sdir / "bandung_air.json").write_text(json.dumps({"hourly": AIR_HOURLY}))
+    rc = main(
+        ["all", "bandung", "--raw-dir", str(tmp_path / "raw"), "--offline",
+         "--sample-dir", str(sdir), "--csv-out", "daily.csv", "--output", "report.html"]
+    )
+    assert rc == 0
+    assert (tmp_path / "daily.csv").exists() and (tmp_path / "report.html").exists()

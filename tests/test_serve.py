@@ -135,3 +135,21 @@ def test_funfact_route_fresh_fast_semantics(server, tmp_path):
     for t in server.api._funfact_threads:
         t.join(60)
     assert server.api._funfact_cache["jakarta"] == "fact-3"
+
+
+def test_search_count_validation(server):
+    status, body = _get(server, "/search?q=in&count=abc")
+    assert status == 400
+    status, body = _get(server, "/search?q=in&count=-1")
+    assert status == 400
+
+
+def test_funfact_url_encoded_city_decodes(server, tmp_path):
+    server.api._funfact_model = lambda prompt: f"fact about [{prompt}]"
+    status, body = _get(server, "/city/funfact/New%20York")
+    assert status == 200
+    assert body["city"] == "New York"
+    assert "New York" in body["fun_fact"]
+    # the decoded form hits the same cache entry
+    status, body = _get(server, "/city/funfact/New%20York")
+    assert body["source"] == "cache"

@@ -200,3 +200,47 @@ def test_pq_recall_and_compression(spark, sf_dir):
         for qq in exact_sets
     ]
     assert min(recalls) >= 0.3, recalls
+
+
+def test_zero_norm_vectors_are_deterministic_not_nan(spark):
+    """norm_safe eps-clamp: an all-zeros embedding yields sim 0.0 (not
+    NaN, which sorts as the LARGEST double and would top every ranking
+    while the DuckDB oracle's NULL sorts last)."""
+    import math
+
+    from etl_weather_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_cells_seeded,
+    )
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(1, 9)]
+    rows.append((0, [0.0, 0.0, 0.0, 0.0]))  # the hazard
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = cosine_topk_bruteforce(emb, emb.filter("vec_id <= 1"), k=8)
+    sims = [r.sim for r in out.collect()]
+    assert all(not math.isnan(s) for s in sims)
+    zero_rows = [r for r in out.collect() if r.neighbor_id == 0 or r.query_id == 0]
+    assert all(r.sim == 0.0 for r in zero_rows)
+    # 0-sim rows rank LAST for the nonzero query, not first
+    q1 = sorted(
+        (r for r in out.collect() if r.query_id == 1), key=lambda r: r.rank
+    )
+    assert q1[-1].neighbor_id == 0
+
+    cells = {r.vec_id: r.cell for r in ivf_cells_seeded(emb).collect()}
+    assert len(cells) == 9  # the zero vector still gets a cell assignment
+
+
+def test_ivf_cells_seeded_sparse_offset_ids(spark):
+    """Centroids are the K lowest ids BY RANK — an offset id space must
+    still produce K centroids, not zero (review finding r3)."""
+    from etl_weather_spark.operators.similarity import ivf_cells_seeded
+
+    rows = [(1000 + i, [float(i + j) for j in range(4)]) for i in range(9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_cells_seeded(emb, cells_per_sqrt_n=1).collect()
+    assert len(out) == 9
+    cells = {r.cell for r in out}
+    # K = ceil(sqrt(9)) = 3 centroids, all drawn from the actual id space
+    assert cells <= {1000, 1001, 1002} and len(cells) >= 1
