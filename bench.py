@@ -88,6 +88,9 @@ HEADLINE = [
     # cohort-retention triangle (two hash aggs + broadcast sizes join)
     "unigram_logprob_quality",
     "cohort_retention",
+    # Q21-shaped correlated EXISTS/NOT-EXISTS as one pass of semi/anti
+    # hash joins (plan-tested)
+    "waiting_suppliers_blame",
 ]
 
 

@@ -2491,6 +2491,147 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "waiting_suppliers_blame",
+    """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate) > 60 AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late) l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM li l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late
+)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def waiting_suppliers_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (adapted to this schema: 'late' = shipped >60
+    days after the order date): suppliers who were the SOLE late
+    shipper on a multi-supplier order — correlated EXISTS + NOT EXISTS
+    against the same relation, the classic blame-assignment join shape.
+
+    Spark form: the EXISTS is a left-semi join on (orderkey, other
+    supplier present), the NOT EXISTS a left-anti join on (orderkey,
+    other supplier late) — both keyed on l_orderkey, so the plan is
+    three hash joins over a narrow (orderkey, suppkey, is_late)
+    relation, no correlated subquery re-execution. Supplier dim
+    broadcasts; final top-20 is TakeOrdered.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+            ).alias("is_late"),
+        )
+    )
+    l1 = li.filter("is_late").select("l_orderkey", "l_suppkey").distinct()
+    others = li.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    exists = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
+        "left_semi",
+    )
+    others_late = li.filter("is_late").select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    sole = exists.join(
+        others_late,
+        (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
+        "left_anti",
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "mixture_temperature_weights",
+    """
+WITH per_source AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars_src,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_chars_src) AS BIGINT) AS total FROM per_source),
+raw AS (
+  SELECT source, n_docs, n_chars_src,
+         FLOOR((CAST(n_chars_src AS DOUBLE) / total) * 1000000000 + 0.5) / 1000000000 AS share,
+         FLOOR(POW(CAST(n_chars_src AS DOUBLE) / total, 0.7) * 1000000000 + 0.5) AS w_scaled
+  FROM per_source CROSS JOIN tot
+),
+norm AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS w_total FROM raw)
+SELECT source, n_docs, n_chars_src, share,
+       FLOOR((CAST(w_scaled AS DOUBLE) / w_total) * 1000000 + 0.5) / 1000000 AS sample_weight
+FROM raw CROSS JOIN norm
+ORDER BY source
+""",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (the T5/mT5
+    multilingual sampling rule): weight ∝ share^0.7, normalized —
+    up-weights small sources, down-weights dominant ones, the standard
+    fix for head-domain domination in multi-source training mixes.
+
+    Determinism: shares come from exact integer char counts; each
+    pow(share, 0.7) is rounded to an integer at 1e9 scale before the
+    exact-integer normalization sum, so both engines normalize over
+    identical values in any order (the weighted_sample_topk per-term
+    discipline).
+
+    Scale: one agg (≤ #sources rows) + two broadcast 1-row cross joins
+    — the whole computation after the first agg is dimension-sized.
+    """
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars_src"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = per.agg(F.sum("n_chars_src").cast("long").alias("total"))
+    share_raw = F.col("n_chars_src").cast("double") / F.col("total")
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_chars_src",
+        rnd(share_raw, 9).alias("share"),
+        F.floor(F.pow(share_raw, F.lit(0.7)) * 1e9 + F.lit(0.5)).alias("w_scaled"),
+    )
+    norm_t = raw.agg(F.sum("w_scaled").cast("long").alias("w_total"))
+    return (
+        raw.crossJoin(F.broadcast(norm_t))
+        .select(
+            "source", "n_docs", "n_chars_src", "share",
+            rnd(F.col("w_scaled").cast("double") / F.col("w_total"), 6).alias(
+                "sample_weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "small_quantity_revenue",
     f"""
 WITH thresholds AS (

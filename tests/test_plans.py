@@ -623,3 +623,15 @@ def test_topk_two_level_equals_single_window(spark, sf_dir):
     assert sorted(map(tuple, two.select(*key).collect())) == sorted(
         map(tuple, naive.select(*key).collect())
     )
+
+
+def test_q21_shape_semi_anti_no_subquery_reexecution(spark, sf_dir):
+    # correlated EXISTS / NOT EXISTS must plan as ONE pass of hash
+    # semi/anti joins over the narrow lineitem projection — never a
+    # per-row subquery or cartesian
+    df = q.waiting_suppliers_blame(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_occurrences(df, "CartesianProduct") == 0, plan
+    assert count_occurrences(df, "BroadcastNestedLoopJoin") == 0, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert count_occurrences(df, "TakeOrderedAndProject") >= 1, plan
