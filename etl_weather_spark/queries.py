@@ -3360,6 +3360,177 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hourly_gapfill_ffill",
+    f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         {sql_round(f"{sql_dsum('value')} / COUNT(value)", 2)} AS err_avg
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT s.hour, h.err_avg,
+       LAST_VALUE(h.err_avg IGNORE NULLS)
+         OVER (ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS err_avg_ffill,
+       h.err_avg IS NULL AS is_gap
+FROM spine s LEFT JOIN hourly h ON h.hour = s.hour
+ORDER BY s.hour
+""",
+)
+def hourly_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-hourly-spine resample + forward fill: generate every
+    hour between the corpus bounds (sequence + explode — hours with no
+    error events exist as rows), left-join the sparse hourly error
+    average, carry the last observation forward, flag the filled gaps.
+    The dashboard/feature-store gap-fill every time-series consumer
+    needs (42 of 720 hours have no error events at sf0.01).
+
+    Scale note: the fill window is a GLOBAL ordered window — over the
+    TIME DIMENSION (one row per hour: ~9k rows/year), never the raw
+    events, so the single-reducer sort is bounded by calendar size, not
+    data size. Per-entity fills partition the same window by key.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(rnd(davg("value"), 2).alias("err_avg"))
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            "err_avg",
+            F.last("err_avg", ignorenulls=True).over(w).alias("err_avg_ffill"),
+            F.col("err_avg").isNull().alias("is_gap"),
+        )
+        .orderBy("hour")
+    )
+
+
+@query(
+    "dup_cluster_transitivity",
+    f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+tri AS (
+  SELECT c.cluster_id, COUNT(*) AS n_triangles
+  FROM prs p1
+  JOIN prs p2 ON p2.id_a = p1.id_b
+  JOIN prs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+  JOIN clusters c ON c.node = p1.id_a
+  GROUP BY c.cluster_id
+),
+per AS (
+  SELECT c.cluster_id,
+         CAST(COUNT(DISTINCT c.node) AS BIGINT) AS n_nodes,
+         CAST(COUNT(DISTINCT p.id_a || '|' || p.id_b) AS BIGINT) AS n_edges
+  FROM clusters c
+  JOIN prs p ON p.id_a = c.node OR p.id_b = c.node
+  GROUP BY c.cluster_id
+)
+SELECT per.cluster_id, per.n_nodes, per.n_edges,
+       CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       per.n_edges = per.n_nodes * (per.n_nodes - 1) // 2 AS is_clique
+FROM per LEFT JOIN tri ON tri.cluster_id = per.cluster_id
+ORDER BY per.cluster_id
+""",
+)
+def dup_cluster_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster QUALITY audit: per near-dup cluster, node/edge/
+    triangle counts and a clique flag. Connected components merge
+    transitively — a chain a~b~c collapses three docs on two edges
+    even when a and c share nothing — so low edge density / zero
+    triangles marks exactly the clusters a careful pipeline re-verifies
+    before collapsing, while cliques are safe merges.
+
+    Triangles via the node-ordered wedge join (id_a<id_b<id_c): each
+    pair relation self-join keys on a shared endpoint, the standard
+    distributed triangle count — never an all-pairs product. Edge and
+    node rollups ride the same narrow (id, id) relations as
+    dedup_clusters.
+    """
+    from etl_weather_spark.operators.dedup import (
+        connected_components,
+        pruned_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = pruned_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)
+    cc = connected_components(pairs)
+
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        p1.join(p2, "b")
+        .join(p3, ["a", "c"])
+        .join(cc, F.col("a") == F.col("node"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    ecl = (
+        pairs.join(cc, F.col("id_a") == F.col("node"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    ncl = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        ncl.join(ecl, "cluster_id", "left")
+        .join(tri, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                F.coalesce("n_edges", F.lit(0))
+                == (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2).cast("long")
+            ).alias("is_clique"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def _pr_iter_sql(prev: str, cur: str) -> str:
     """One unrolled PageRank round (bit-exact mirror of
     operators/graph.pagerank_scaled: integer div by outdeg, damped
