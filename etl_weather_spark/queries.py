@@ -2541,6 +2541,10 @@ def waiting_suppliers_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
             ).alias("is_late"),
         )
+        # the narrow (orderkey, suppkey, is_late) relation has THREE
+        # consumers (l1, exists side, not-exists side) — fence its
+        # lineage so the lineitem⋈orders join runs once, not 3×
+        .localCheckpoint(eager=False)
     )
     l1 = li.filter("is_late").select("l_orderkey", "l_suppkey").distinct()
     others = li.select(

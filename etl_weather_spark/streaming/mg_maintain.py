@@ -33,11 +33,11 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_weather_spark.operators.frequent import _mg_kernel
+from etl_weather_spark.streaming._state import AppliedIds, atomic_savez, check_lineage
 
 __all__ = [
     "mg_merge_counts",
@@ -82,42 +82,32 @@ def _read_state(path: str):
         stored = str(z["lineage"]) if "lineage" in z.files else ""
         items = [str(x) for x in z["items"]]
         counts = dict(zip(items, (int(v) for v in z["counts"])))
-        return counts, int(z["n_total"]), set(int(b) for b in z["applied"]), stored
-
-
-def _check_lineage(path: str, stored: str, lineage: str | None) -> None:
-    if lineage and stored and stored != lineage:
-        raise ValueError(
-            f"MG state {path} was maintained under checkpoint {stored!r}, "
-            f"not {lineage!r}: its applied batch ids are meaningless in "
-            "this lineage. Delete the state file together with the old "
-            "checkpoint."
-        )
+        return counts, int(z["n_total"]), AppliedIds.from_arrays(z), stored
 
 
 def load_mg_state(path: str, *, lineage: str | None = None):
     """(counters, n_total, applied ids) — empty when absent."""
     if not os.path.exists(path):
-        return {}, 0, set()
+        return {}, 0, AppliedIds()
     counts, n_total, applied, stored = _read_state(path)
-    _check_lineage(path, stored, lineage)
+    check_lineage(path, stored, lineage, "MG")
     return counts, n_total, applied
 
 
 def _save_state(
-    path: str, counts: dict, n_total: int, applied: set, lineage: str
+    path: str, counts: dict, n_total: int, applied: AppliedIds, lineage: str
 ) -> None:
     items = sorted(counts)
-    tmp = f"{path}.tmp.{os.getpid()}.npz"
-    np.savez(
-        tmp[:-4],
+    floor, tail = applied.arrays()
+    atomic_savez(
+        path,
         items=np.array(items, dtype="U"),
         counts=np.array([counts[i] for i in items], dtype=np.int64),
         n_total=np.int64(n_total),
-        applied=np.array(sorted(applied), dtype=np.int64),
+        applied=tail,
+        applied_floor=floor,
         lineage=np.str_(lineage),
     )
-    os.replace(tmp, path)
 
 
 def process_mg_batch(
@@ -133,9 +123,9 @@ def process_mg_batch(
     no-op (its summary was already merged)."""
     if os.path.exists(state_path):
         counts, n_total, applied, stored = _read_state(state_path)
-        _check_lineage(state_path, stored, lineage)
+        check_lineage(state_path, stored, lineage, "MG")
     else:
-        counts, n_total, applied, stored = {}, 0, set(), ""
+        counts, n_total, applied, stored = {}, 0, AppliedIds(), ""
     if batch_id in applied:
         return
     batch_counts, batch_n = mg_batch_summary(batch_df, key_col, k)

@@ -35,6 +35,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from etl_weather_spark.operators.sketches import cms_build
+from etl_weather_spark.streaming._state import AppliedIds, atomic_savez, check_lineage
 
 __all__ = ["load_cms_state", "process_cms_batch", "stream_maintain_cms"]
 
@@ -43,18 +44,7 @@ def _read_state(path: str):
     """(matrix, applied ids, stored lineage; '' = unscoped legacy state)."""
     with np.load(path) as z:
         stored = str(z["lineage"]) if "lineage" in z.files else ""
-        return z["m"].copy(), set(int(b) for b in z["applied"]), stored
-
-
-def _check_lineage(path: str, stored: str, lineage: str | None) -> None:
-    if lineage and stored and stored != lineage:
-        raise ValueError(
-            f"CMS state {path} was maintained under checkpoint "
-            f"{stored!r}, not {lineage!r}: its applied batch ids are "
-            "meaningless in this lineage (ids restart at 0, so new "
-            "batches would be silently skipped). Delete the state file "
-            "together with the old checkpoint."
-        )
+        return z["m"].copy(), AppliedIds.from_arrays(z), stored
 
 
 def load_cms_state(path: str, *, depth: int, width: int, lineage: str | None = None):
@@ -65,21 +55,17 @@ def load_cms_state(path: str, *, depth: int, width: int, lineage: str | None = N
     of silently skipping replayed-looking (but legitimate) batch ids.
     """
     if not os.path.exists(path):
-        return np.zeros((depth, width), dtype=np.int64), set()
+        return np.zeros((depth, width), dtype=np.int64), AppliedIds()
     m, applied, stored = _read_state(path)
-    _check_lineage(path, stored, lineage)
+    check_lineage(path, stored, lineage, "CMS")
     return m, applied
 
 
-def _save_cms_state(path: str, m: np.ndarray, applied: set, lineage: str) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}.npz"  # savez appends .npz otherwise
-    np.savez(
-        tmp[:-4],
-        m=m,
-        applied=np.array(sorted(applied), dtype=np.int64),
-        lineage=np.str_(lineage),
+def _save_cms_state(path: str, m: np.ndarray, applied: AppliedIds, lineage: str) -> None:
+    floor, tail = applied.arrays()
+    atomic_savez(
+        path, m=m, applied=tail, applied_floor=floor, lineage=np.str_(lineage)
     )
-    os.replace(tmp, path)
 
 
 def process_cms_batch(
@@ -96,9 +82,9 @@ def process_cms_batch(
     no-op (its partial was already added)."""
     if os.path.exists(state_path):
         m, applied, stored = _read_state(state_path)
-        _check_lineage(state_path, stored, lineage)
+        check_lineage(state_path, stored, lineage, "CMS")
     else:
-        m, applied, stored = np.zeros((depth, width), dtype=np.int64), set(), ""
+        m, applied, stored = np.zeros((depth, width), dtype=np.int64), AppliedIds(), ""
     if batch_id in applied:
         return
     partial = cms_build(batch_df, key_col, depth=depth, width=width)

@@ -28,7 +28,7 @@ def _drain(spark, src, state, ckpt):
         .parquet(src + "/*")
     )
     q = stream_maintain_mg(feed, state_path=state, checkpoint=ckpt, key_col="k", k=K)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
 
 def test_mg_merge_bound_property():

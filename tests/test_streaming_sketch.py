@@ -31,7 +31,7 @@ def _drain(spark, src, state, ckpt):
     q = stream_maintain_cms(
         feed, state_path=state, checkpoint=ckpt, key_col="k", depth=D, width=W
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
 
 def test_streaming_cms_equals_batch_and_resumes(spark, tmp_path):
