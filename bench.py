@@ -91,6 +91,8 @@ HEADLINE = [
     # Q21-shaped correlated EXISTS/NOT-EXISTS as one pass of semi/anti
     # hash joins (plan-tested)
     "waiting_suppliers_blame",
+    # node-ordered wedge-join triangle audit over the dup-pair graph
+    "dup_cluster_transitivity",
 ]
 
 
