@@ -2063,6 +2063,181 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_rfm_segments",
+    f"""
+WITH ref AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE), (SELECT maxd FROM ref)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         {sql_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
+       CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS rfm_code
+FROM scored ORDER BY o_custkey
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary with
+    quartile codes (1 = best) and the concatenated segment label — the
+    classic CRM rollup, exactly reproducible because every NTILE rides
+    a TOTAL order (metric + custkey tie-break) and monetary uses the
+    decimal-exact dsum.
+
+    Scale note: NTILE needs a global sort of the CUSTOMER DIMENSION
+    (one row per customer — far smaller than the fact table but not
+    calendar-tiny); at 100 TB swap the exact quartiles for
+    approx-percentile cutoffs broadcast into a map-side CASE, the same
+    trade approx_stats documents. The fact-table aggregation itself is
+    one hash agg with map-side partials.
+    """
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "__last").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_q = F.ntile(4).over(Window.orderBy("recency_days", "o_custkey"))
+    f_q = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+    m_q = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+    scored = base.select(
+        "*", r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q")
+    )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_q", "f_q", "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("rfm_code"),
+    ).orderBy("o_custkey")
+
+
+@query(
+    "session_funnel_conversion",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+),
+fv AS (
+  SELECT user_id, sess_id, MIN(ts) AS t_view
+  FROM sess WHERE event_type = 'view' GROUP BY 1, 2
+),
+fc AS (
+  SELECT s.user_id, s.sess_id, MIN(s.ts) AS t_click
+  FROM sess s JOIN fv ON fv.user_id = s.user_id AND fv.sess_id = s.sess_id
+  WHERE s.event_type = 'click' AND s.ts > fv.t_view
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT s.user_id, s.sess_id
+  FROM sess s JOIN fc ON fc.user_id = s.user_id AND fc.sess_id = s.sess_id
+  WHERE s.event_type = 'purchase' AND s.ts > fc.t_click
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM (SELECT DISTINCT user_id, sess_id FROM sess)
+)
+SELECT n_sessions,
+       CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM fc) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_full_funnel,
+       FLOOR((CAST((SELECT COUNT(*) FROM fv) AS DOUBLE) / n_sessions) * 1000000 + 0.5) / 1000000 AS view_rate,
+       FLOOR((CAST((SELECT COUNT(*) FROM fp) AS DOUBLE) / n_sessions) * 1000000 + 0.5) / 1000000 AS funnel_rate
+FROM tot
+""",
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel conversion within 2-hour sessions: sessions with
+    a view, with a click strictly AFTER the first view, and with a
+    purchase strictly after that click — order-sensitive step logic a
+    flat per-session event-type count cannot express (a purchase
+    BEFORE the view must not count).
+
+    Session assignment is the same gaps-and-islands rule user_sessions
+    oracles (lag + running sum per user); step times come from three
+    conditional aggs chained by keyed (user, session) joins — each
+    stage's relation is one row per surviving session, so the funnel
+    narrows the data at every step.
+    """
+    w_ord = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond-exact gap (a seconds cast truncates and can flip a
+    # boundary session split vs the oracle's INTERVAL comparison)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_ord)
+    marked = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type",
+        F.when(gap >= 7200 * 1_000_000, 1).otherwise(0).alias("new_sess"),
+    )
+    sess = marked.select(
+        "user_id", "ts", "event_type",
+        F.sum("new_sess")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    fv = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fc = (
+        sess.filter(F.col("event_type") == "click")
+        .join(fv, ["user_id", "sess_id"])
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    fp = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(fc, ["user_id", "sess_id"])
+        .filter(F.col("ts") > F.col("t_click"))
+        .select("user_id", "sess_id")
+        .distinct()
+    )
+    tot = sess.select("user_id", "sess_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    counts = (
+        tot.crossJoin(F.broadcast(fv.agg(F.count(F.lit(1)).alias("n_view"))))
+        .crossJoin(F.broadcast(fc.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(F.broadcast(fp.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+    )
+    return counts.select(
+        "n_sessions", "n_view", "n_view_click", "n_full_funnel",
+        rnd(F.col("n_view") / F.col("n_sessions"), 6).alias("view_rate"),
+        rnd(F.col("n_full_funnel") / F.col("n_sessions"), 6).alias("funnel_rate"),
+    )
+
+
+@query(
     "user_sessions",
     """
 WITH marked AS (

@@ -33,7 +33,7 @@ class AppliedIds:
             self.tail.discard(self.floor)
 
     def __contains__(self, batch_id: int) -> bool:
-        return batch_id <= self.floor or batch_id in self.tail
+        return 0 <= batch_id <= self.floor or batch_id in self.tail
 
     def __len__(self) -> int:
         return self.floor + 1 + len(self.tail)
