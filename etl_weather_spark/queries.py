@@ -131,8 +131,12 @@ _PRIORITY = [
     # checked via prefix_filter_jaccard) rotated out for
     # semantic_dedup_ivf, prefix_filter_jaccard, scd2_user_tiers,
     # kll_rollup_value_quantiles
-    "json_extract_props", "daily_left_join", "corpus_prep_funnel", "split_part_types",
-    "regex_customer_ids", "sorted_nations", "scd2_user_tiers",
+    # r3 late rotations: json_extract_props (C13 — weather_code_decode
+    # keeps the tolerant-JSON shape checked) and sorted_nations (O4 —
+    # every ORDER BY row covers lexicographic sorts) out for the Q21
+    # semi/anti flagship and the unigram-LM quality scorer
+    "waiting_suppliers_blame", "daily_left_join", "corpus_prep_funnel", "split_part_types",
+    "regex_customer_ids", "unigram_logprob_quality", "scd2_user_tiers",
     "nearest_event", "next_events", "kll_rollup_value_quantiles",
     # round-2/3 flagships, wave 2: embedding-graph semantic dedup (label
     # block + the round-3 data-adaptive IVF-cell block), Bloom-screen
@@ -2060,6 +2064,79 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_size").cast("long").alias("cohort_size"),
         rnd(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     ).orderBy("cohort_week", "week_offset")
+
+
+@query(
+    "curriculum_quality_order",
+    r"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                   - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
+              END AS n_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS s_en,
+         length(text) AS n_chars_x,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         FLOOR((0.4 * least(n_tokens / 100.0, 1.0)
+                + 0.3 * (1.0 - (CASE WHEN n_chars_x > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_x ELSE 0.0 END))
+                + 0.3 * least((CASE WHEN n_tokens > 0 THEN CAST(s_en AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0))
+               * 10000 + 0.5) / 10000 AS quality
+  FROM scored
+),
+ranked AS (
+  SELECT doc_id, quality,
+         NTILE(10) OVER (ORDER BY quality DESC, doc_id) AS quality_decile
+  FROM qual
+)
+SELECT doc_id, quality, quality_decile,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY quality_decile,
+                  substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 16),
+                  doc_id
+       ) AS BIGINT) AS curriculum_rank
+FROM ranked ORDER BY doc_id
+""",
+)
+def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ordering for training: quality deciles (easy/clean
+    first) with a content-addressed shuffle WITHIN each decile — the
+    standard curriculum-learning data layout: coarse difficulty
+    ordering without the pathological exact-sort (identical-quality
+    runs would otherwise cluster near-duplicate docs back to back).
+
+    Determinism: quality is the 4-dp-rounded heuristic both engines
+    compute identically (textops.quality_score / the funnel's SQL
+    mirror); decile = NTILE over a total order; the within-decile
+    shuffle key is md5 of the doc id — stable under re-runs, appends
+    re-rank but never reshuffle survivors relative to each other.
+
+    Scale note: like RFM, the NTILE + global rank ride the DOCUMENT-ID
+    dimension projection (doc_id, quality) — at 100 TB replace the
+    exact decile with approx-percentile cutoffs and write
+    curriculum_rank as (decile, shuffle_key) sort keys instead of
+    materializing a global row number.
+    """
+    from etl_weather_spark.operators.textops import doc_profile
+
+    docs = load(spark, sf_dir, "documents")
+    q = doc_profile(docs).select("doc_id", "quality")
+    decile = F.ntile(10).over(Window.orderBy(F.desc("quality"), "doc_id"))
+    ranked = q.select("*", decile.alias("quality_decile"))
+    skey = F.substring(
+        F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))), 1, 16
+    )
+    rank = F.row_number().over(
+        Window.orderBy("quality_decile", skey, "doc_id")
+    )
+    return ranked.select(
+        "doc_id", "quality", "quality_decile",
+        rank.cast("long").alias("curriculum_rank"),
+    ).orderBy("doc_id")
 
 
 @query(
