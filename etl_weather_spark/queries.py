@@ -2140,6 +2140,99 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_event_lift",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+),
+st AS (SELECT DISTINCT user_id, sess_id, event_type FROM sess),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM (SELECT DISTINCT user_id, sess_id FROM st)
+),
+singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       FLOOR((CAST(p.n_ab AS DOUBLE) / sa.n) * 1000000 + 0.5) / 1000000 AS confidence_a_b,
+       FLOOR((CAST(p.n_ab AS DOUBLE) * tot.n_sessions / (sa.n * sb.n)) * 1000000 + 0.5) / 1000000 AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN tot
+ORDER BY p.type_a, p.type_b
+""",
+)
+def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over sessions: support/confidence/LIFT
+    for every event-type pair co-occurring in a 2-hour session — the
+    a-priori first round (baskets = sessions, items = event types):
+    lift > 1 means the pair co-occurs above independence.
+
+    Scale: baskets reduce to DISTINCT (session, item) rows before any
+    join; the pair join keys on the session id so candidate pairs are
+    per-basket (a-priori's candidate generation), never a global item
+    cross product. Item/total counts are broadcast-sized dimensions.
+    """
+    w_ord = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_ord)
+    marked = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type",
+        F.when(gap >= 7200 * 1_000_000, 1).otherwise(0).alias("new_sess"),
+    )
+    st = marked.select(
+        "user_id", "event_type",
+        F.sum("new_sess")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    ).select("user_id", "sess_id", "event_type").distinct()
+    tot = st.select("user_id", "sess_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    singles = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select("user_id", "sess_id", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "sess_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sess_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a", "type_b", "n_ab",
+            rnd(F.col("n_ab") / F.col("n_a"), 6).alias("confidence_a_b"),
+            rnd(
+                F.col("n_ab") * F.col("n_sessions") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
     "customer_rfm_segments",
     f"""
 WITH ref AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders),
