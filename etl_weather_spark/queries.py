@@ -2140,6 +2140,60 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_gap_stats",
+    """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS DATE),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       FLOOR((CAST(SUM(gap_days) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS avg_gap_days,
+       MIN(gap_days) AS min_gap_days,
+       MAX(gap_days) AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per customer: consecutive-order day gaps
+    via a lag window (o_orderdate, o_orderkey total order for ties on
+    same-day orders), then exact integer-sum averages — the
+    churn-model feature every retention pipeline derives.
+
+    Scale: one window shuffle keyed by customer + one hash agg; gaps
+    are integers so the average is an exact int-sum divide, no decimal
+    accumulation needed.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("long").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            rnd(F.sum("gap_days").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_gap_days"
+            ),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
     "session_event_lift",
     """
 WITH marked AS (
