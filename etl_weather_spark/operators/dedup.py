@@ -1063,18 +1063,17 @@ def connected_components(
       iteration here spends seconds of per-round job scheduling on a
       graph that fits in one list. 1M edges ≈ 16 MB collected, well
       under driver headroom, solved in <1 s.
-    - above the threshold: distributed min-label propagation — every
-      node adopts the minimum label among itself and its neighbors
-      until a fixpoint; iterations ≈ graph diameter (small for near-dup
-      clusters). Each iteration is one shuffle on node id; labels are
-      persisted to truncate lineage (without it the plan doubles per
-      iteration). For web-scale graphs with long chains, switch to the
-      large-star/small-star formulation (Kiveris et al., "Connected
-      Components in MapReduce and Beyond") — same join primitives,
-      provably O(log n) rounds.
+    - above the threshold: distributed large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      the Two-Phase algorithm) via :func:`cc_large_small_star` —
+      converges in O(log² n) rounds worst-case (practically ≤ ~10 even
+      on adversarial chain graphs, vs O(graph diameter) for naive
+      min-label propagation). Each round is two groupBy-min shuffles on
+      node id; the edge set only shrinks toward stars, never grows
+      beyond 2|E|.
 
     Both paths compute the identical fixpoint (asserted against each
-    other in tests/test_dedup.py).
+    other in tests/test_dedup.py on chain/star/random graphs).
     """
     # decide the path on the raw pair count BEFORE building the doubled
     # edge set: the union+distinct shuffle only pays off for the
@@ -1108,44 +1107,119 @@ def connected_components(
             ]
         )
         return spark.createDataFrame(rows, schema)
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+    result = cc_large_small_star(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
     pairs.unpersist()
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    return result
+
+
+def cc_large_small_star(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Distributed connected components via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", Two-Phase algorithm).
+
+    Each round:
+
+    - **large-star**: every node ``u`` connects its strictly-LARGER
+      neighbors to ``m = min(Γ(u) ∪ {u})`` — emit ``(v, m)`` for
+      ``v ∈ Γ(u), v > u``. One groupBy-min on the doubled edge list.
+    - **small-star**: orient every edge toward its larger endpoint,
+      then every node ``u`` connects its (all smaller) neighbors AND
+      itself to ``m = min(Γ(u) ∪ {u})``. One groupBy-min on the
+      oriented edge list.
+
+    Invariants: the output of each step is oriented ``src > dst``,
+    self-loop-free, and never exceeds 2|E| edges; the component
+    minimum is a fixpoint. Convergence = the oriented edge set stops
+    changing (checked by count + bit_xor(xxhash64) signature — one
+    tiny agg per round, no exceptAll shuffle). At the fixpoint the
+    edge set is a star forest: every non-root points directly at its
+    component minimum, so the rounds needed are O(log² n) worst-case
+    and ≤ ~10 in practice even on a chain graph where min-label
+    propagation needs O(diameter) rounds (asserted in
+    tests/test_dedup.py::test_large_small_star_round_count_on_chain).
+
+    ``stats``, when passed, receives ``{"rounds": <int>}`` for tests
+    and bench instrumentation.
+
+    Returns (node, cluster_id) with cluster_id = min node id of the
+    component — identical fixpoint to the driver union-find path.
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .persist()
+    )
+    # canonical orientation src > dst; drop self loops
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig_prev = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star: doubled edge list, group under every endpoint
+        both = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = both.groupBy("src").agg(F.min("dst").alias("mn"))
+        large = (
+            both.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least(F.col("src"), F.col("mn")).alias("dst"),
+            )
+            .distinct()
+        )
+        # -- small-star: input already oriented src > dst ⇒ every
+        # neighbor is smaller; link them (and src itself) to the min
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("mn"))
+        small = (
+            large.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .unionByName(mins2.select(F.col("src"), F.col("mn").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # localCheckpoint: materialize AND truncate lineage so the plan
+        # stays flat across rounds (persist alone doubles the logical
+        # plan per round)
+        new_edges = small.localCheckpoint(eager=True)
+        sig = tuple(
+            new_edges.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+            ).first()
+        )
+        edges = new_edges
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at the fixpoint each src has exactly one dst (its component min);
+    # min() guards the max_iter-truncated case
+    star = edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))
+    result = (
+        nodes.join(star.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+    )
+    nodes.unpersist()
+    return result

@@ -202,6 +202,57 @@ def test_connected_components_chains_and_isolates(spark):
     assert got_dist == expected
 
 
+def test_large_small_star_round_count_on_chain(spark):
+    """Kiveris large-star/small-star must converge in O(log^2 n) rounds
+    on a 1000-node CHAIN — the adversarial case where naive min-label
+    propagation needs ~1000 rounds (one per hop of graph diameter)."""
+    from etl_weather_spark.operators.dedup import cc_large_small_star
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r.node: r.cluster_id
+        for r in cc_large_small_star(pairs, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # O(log^2 n) with a practical constant ~1: a diameter-bound
+    # algorithm would need ~1000 rounds here
+    assert stats["rounds"] <= 15, stats
+
+
+def test_large_small_star_star_and_selfloop_graphs(spark):
+    from etl_weather_spark.operators.dedup import cc_large_small_star
+
+    # already a star: hub 0 with 50 leaves — must be stable, 2 rounds
+    stats: dict = {}
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 51)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in cc_large_small_star(star, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(51)}
+    assert stats["rounds"] <= 3, stats
+
+    # self-loops only: every node is its own singleton cluster
+    loops = spark.createDataFrame(
+        [(7, 7), (9, 9)], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id for r in cc_large_small_star(loops).collect()}
+    assert got == {7: 7, 9: 9}
+
+    # string ids order lexicographically, same as the union-find path
+    spairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_b", "doc_c")], "id_a string, id_b string"
+    )
+    got = {r.node: r.cluster_id for r in cc_large_small_star(spairs).collect()}
+    assert got == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a"}
+
+
 def test_widen_narrow_input_fans_out_and_preserves_rows(spark):
     from etl_weather_spark.operators.dedup import widen_narrow_input
 
