@@ -119,10 +119,26 @@ _PRIORITY = [
     # rank_pct_diff), top5_days (O5 — next_events stays + TakeOrdered
     # plan test), wind_compass_bins (C9 when-chain — weather_code_decode
     # stays).
+    # round-4 rotations (out, shape kept by a checked sibling):
+    # rolling_avg_7d (W1 — minmax_norm/rank_pct_diff stay; in:
+    # hourly_gapfill_ffill adds the gap-fill window shape),
+    # unpivot_daily (V1 — melt shape re-checked locally via
+    # udtf_melt_events), slugify_parts (C1 — C family keeps
+    # weather_code_decode/split_part_types/regex_customer_ids),
+    # nearest_event (J3 — asof_join is the same operator family),
+    # simhash_sigs / minhash_lsh (dedup family keeps dedup_exact,
+    # prefix_filter_jaccard, minhash_lsh_fast, winnow_candidates,
+    # dedup_clusters), ann_cosine_lsh (ANN keeps topk/ivf/pq),
+    # approx_stats (sketches keep kll + incoming theta_user_overlap).
+    # In: media_pixel_stats/media_wav_stats (REAL stdlib PNG/WAV decode,
+    # new this round) + six never-driver-checked families.
     "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
-    "recommendation_text", "rolling_avg_7d", "minmax_norm",
-    "rank_pct_diff", "union_dedup", "unpivot_daily", "asof_join",
-    "slugify_parts", "weather_code_decode",
+    "recommendation_text", "minmax_norm",
+    "rank_pct_diff", "union_dedup", "asof_join",
+    "weather_code_decode",
+    "media_pixel_stats", "media_wav_stats", "theta_user_overlap",
+    "fuzzy_part_names", "hourly_gapfill_ffill", "event_pattern_match",
+    "dup_cluster_transitivity", "customer_rfm_segments",
     # round-3 rotations: today_lookup (J4 — J family keeps asof_join/
     # nearest_event/daily_left_join), format_dates (C7 — C family keeps
     # slugify_parts/weather_code_decode/split_part_types),
@@ -137,7 +153,7 @@ _PRIORITY = [
     # semi/anti flagship and the unigram-LM quality scorer
     "waiting_suppliers_blame", "daily_left_join", "corpus_prep_funnel", "split_part_types",
     "regex_customer_ids", "unigram_logprob_quality", "scd2_user_tiers",
-    "nearest_event", "next_events", "kll_rollup_value_quantiles",
+    "next_events", "kll_rollup_value_quantiles",
     # round-2/3 flagships, wave 2: embedding-graph semantic dedup (label
     # block + the round-3 data-adaptive IVF-cell block), Bloom-screen
     # incremental dedup, PQ compressed ANN
@@ -151,14 +167,15 @@ _PRIORITY = [
     # TPC-shaped join/agg anchors
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     # training-data pipeline: text analysis + dedup + similarity
-    "doc_stats", "dedup_exact", "prefix_filter_jaccard", "minhash_lsh",
+    "doc_stats", "dedup_exact", "prefix_filter_jaccard",
     "ann_cosine_topk", "embedding_near_dupes", "lang_quality",
-    "simhash_sigs", "ann_cosine_lsh", "ann_cosine_ivf", "approx_stats",
+    "ann_cosine_ivf",
     "winnow_candidates", "minhash_lsh_fast",
     # training-pipeline + streaming-analog flagships
     "dedup_clusters", "user_sessions", "train_test_split",
     "weighted_sample_topk", "decontaminate_overlap",
 ]
+assert len(_PRIORITY) == 50, len(_PRIORITY)
 
 
 def _ordered(d: dict) -> dict:
@@ -5340,6 +5357,147 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@query(
+    "media_pixel_stats",
+    """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+dims AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS width,
+         16 + doc_id % 13 AS height
+  FROM ids
+),
+px AS (
+  SELECT d.doc_id, d.width, d.height,
+         (d.doc_id * 7 + t.i * 13) % 256 AS v
+  FROM dims d, LATERAL (
+    SELECT UNNEST(generate_series(0, d.width * d.height * 3 - 1)) AS i
+  ) t
+)
+SELECT doc_id AS media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       3 AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * v) AS BIGINT) AS px_sqsum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px
+GROUP BY doc_id, width, height
+ORDER BY media_id
+""",
+)
+def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: deterministic pixel grids are
+    PNG-ENCODED (stdlib zlib, all five scanline filters cycled per row)
+    then decoded back by operators/multimodal.decode_png inside the
+    Arrow-batched ``pixel_stats`` extractor; the oracle regenerates the
+    same pixel formula pure-SQL-side, so any bit error anywhere in the
+    encode → IDAT → zlib → unfilter → stats chain breaks the exact
+    integer sums. Covers ref parity for media columns (SURVEY §2
+    multimodal) with the decode no longer stubbed.
+
+    Scale: decode is per-row CPU inside mapInPandas — no shuffle until
+    the final tiny sort; a 100 TB corpus fans out by input split.
+    """
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import encode_png, pixel_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(48)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 17, 16 + did % 13
+                v = (
+                    (did * 7 + np.arange(w * h * 3, dtype=np.int64) * 13) % 256
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_png(
+                            v.reshape(h, w, 3),
+                            filter_types=[y % 5 for y in range(h)],
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return pixel_stats(media).orderBy("media_id")
+
+
+@query(
+    "media_wav_stats",
+    """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+dims AS (
+  SELECT doc_id,
+         200 + doc_id % 100 AS n_frames,
+         1 + doc_id % 2 AS n_channels,
+         8000 + (doc_id % 3) * 4000 AS sample_rate
+  FROM ids
+),
+s AS (
+  SELECT d.doc_id, d.n_frames, d.n_channels, d.sample_rate,
+         ((d.doc_id * 31 + t.i * 17) % 65536) - 32768 AS v
+  FROM dims d, LATERAL (
+    SELECT UNNEST(generate_series(0, d.n_frames * d.n_channels - 1)) AS i
+  ) t
+)
+SELECT doc_id AS media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_channels AS INT) AS n_channels,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(SUM(v * v) AS BIGINT) AS s_sqsum,
+       CAST(MIN(v) AS INT) AS s_min,
+       CAST(MAX(v) AS INT) AS s_max
+FROM s
+GROUP BY doc_id, n_frames, n_channels, sample_rate
+ORDER BY media_id
+""",
+)
+def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, same design as media_pixel_stats:
+    deterministic 16-bit PCM sample streams are WAV-encoded then decoded
+    back by operators/multimodal.decode_wav inside ``audio_stats``; the
+    oracle regenerates the identical sample formula SQL-side and the
+    exact integer sums must agree."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import audio_stats, encode_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(48)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_frames = 200 + did % 100
+                n_ch = 1 + did % 2
+                rate = 8000 + (did % 3) * 4000
+                v = ((did * 31 + np.arange(n_frames * n_ch, dtype=np.int64) * 17) % 65536) - 32768
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_wav(v.reshape(n_frames, n_ch), rate),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return audio_stats(media).orderBy("media_id")
 
 
 @query(

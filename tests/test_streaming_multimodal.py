@@ -62,27 +62,235 @@ def test_multimodal_features(spark):
     assert got[4].n_bytes == 0 and got[4].feature is None
 
 
-def test_decode_is_explicit_stub():
+def test_decode_dispatch_and_unsupported_formats():
     from etl_weather_spark.operators.multimodal import decode_media
 
+    # formats with no stdlib decoder (JPEG magic) stay explicitly unsupported
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0jfif-ish", "image/jpeg")
+    # a payload CLAIMING to be PNG but with a broken signature is not
+    # silently accepted either
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "image/png")
+    # a real PNG signature with garbage body fails loudly, not silently
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"garbage body not chunks", "image/png")
 
 
 def test_decode_true_degrades_gracefully(spark):
-    """decode=True in a codec-less container: every row survives with a
-    null feature + decode_error instead of the job failing."""
+    """decode=True: a VALID PNG yields a real content feature; corrupt
+    and unsupported payloads survive with a null feature + decode_error
+    instead of failing the job."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import encode_png
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     rows = [
-        (1, "image", b"\x89PNG fake bytes", ("image/png", 4, 4, None, None)),
+        (1, "image", encode_png(px), ("image/png", 4, 4, None, None)),
+        (2, "image", b"\xff\xd8\xff\xe0 jpeg bytes", ("image/jpeg", 4, 4, None, None)),
+        (3, "image", b"\x89PNG\r\n\x1a\ncorrupt body", ("image/png", 4, 4, None, None)),
         (4, "image", None, ("image/png", 1, 1, None, None)),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r for r in extract_features(media, decode=True).collect()}
-    assert set(got) == {1, 4}
-    assert got[1].feature is None
-    assert got[1].decode_error.startswith("NotImplementedError")
-    assert got[1].content_sha is not None  # hash path still genuine
+    assert set(got) == {1, 2, 3, 4}
+    # valid PNG: real 16-bin histogram feature — values 0..47 land in bins 0-2
+    assert got[1].decode_error is None
+    feat = got[1].feature
+    assert len(feat) == 16 and abs(sum(feat) - 1.0) < 1e-6  # float32 storage
+    assert sum(feat[:3]) > 0.99
+    # unsupported format → NotImplementedError, corrupt → ValueError
+    assert got[2].feature is None
+    assert got[2].decode_error.startswith("NotImplementedError")
+    assert got[3].feature is None
+    assert got[3].decode_error.startswith("ValueError")
+    assert got[3].content_sha is not None  # hash path still genuine
     assert got[4].decode_error == "null_payload"
+
+
+def _reference_decode_png(payload):
+    """Independent PURE-PYTHON PNG decoder (no numpy) used only to
+    cross-check decode_png bit-for-bit — deliberately written with a
+    different structure (per-byte loops, int lists)."""
+    import struct
+    import zlib
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, {}
+    idat = b""
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ct = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if ct == b"IDAT":
+            idat += body
+        else:
+            chunks[ct] = body
+    w, h, depth, color, _, _, _ = struct.unpack(">IIBBBBB", chunks[b"IHDR"])
+    assert depth == 8
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = []
+    prev = [0] * stride
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = list(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        cur = [0] * stride
+        for x in range(stride):
+            a = cur[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + a
+            elif ft == 2:
+                v = line[x] + b
+            elif ft == 3:
+                v = line[x] + ((a + b) // 2)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] + pred
+            cur[x] = v & 0xFF
+        out.append(cur)
+        prev = cur
+    return out, w, h, nch, chunks.get(b"PLTE")
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters_bit_exact(channels):
+    """encode → decode round-trips bit-exactly for every scanline
+    filter type (None/Sub/Up/Average/Paeth) and channel count, and
+    decode_png agrees byte-for-byte with an independent pure-Python
+    reference decoder."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(42 + channels)
+    px = rng.randint(0, 256, size=(7, 5, channels), dtype=np.uint8).squeeze()
+    if channels == 1:
+        px = px.reshape(7, 5)
+    # one scanline per filter type, then wrap around
+    filters = [y % 5 for y in range(7)]
+    payload = encode_png(px, filter_types=filters)
+    got = decode_png(payload)
+    expect = px if px.ndim == 3 else px[:, :, None]
+    assert got.shape == expect.shape
+    assert (got == expect).all()
+    ref_rows, w, h, nch, _ = _reference_decode_png(payload)
+    assert np.array_equal(
+        np.array(ref_rows, dtype=np.uint8).reshape(h, w, nch), got
+    )
+
+
+def test_png_palette_decode():
+    """Color type 3 (palette) expands through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import decode_png
+
+    # hand-build a 2x2 palette PNG: indices [[0,1],[1,0]]
+    pal = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = bytes([0, 0, 1, 0, 1, 0])  # filter0 + idx row, filter0 + idx row
+    idat = zlib.compress(raw)
+
+    def chunk(ct, body):
+        return (
+            struct.pack(">I", len(body))
+            + ct
+            + body
+            + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got[0, 0], [255, 0, 0])
+    assert np.array_equal(got[0, 1], [0, 0, 255])
+    assert np.array_equal(got[1, 0], [0, 0, 255])
+    assert np.array_equal(got[1, 1], [255, 0, 0])
+
+
+@pytest.mark.parametrize("bits,n_ch", [(16, 1), (16, 2), (8, 1), (32, 2)])
+def test_wav_roundtrip_bit_exact(bits, n_ch):
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(bits + n_ch)
+    lo, hi = {8: (-128, 128), 16: (-32768, 32768), 32: (-(2**31), 2**31)}[bits]
+    samples = rng.randint(lo, hi, size=(50, n_ch))
+    payload = encode_wav(samples, 16000, bits=bits)
+    got, rate = decode_wav(payload)
+    assert rate == 16000
+    assert got.shape == (50, n_ch)
+    assert np.array_equal(got, samples)
+    # stdlib `wave` cross-check for the canonical 16-bit case
+    if bits == 16:
+        import io
+        import wave
+
+        wf = wave.open(io.BytesIO(payload))
+        assert wf.getframerate() == 16000
+        assert wf.getnchannels() == n_ch
+        assert wf.getsampwidth() == 2
+        raw = wf.readframes(50)
+        assert np.array_equal(
+            np.frombuffer(raw, "<i2").reshape(50, n_ch), samples
+        )
+
+
+def test_pixel_and_audio_stats_distributed(spark):
+    """pixel_stats / audio_stats: real decode inside mapInPandas with
+    exact-integer aggregates; undecodable rows dropped, not fatal."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        audio_stats,
+        encode_png,
+        encode_wav,
+        pixel_stats,
+    )
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3) * 3 % 256
+    wav = np.arange(-50, 50, dtype=np.int64).reshape(50, 2) * 100
+    rows = [
+        (1, "image", encode_png(px, filter_types=[4, 3, 2, 1, 0, 4]), ("image/png", 4, 6, None, None)),
+        (2, "audio", encode_wav(wav, 8000), ("audio/wav", None, None, None, 8000)),
+        (3, "image", b"not an image", ("image/png", None, None, None, None)),
+        (4, "image", None, ("image/png", None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ps = {r.media_id: r for r in pixel_stats(media).collect()}
+    assert set(ps) == {1}
+    flat = px.reshape(-1).astype(np.int64)
+    assert ps[1].width == 4 and ps[1].height == 6 and ps[1].channels == 3
+    assert ps[1].px_sum == int(flat.sum())
+    assert ps[1].px_sqsum == int((flat * flat).sum())
+    assert ps[1].px_min == int(flat.min()) and ps[1].px_max == int(flat.max())
+    au = {r.media_id: r for r in audio_stats(media).collect()}
+    assert set(au) == {2}
+    aflat = wav.reshape(-1)
+    assert au[2].n_frames == 50 and au[2].n_channels == 2
+    assert au[2].sample_rate == 8000
+    assert au[2].s_sum == int(aflat.sum())
+    assert au[2].s_sqsum == int((aflat * aflat).sum())
 
 
 def test_frame_sample_plan(spark):
