@@ -93,6 +93,11 @@ HEADLINE = [
     "waiting_suppliers_blame",
     # node-ordered wedge-join triangle audit over the dup-pair graph
     "dup_cluster_transitivity",
+    # thirteenth wave (round 4): Lee-et-al exact-substring spans
+    # (hash-bucketed shingle-run merging, no suffix array) and the real
+    # stdlib PNG decode path (encode -> zlib -> unfilter -> stats)
+    "exact_substring_spans",
+    "media_pixel_stats",
 ]
 
 
@@ -209,7 +214,20 @@ def _streaming_windowed_rate(spark, rows_per_sec: int = 500_000, seconds: int = 
             time.sleep(1)
         progresses = [json.loads(p.json) for p in query.recentProgress]
     finally:
+        # drain the in-flight micro-batch BEFORE stop so no
+        # DataWritingSparkTask is aborted mid-state-store-commit, then
+        # wait for full thread termination BEFORE deleting the
+        # checkpoint (stop + immediate rmtree raced a committing batch
+        # and left an ERROR stack in the round-3 bench tail)
+        try:
+            query.processAllAvailable()
+        except Exception:  # noqa: BLE001 — best-effort drain
+            pass
         query.stop()
+        try:
+            query.awaitTermination(30)
+        except Exception:  # noqa: BLE001
+            pass
         shutil.rmtree(ckpt, ignore_errors=True)
     rates = [
         p["processedRowsPerSecond"]

@@ -542,6 +542,7 @@ def cosine_topk_pq(
     seed: int = 42,
     sim_decimals: int = 6,
     books: np.ndarray | None = None,
+    query_chunk: int = 256,
 ) -> DataFrame:
     """PQ ANN: ADC scan over the code table → per-query ``shortlist`` →
     exact cosine re-rank → top-k. (query_id, neighbor_id, sim, rank).
@@ -551,6 +552,21 @@ def cosine_topk_pq(
     closure, and only ``shortlist`` rows per query ever touch the
     full-precision vectors again (a narrow semi join) — the corpus
     itself is never broadcast, shuffled, or re-read at full width.
+
+    QUERY-SIDE BOUND: the query set is collected to the driver and its
+    ADC lookup tables ship in the UDF closure — correct for bounded
+    query BATCHES, not an unbounded query stream. Memory is
+    Q × n_subspaces × n_codes doubles of LUT per executor plus a
+    Q × arrow_batch score matrix per task, and the scored relation is
+    Q rows per corpus row before the two-level top-k. ``query_chunk``
+    keeps both bounded regardless of Q: query sets larger than the
+    chunk are processed as independent ≤chunk-sized ADC scans over the
+    same trained codebooks/code table and unioned before the re-rank —
+    closure and score-matrix memory stay O(chunk), at the cost of one
+    extra corpus-code scan per chunk (the codes are n_subspaces bytes
+    per row, so each scan is narrow). For a truly unbounded/streaming
+    query side, flip the asymmetry: persist the code table (done here)
+    and drive chunks from the stream via foreachBatch.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -570,34 +586,47 @@ def cosine_topk_pq(
         .orderBy("i")
         .collect()
     )
-    qids = [r.i for r in qrows]
-    qm = np.stack([np.asarray(r.v, dtype=np.float64) for r in qrows])
-    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     n_sub, n_cd, sub = books.shape
-    # LUT[q, s, c] = <query_q subvector s, codebook[s][c]>
-    luts = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), n_sub, sub), books)
+    multi_chunk = len(qrows) > query_chunk
+    if multi_chunk:
+        # several narrow scans ahead — materialize the code table once
+        codes = codes.persist()
 
-    @pandas_udf("array<double>")
-    def adc_scores(code_rows: pd.Series) -> pd.Series:
-        c = np.stack(code_rows.to_numpy())  # (B, S) int
-        # gather per subspace: scores (Q, B) = sum_s luts[:, s, c[:, s]]
-        scores = np.zeros((luts.shape[0], len(c)))
-        for s in range(n_sub):
-            scores += luts[:, s, c[:, s]]
-        return pd.Series([col.tolist() for col in scores.T])
+    def shortlist_for(chunk_rows) -> DataFrame:
+        qids = [r.i for r in chunk_rows]
+        qm = np.stack([np.asarray(r.v, dtype=np.float64) for r in chunk_rows])
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        # LUT[q, s, c] = <query_q subvector s, codebook[s][c]>
+        luts = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), n_sub, sub), books)
 
-    scored = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(adc_scores(F.col("codes"))).alias("qi", "adc"),
-    )
-    qid_map = F.array(*[F.lit(int(q)) for q in qids])
-    short = (
-        topk_per_group(
-            scored, group_col="qi", k=shortlist, sim_col="adc", rank_col="srank"
+        @pandas_udf("array<double>")
+        def adc_scores(code_rows: pd.Series) -> pd.Series:
+            c = np.stack(code_rows.to_numpy())  # (B, S) int
+            # gather per subspace: scores (Q, B) = sum_s luts[:, s, c[:, s]]
+            scores = np.zeros((luts.shape[0], len(c)))
+            for s in range(n_sub):
+                scores += luts[:, s, c[:, s]]
+            return pd.Series([col.tolist() for col in scores.T])
+
+        scored = codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(adc_scores(F.col("codes"))).alias("qi", "adc"),
         )
-        .select(qid_map[F.col("qi")].alias("query_id"), "neighbor_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
+        qid_map = F.array(*[F.lit(int(q)) for q in qids])
+        return (
+            topk_per_group(
+                scored, group_col="qi", k=shortlist, sim_col="adc", rank_col="srank"
+            )
+            .select(qid_map[F.col("qi")].alias("query_id"), "neighbor_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+
+    chunks = [
+        qrows[i : i + query_chunk] for i in range(0, len(qrows), query_chunk)
+    ]
+    short = shortlist_for(chunks[0])
+    for chunk_rows in chunks[1:]:
+        short = short.unionByName(shortlist_for(chunk_rows))
 
     # exact re-rank: full vectors only for shortlist ids × queries
     c_full = corpus.select(

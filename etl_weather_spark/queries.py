@@ -1050,6 +1050,94 @@ FROM votes
 """
 
 
+@query(
+    "exact_substring_spans",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, g.i AS pos, array_to_string(t[g.i+1:g.i+12], ' ') AS sh
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t) - 12)) AS i) g
+  WHERE len(t) >= 12
+),
+rep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (SELECT s.doc_id, s.pos FROM sh s JOIN rep r USING (sh)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(COUNT(*) + 11 AS BIGINT) AS span_token_len
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): maximal verbatim token runs of
+    >= 12 tokens that appear in >= 2 distinct documents — the paper
+    finds these with a corpus suffix array; here the same spans come
+    from bucketed shingle-run merging, which is shuffle-native:
+
+    1. every 12-token shingle is hashed (xxhash64 — only the 8-byte
+       hash rides the shuffle, never the string);
+    2. one groupBy finds hashes present in >= 2 docs (map-side
+       partial distinct);
+    3. a semi join marks the repeated positions per doc;
+    4. consecutive marked positions merge into maximal spans via the
+       islands trick (pos - row_number per doc).
+
+    A repeated run of L tokens is exactly a run of L-11 consecutive
+    repeated shingles, so span_token_len = run_len + 11 and maximality
+    is structural — no suffix array needed. The oracle recomputes with
+    exact shingle STRINGS; the hash path can only differ on a 64-bit
+    collision (~1e-10 at 1e5 shingles — at real corpus scale Lee et
+    al. likewise accept the hashed variant).
+
+    Scale: the shuffle carries (hash, doc_id, pos) triples; the
+    per-doc window partitions on doc_id (positions per doc are bounded
+    by doc length, no skew); nothing is quadratic in corpus size.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+
+    K = 12
+    t = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= K)
+    )
+    sh = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {K}),"
+                    f" i -> struct(i AS pos, xxhash64(array_join(slice(t, i + 1, {K}), ' ')) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    rep = sh.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") >= 2)
+    marked = sh.join(rep.select("h"), "h", "left_semi")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        marked.withColumn("grp", F.col("pos") - F.row_number().over(win))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(K - 1)).alias("span_token_len"),
+        )
+        .select("doc_id", "span_start", "span_token_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 @query("simhash_sigs", _simhash_oracle_sql())
 def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (near-dup fingerprinting),
@@ -2889,15 +2977,22 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped: order-count histogram over a left join (keeps
     zero-order customers — COUNT of the nullable join key, not *).
 
-    Scale: two aggregations, each with map-side partials; the second
-    input is one row per customer, so the histogram shuffle is tiny.
+    Scale: the per-custkey count is pushed BELOW the join (Catalyst
+    does not do this aggregate pushdown itself): orders collapse to one
+    row per ordering customer with map-side partials first, so the left
+    join matches |customers| rows against |ordering customers| rows
+    instead of replaying every order row through the join. At 100 TB
+    that turns the join input from the fact-table row count into the
+    dimension cardinality; zero-order customers surface via
+    coalesce(n, 0) exactly like COUNT over an empty null extension.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count("o_orderkey").alias("n"))
     per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy(c["c_custkey"])
-        .agg(F.count("o_orderkey").alias("n_orders"))
+        c.select("c_custkey")
+        .join(counts, c["c_custkey"] == counts["o_custkey"], "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
     )
     return (
         per_cust.groupBy("n_orders")

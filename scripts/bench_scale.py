@@ -57,6 +57,9 @@ OPS = [
     # prefix-filter generator
     "semantic_dedup_ivf",
     "dup_canonicals",
+    # round-4: Lee-et-al exact-substring spans (hash-bucketed shingle-run
+    # merging — ratio should track prefix_filter, not the naive ngram)
+    "exact_substring_spans",
 ]
 
 

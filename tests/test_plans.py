@@ -525,6 +525,9 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         # round-2 wave 2/3: Bloom probe, PQ encode/ADC, CMS probe are
         # Arrow kernels
         "bloom_screen_new_docs", "ann_cosine_pq", "cms_user_freq",
+        # round-4: real stdlib PNG/WAV codec runs inside mapInPandas by
+        # design (decode is per-row CPU, Arrow-batched)
+        "media_pixel_stats", "media_wav_stats",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():

@@ -202,6 +202,37 @@ def test_pq_recall_and_compression(spark, sf_dir):
     assert min(recalls) >= 0.3, recalls
 
 
+def test_pq_query_chunking_equivalent_at_1k_queries(spark, sf_dir):
+    """The chunked-LUT fallback: a 1000-query batch processed in
+    256-query chunks must return EXACTLY the same (query, neighbor,
+    rank) rows as one unchunked pass — chunking bounds closure/score
+    memory, never changes results."""
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_train_codebooks,
+    )
+
+    emb = q.load(spark, sf_dir, "embeddings")
+    # the sf0.001 fixture has 500 vectors — synthesize a 1000-query
+    # batch by unioning an id-shifted copy (vectors unchanged, so each
+    # shifted query scores identically to its original)
+    qs = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(10_000))
+    )
+    books = pq_train_codebooks(emb, n_subspaces=8, n_codes=16, seed=42)
+    one_pass = cosine_topk_pq(
+        emb, qs, k=3, shortlist=20, books=books, query_chunk=1_000_000
+    )
+    chunked = cosine_topk_pq(
+        emb, qs, k=3, shortlist=20, books=books, query_chunk=256
+    )
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in one_pass.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in chunked.collect())
+    assert len({qq for qq, _, _ in a}) >= 900  # genuinely large batch
+    assert a == b
+
+
 def test_zero_norm_vectors_are_deterministic_not_nan(spark):
     """norm_safe eps-clamp: an all-zeros embedding yields sim 0.0 (not
     NaN, which sorts as the LARGEST double and would top every ranking
