@@ -203,6 +203,12 @@ def _streaming_windowed_rate(spark, rows_per_sec: int = 500_000, seconds: int = 
         agg.writeStream.format("noop")
         .option("checkpointLocation", ckpt)
         .outputMode("update")
+        # fixed 2s trigger interval: batches processing <2s leave a
+        # genuine idle gap, so the shutdown below can stop between
+        # triggers instead of aborting an in-flight micro-batch (a
+        # continuous trigger re-fires immediately and there is no
+        # clean window)
+        .trigger(processingTime="2 seconds")
         .start()
     )
     try:
@@ -214,15 +220,21 @@ def _streaming_windowed_rate(spark, rows_per_sec: int = 500_000, seconds: int = 
             time.sleep(1)
         progresses = [json.loads(p.json) for p in query.recentProgress]
     finally:
-        # drain the in-flight micro-batch BEFORE stop so no
-        # DataWritingSparkTask is aborted mid-state-store-commit, then
-        # wait for full thread termination BEFORE deleting the
-        # checkpoint (stop + immediate rmtree raced a committing batch
-        # and left an ERROR stack in the round-3 bench tail)
-        try:
-            query.processAllAvailable()
-        except Exception:  # noqa: BLE001 — best-effort drain
-            pass
+        # stop in a trigger-idle window so no DataWritingSparkTask is
+        # aborted mid-state-store-commit, then wait for full thread
+        # termination BEFORE deleting the checkpoint (stop + immediate
+        # rmtree raced a committing batch and left an ERROR stack in
+        # the round-3 bench tail). NOTE: processAllAvailable() is NOT
+        # usable here — against an unbounded rate source it chases the
+        # ever-advancing offsets and can block forever.
+        idle_deadline = time.monotonic() + 15
+        while time.monotonic() < idle_deadline:
+            try:
+                if not query.status.get("isTriggerActive", False):
+                    break
+            except Exception:  # noqa: BLE001
+                break
+            time.sleep(0.05)
         query.stop()
         try:
             query.awaitTermination(30)

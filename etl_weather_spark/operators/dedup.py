@@ -1044,7 +1044,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    local_threshold: int = 1_000_000,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph:
     (node, cluster_id) with cluster_id = min node id in the component.
@@ -1077,7 +1077,15 @@ def connected_components(
     """
     # decide the path on the raw pair count BEFORE building the doubled
     # edge set: the union+distinct shuffle only pays off for the
-    # distributed iteration; the local path union-finds the pairs as-is
+    # distributed iteration; the local path union-finds the pairs as-is.
+    # SPARK_GRAFT_CC_LOCAL_THRESHOLD overrides the default (0 forces the
+    # distributed path — used by scale benches to exercise it).
+    if local_threshold is None:
+        import os
+
+        local_threshold = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_THRESHOLD", 1_000_000)
+        )
     pairs = pairs.select(id_a, id_b).persist()
     if local_threshold > 0 and pairs.count() * 2 <= local_threshold:
         collected = [(r[0], r[1]) for r in pairs.collect()]

@@ -1138,6 +1138,150 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "exact_substring_clean",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, g.i AS pos, array_to_string(t[g.i+1:g.i+12], ' ') AS sh
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t) - 12)) AS i) g
+  WHERE len(t) >= 12
+),
+rep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (SELECT s.doc_id, s.pos FROM sh s JOIN rep r USING (sh)),
+removed AS (
+  SELECT DISTINCT doc_id, UNNEST(generate_series(pos, pos + 11)) AS ti
+  FROM marked
+),
+rm_counts AS (
+  SELECT doc_id, COUNT(*) AS n_removed FROM removed GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(len(tk.t) - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+FROM toks tk LEFT JOIN rm_counts r ON r.doc_id = tk.doc_id
+ORDER BY tk.doc_id
+""",
+)
+def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTPUT side of Lee-et-al exact-substring dedup: per document,
+    how many tokens fall inside a cross-doc verbatim >=12-token run
+    (and would be excised before training) vs how many survive. Builds
+    on the same hash-bucketed marked-position relation as
+    exact_substring_spans; each marked shingle position covers tokens
+    [pos, pos+11], and the union of covered positions per doc is the
+    removal set (distinct after an explode of per-shingle ranges — K
+    rows per marked position, bounded, never corpus-quadratic).
+    """
+    from etl_weather_spark.operators.dedup import tokens
+
+    K = 12
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    sh = (
+        t.filter(F.size("t") >= K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {K}),"
+                    f" i -> struct(i AS pos, xxhash64(array_join(slice(t, i + 1, {K}), ' ')) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    rep = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    removed = (
+        sh.join(rep.select("h"), "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(K - 1))).alias("ti"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return (
+        t.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_removed"), F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "png_meta_probe",
+    """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64)
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 17 AS INT) AS width,
+       CAST(16 + doc_id % 13 AS INT) AS height,
+       8 AS bit_depth,
+       2 AS color_type
+FROM ids
+ORDER BY media_id
+""",
+)
+def png_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-CATALYST PNG header decode (operators/multimodal
+    .png_header_meta): payloads synthesized with the stdlib encoder are
+    parsed back — signature check, big-endian IHDR width/height, bit
+    depth, color type — entirely with JVM-side substring/hex/conv
+    expressions (no Python stage after synthesis; the probe itself is
+    whole-stage-codegen'd byte arithmetic, the 100 TB path for format
+    metadata scans). The oracle regenerates the dimensions from the
+    same formulas.
+    """
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import encode_png, png_header_meta
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(64)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 17, 16 + did % 13
+                v = (
+                    (did * 7 + np.arange(w * h * 3, dtype=np.int64) * 13) % 256
+                ).astype(np.uint8)
+                rows.append({"media_id": did, "payload": encode_png(v.reshape(h, w, 3))})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    meta = png_header_meta(F.col("payload"))
+    return (
+        media.select("media_id", meta.alias("m"))
+        .select(
+            "media_id",
+            F.col("m.width").alias("width"),
+            F.col("m.height").alias("height"),
+            F.col("m.bit_depth").alias("bit_depth"),
+            F.col("m.color_type").alias("color_type"),
+        )
+        .orderBy("media_id")
+    )
+
+
 @query("simhash_sigs", _simhash_oracle_sql())
 def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (near-dup fingerprinting),

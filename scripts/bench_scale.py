@@ -8,7 +8,7 @@ doc acquiring 9 exact copies), then times the headline document
 pipelines at both sizes. Near-linear wall-clock ratios are the
 evidence that candidate generation is bucket-bound, not all-pairs.
 
-Usage: python scripts/bench_scale.py [R]   (default R=10)
+Usage: python scripts/bench_scale.py [R] [op1,op2,...]   (default R=10, all OPS)
 Prints one JSON line: {op: {"t1": s, "tR": s, "ratio": tR/t1,
                             "rows1": n, "rowsR": n}}
 """
@@ -26,6 +26,7 @@ from etl_weather_spark import queries as q  # noqa: E402
 from etl_weather_spark.session import get_spark  # noqa: E402
 
 R = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = f"/tmp/scale_{R}x"
 
@@ -106,6 +107,8 @@ def main() -> None:
     q.load(spark, BASE, "documents").count()  # warm
     results = {}
     for name in OPS:
+        if ONLY is not None and name not in ONLY:
+            continue
         fn = q._QUERIES[name]
         t = []
         rows = []

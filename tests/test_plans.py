@@ -526,8 +526,10 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         # Arrow kernels
         "bloom_screen_new_docs", "ann_cosine_pq", "cms_user_freq",
         # round-4: real stdlib PNG/WAV codec runs inside mapInPandas by
-        # design (decode is per-row CPU, Arrow-batched)
-        "media_pixel_stats", "media_wav_stats",
+        # design (decode is per-row CPU, Arrow-batched); png_meta_probe
+        # SYNTHESIZES payloads in pandas but the probe itself is pure
+        # Catalyst (asserted in test_binary_files.py's plan check)
+        "media_pixel_stats", "media_wav_stats", "png_meta_probe",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():
