@@ -504,6 +504,79 @@ def simhash64_portable(
     return per_doc.select(F.col(id_col), hi.alias("sig_hi"), lo.alias("sig_lo"))
 
 
+def simhash_band_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole banding (Manku, Jain &
+    Sarma, "Detecting Near-Duplicates for Web Crawling", WWW 2007 —
+    Google's web-scale simhash dedup): split the 64-bit signature into
+    4 disjoint 16-bit bands; two signatures within hamming distance
+    ``max_hamming`` ≤ 3 differ in at most 3 bit positions, so by
+    pigeonhole at least one band is IDENTICAL — an equi-join on
+    (band_index, band_value) finds every such pair with zero recall
+    loss, then one bit_count(xor) filter verifies the exact distance.
+
+    Input: (id, sig_hi, sig_lo) — the two 32-bit signature halves
+    (from :func:`simhash64_portable`, or any producer of the same
+    shape). Output: (id_a, id_b, hamming), id_a < id_b.
+
+    Scale: the candidate join is an equi-join on a 16-bit band key —
+    shuffle-native, no similarity scan. A band value shared by f docs
+    expands to f²/2 candidate rows: near-dup clusters make that
+    expansion the ANSWER, but an adversarial corpus (boilerplate docs
+    with near-identical signatures) concentrates one bucket; Manku et
+    al. handle that regime with more/wider tables — here, cap or
+    pre-aggregate the hot band the same way winnow_candidates caps
+    posting lists if it bites.
+    """
+    band_structs = []
+    for b in range(4):
+        half = "sig_lo" if b < 2 else "sig_hi"
+        shift = 16 * (b % 2)
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("b"),
+                F.expr(f"shiftright({half}, {shift}) & 65535").alias("v"),
+            )
+        )
+    bands = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bv"))
+        .select(F.col(id_col), F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["b", "v"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    s_a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"),
+    )
+    s_b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
+    )
+    hamming = (
+        F.bit_count(F.expr("lo_a ^ lo_b")) + F.bit_count(F.expr("hi_a ^ hi_b"))
+    ).cast("int")
+    return (
+        cand.join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def verify_candidates_jaccard(
     docs: DataFrame,
     cand: DataFrame,

@@ -1299,6 +1299,53 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64_portable(docs)
 
 
+def _simhash_banding_oracle_sql() -> str:
+    return f"""
+WITH sigs AS ({_simhash_oracle_sql().strip()}),
+bands AS (
+  SELECT doc_id, t.b,
+         CASE t.b WHEN 0 THEN sig_lo % 65536 WHEN 1 THEN sig_lo // 65536
+                  WHEN 2 THEN sig_hi % 65536 ELSE sig_hi // 65536 END AS v
+  FROM sigs, UNNEST([0,1,2,3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) AS INT) AS hamming
+FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b
+WHERE bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query("simhash_near_dupes", _simhash_banding_oracle_sql())
+def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole banding (Manku et al.,
+    WWW 2007 — the Google web-crawl dedup design): 4×16-bit bands over
+    the 64-bit signature; hamming ≤ 3 implies at least one identical
+    band, so an equi-join on (band, value) is a zero-recall-loss
+    candidate generator and one bit_count(xor) filter is the verify.
+    The signature itself is the oracle-replicable md5 family
+    (simhash_sigs proves bit-parity), so the PAIR SET is hash-matched
+    end-to-end — candidate generation, banding arithmetic, hamming —
+    against the SQL recomputation.
+
+    Scale: band equi-join shuffles 16-bit keys, never signatures ×
+    signatures; see operators/dedup.simhash_band_pairs for the
+    hot-bucket regime discussion.
+    """
+    from etl_weather_spark.operators.dedup import (
+        simhash64_portable,
+        simhash_band_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash64_portable(docs).localCheckpoint(eager=False)
+    return simhash_band_pairs(sigs).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -253,6 +253,38 @@ def test_large_small_star_star_and_selfloop_graphs(spark):
     assert got == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a"}
 
 
+def test_simhash_band_pairs_pigeonhole(spark):
+    """Manku-style banding: any pair within hamming<=3 is guaranteed
+    found (some 16-bit band untouched); pairs differing in every band
+    are not candidates; candidates beyond max_hamming are filtered."""
+    from etl_weather_spark.operators.dedup import simhash_band_pairs
+
+    base_hi, base_lo = 0x12345678, 0x9ABCDEF0
+    rows = [
+        (1, base_hi, base_lo),
+        # hamming 3: flip 3 bits inside ONE band (lo bits 0,1,2)
+        (2, base_hi, base_lo ^ 0b111),
+        # hamming 2: flip one bit in two different bands
+        (3, base_hi ^ (1 << 20), base_lo ^ 1),
+        # hamming 4 spread across ALL four bands: never a candidate
+        (4, base_hi ^ (1 << 0) ^ (1 << 16), base_lo ^ (1 << 0) ^ (1 << 16)),
+        # hamming 5 concentrated in one band: candidate, filtered by verify
+        (5, base_hi, base_lo ^ 0b11111),
+        # unrelated signature
+        (6, 0x0F0F0F0F, 0x33CC33CC),
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig_hi long, sig_lo long")
+    got = {
+        (r.id_a, r.id_b): r.hamming for r in simhash_band_pairs(sigs).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 2
+    assert (1, 4) not in got  # differs in every band AND hamming 4
+    assert (1, 5) not in got  # candidate by band0, rejected by verify
+    assert (2, 5) in got  # 0b111 vs 0b11111 differ in 2 bits
+    assert all(h <= 3 for h in got.values())
+
+
 def test_widen_narrow_input_fans_out_and_preserves_rows(spark):
     from etl_weather_spark.operators.dedup import widen_narrow_input
 
