@@ -2845,12 +2845,16 @@ def udtf_melt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     input.
     """
     from etl_weather_spark.functions.table_functions import register_udtfs
+    from etl_weather_spark.operators.dedup import widen_narrow_input
 
     register_udtfs(spark)
     ev = load(spark, sf_dir, "events")
-    ev.select("event_id", "user_id", "value").createOrReplaceTempView(
-        "__events_for_melt"
-    )
+    # the sf0.1 events parquet is one input split — without fanning out,
+    # the per-row Python UDTF runs on ONE core (measured 30s; 28 of it
+    # single-task eval). widen first: eval parallelism = partitions.
+    widen_narrow_input(
+        ev.select("event_id", "user_id", "value"), "event_id"
+    ).createOrReplaceTempView("__events_for_melt")
     return spark.sql(
         """
         SELECT * FROM melt_numeric(TABLE(SELECT * FROM __events_for_melt))
