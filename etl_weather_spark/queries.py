@@ -2812,10 +2812,13 @@ def word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the same shape is split+explode (doc_stats).
     """
     from etl_weather_spark.functions.table_functions import register_udtfs
+    from etl_weather_spark.operators.dedup import widen_narrow_input
 
     register_udtfs(spark)
     docs = load(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("__docs_for_udtf")
+    # single-split parquet would serialize the per-row UDTF on one core
+    # (same fix as udtf_melt_events)
+    widen_narrow_input(docs, "doc_id").createOrReplaceTempView("__docs_for_udtf")
     return spark.sql(
         """
         SELECT t.word, COUNT(*) AS n
