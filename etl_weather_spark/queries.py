@@ -1103,11 +1103,11 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window partitions on doc_id (positions per doc are bounded
     by doc length, no skew); nothing is quadratic in corpus size.
     """
-    from etl_weather_spark.operators.dedup import tokens
+    from etl_weather_spark.operators.dedup import tokens, widen_narrow_input
 
     K = 12
     t = (
-        load(spark, sf_dir, "documents")
+        widen_narrow_input(load(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", tokens(F.col("text")).alias("t"))
         .filter(F.size("t") >= K)
     )
@@ -1177,10 +1177,10 @@ def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal set (distinct after an explode of per-shingle ranges — K
     rows per marked position, bounded, never corpus-quadratic).
     """
-    from etl_weather_spark.operators.dedup import tokens
+    from etl_weather_spark.operators.dedup import tokens, widen_narrow_input
 
     K = 12
-    t = load(spark, sf_dir, "documents").select(
+    t = widen_narrow_input(load(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", tokens(F.col("text")).alias("t")
     )
     sh = (
