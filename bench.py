@@ -98,6 +98,9 @@ HEADLINE = [
     # stdlib PNG decode path (encode -> zlib -> unfilter -> stats)
     "exact_substring_spans",
     "media_pixel_stats",
+    # Manku-style simhash banding pair detection (64 bit-votes + band
+    # equi-join + hamming verify)
+    "simhash_near_dupes",
 ]
 
 

@@ -61,6 +61,7 @@ OPS = [
     # round-4: Lee-et-al exact-substring spans (hash-bucketed shingle-run
     # merging — ratio should track prefix_filter, not the naive ngram)
     "exact_substring_spans",
+    "simhash_near_dupes",
 ]
 
 
