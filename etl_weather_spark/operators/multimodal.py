@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side design is fully real — schemas, partition-aware batch
-processing via ``mapInPandas`` (Arrow-batched), typed metadata struct,
-deterministic fake feature extraction — while the actual media decode is
-stubbed: the codec libraries (Pillow, ffmpeg, torchaudio) are not in
-this container. Every stub is clearly marked and the interface is what a
-real decoder would implement.
+processing via ``mapInPandas`` (Arrow-batched), typed metadata struct —
+and since round 4 the PNG and WAV codecs are real too, implemented on
+stdlib ``zlib``/``struct`` + numpy (:func:`decode_png`,
+:func:`decode_wav`, plus encoders for test fixtures). Formats beyond
+PNG/WAV (JPEG, MP3, H.264 …) would need codec libraries (Pillow,
+ffmpeg) that are not in this container; those paths degrade to the
+deterministic fake-feature extractor and are clearly marked.
 
 Scale notes:
 - binary payloads ride in the same row as their metadata; Parquet stores
@@ -579,6 +581,95 @@ def pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+def resize_box(pixels, factor: int = 2):
+    """Exact box-downsample of an ``(h, w, c)`` uint8 pixel array by an
+    integer ``factor``: each ``factor×factor`` block becomes one output
+    pixel whose value is the FLOOR of the block mean (pure integer
+    arithmetic, so a SQL oracle can reproduce it bit-for-bit). Trailing
+    rows/columns that do not fill a whole block are cropped, matching
+    the usual strided-pooling convention.
+
+    Vectorized: one reshape + two axis sums per image, no Python loop
+    over pixels.
+    """
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    h, w, c = pixels.shape
+    h2, w2 = h // factor, w // factor
+    if h2 == 0 or w2 == 0:
+        return np.zeros((h2, w2, c), dtype=np.uint8)
+    block = (
+        pixels[: h2 * factor, : w2 * factor]
+        .astype(np.int64)
+        .reshape(h2, factor, w2, factor, c)
+    )
+    return (block.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_sqsum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def resized_pixel_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → :func:`resize_box` → exact-integer stats, Arrow-batched:
+    the resize stage of a multimodal training-data pipeline (thumbnail /
+    fixed-resolution conform before feature extraction), end-to-end on
+    the REAL PNG codec. Same oracle-stability contract as
+    :func:`pixel_stats`: every output is integer, so a SQL oracle that
+    regenerates the source pixels and floor-averages the same blocks
+    matches hash-for-hash.
+
+    Scale: per-row CPU, no shuffle — at 100 TB this fans out by input
+    split exactly like decode; the resized payload is strictly smaller
+    than the input so the stage shrinks the corpus it forwards.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    px = decode_png(bytes(payload))
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    continue
+                out = resize_box(px, factor)
+                flat = out.reshape(-1).astype("int64")
+                if flat.size == 0:
+                    continue
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "out_width": out.shape[1],
+                        "out_height": out.shape[0],
+                        "channels": out.shape[2],
+                        "px_sum": int(flat.sum()),
+                        "px_sqsum": int((flat * flat).sum()),
+                        "px_min": int(flat.min()),
+                        "px_max": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in RESIZE_STATS_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_STATS_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

@@ -5794,6 +5794,99 @@ def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_resize_stats",
+    """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+dims AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS w,
+         (16 + doc_id % 17) // 2 AS w2,
+         (16 + doc_id % 13) // 2 AS h2
+  FROM ids
+),
+opx AS (
+  SELECT d.doc_id, d.w, d.w2, d.h2,
+         t.j // (d.w2 * 3) AS y2,
+         (t.j % (d.w2 * 3)) // 3 AS x2,
+         t.j % 3 AS c
+  FROM dims d, LATERAL (
+    SELECT UNNEST(generate_series(0, d.w2 * d.h2 * 3 - 1)) AS j
+  ) t
+),
+vals AS (
+  SELECT doc_id, w2, h2,
+         ( (doc_id * 7 + (((2 * y2) * w + 2 * x2) * 3 + c) * 13) % 256
+         + (doc_id * 7 + (((2 * y2) * w + 2 * x2 + 1) * 3 + c) * 13) % 256
+         + (doc_id * 7 + (((2 * y2 + 1) * w + 2 * x2) * 3 + c) * 13) % 256
+         + (doc_id * 7 + (((2 * y2 + 1) * w + 2 * x2 + 1) * 3 + c) * 13) % 256
+         ) // 4 AS v
+  FROM opx
+)
+SELECT doc_id AS media_id,
+       CAST(w2 AS INT) AS out_width,
+       CAST(h2 AS INT) AS out_height,
+       3 AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * v) AS BIGINT) AS px_sqsum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM vals
+GROUP BY doc_id, w2, h2
+ORDER BY media_id
+""",
+)
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (the resize stage of a multimodal
+    conform pipeline — thumbnail / fixed-resolution before feature
+    extraction): the same deterministic PNGs as media_pixel_stats are
+    decoded, box-downsampled 2× (operators/multimodal.resize_box —
+    floor mean of each 2×2 block, exact integer arithmetic), and
+    reduced to exact-integer stats. The oracle regenerates the source
+    pixel formula SQL-side and floor-averages the identical blocks, so
+    any error in decode, block addressing, or the pooling arithmetic
+    breaks the integer sums.
+
+    Scale: decode+resize is per-row CPU inside one Arrow-batched
+    ``mapInPandas`` — no shuffle until the final tiny sort; the stage
+    emits strictly smaller images than it reads (≈4× byte reduction at
+    factor 2), so at 100 TB it SHRINKS the corpus it forwards.
+    """
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        encode_png,
+        resized_pixel_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(48)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 17, 16 + did % 13
+                v = (
+                    (did * 7 + np.arange(w * h * 3, dtype=np.int64) * 13) % 256
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_png(
+                            v.reshape(h, w, 3),
+                            filter_types=[y % 5 for y in range(h)],
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return resized_pixel_stats(media, factor=2).orderBy("media_id")
+
+
+@query(
     "sliding_window_volume",
     """
 WITH grids AS (

@@ -293,6 +293,54 @@ def test_pixel_and_audio_stats_distributed(spark):
     assert au[2].s_sqsum == int((aflat * aflat).sum())
 
 
+def test_resize_box_matches_naive_loop():
+    """resize_box ≡ an independent per-block double loop (floor mean),
+    including trailing-edge cropping and factor 1 identity."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import resize_box
+
+    rng = np.random.RandomState(7)
+    for h, w, c, f in [(7, 5, 3, 2), (8, 8, 1, 2), (9, 10, 4, 3), (6, 4, 3, 1)]:
+        px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        got = resize_box(px, f)
+        h2, w2 = h // f, w // f
+        assert got.shape == (h2, w2, c) and got.dtype == np.uint8
+        for y in range(h2):
+            for x in range(w2):
+                for ch in range(c):
+                    block = px[y * f:(y + 1) * f, x * f:(x + 1) * f, ch]
+                    assert got[y, x, ch] == int(block.astype(np.int64).sum()) // (f * f)
+
+
+def test_resized_pixel_stats_distributed(spark):
+    """decode → resize_box(2) → exact stats inside mapInPandas; the
+    expected values come from an independent numpy computation on the
+    pre-encode pixels."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        encode_png,
+        resize_box,
+        resized_pixel_stats,
+    )
+
+    px = (np.arange(6 * 4 * 3, dtype=np.int64) * 11 % 256).astype(np.uint8).reshape(6, 4, 3)
+    rows = [
+        (1, "image", encode_png(px, filter_types=[0, 1, 2, 3, 4, 0]), ("image/png", 4, 6, None, None)),
+        (2, "image", b"junk", ("image/png", None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in resized_pixel_stats(media, factor=2).collect()}
+    assert set(got) == {1}
+    exp = resize_box(px, 2).reshape(-1).astype(np.int64)
+    r = got[1]
+    assert (r.out_width, r.out_height, r.channels) == (2, 3, 3)
+    assert r.px_sum == int(exp.sum())
+    assert r.px_sqsum == int((exp * exp).sum())
+    assert r.px_min == int(exp.min()) and r.px_max == int(exp.max())
+
+
 def test_frame_sample_plan(spark):
     rows = [(3, "video", None, ("video/mp4", 640, 480, 3500, None))]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
