@@ -722,6 +722,85 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
+def decimate_frames(samples, factor: int = 2):
+    """Exact integer-factor audio downsample of an ``(n_frames,
+    n_channels)`` int sample array: each run of ``factor`` consecutive
+    frames becomes one output frame whose per-channel value is the
+    FLOOR of the run mean (anti-aliased box decimation in pure integer
+    arithmetic — same oracle-stability contract as :func:`resize_box`).
+    Trailing frames that do not fill a run are cropped.
+    """
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    n, c = samples.shape
+    n2 = n // factor
+    if n2 == 0:
+        return np.zeros((0, c), dtype=np.int64)
+    block = samples[: n2 * factor].astype(np.int64).reshape(n2, factor, c)
+    # floor-toward-negative-infinity mean, so negative PCM values round
+    # the same way SQL's integer // does
+    return np.floor_divide(block.sum(axis=1), factor)
+
+
+DECIMATE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_frames", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("out_rate", T.IntegerType()),
+        T.StructField("s_sum", T.LongType()),
+        T.StructField("s_sqsum", T.LongType()),
+        T.StructField("s_min", T.IntegerType()),
+        T.StructField("s_max", T.IntegerType()),
+    ]
+)
+
+
+def decimated_audio_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → :func:`decimate_frames` → exact-integer stats: the
+    resample-to-target-rate stage of an audio training-data pipeline
+    (e.g. 16 kHz → 8 kHz conform before featurization), end-to-end on
+    the REAL WAV codec. Arrow-batched ``mapInPandas``, per-row CPU, no
+    shuffle — fans out by input split at 100 TB like the other media
+    stages, and emits ``factor×`` fewer frames than it reads.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    continue
+                out = decimate_frames(samples, factor)
+                flat = out.reshape(-1)
+                if flat.size == 0:
+                    continue
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "out_frames": int(out.shape[0]),
+                        "n_channels": int(out.shape[1]),
+                        "out_rate": int(rate) // factor,
+                        "s_sum": int(flat.sum()),
+                        "s_sqsum": int((flat * flat).sum()),
+                        "s_min": int(flat.min()),
+                        "s_max": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in DECIMATE_STATS_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(run, schema=DECIMATE_STATS_SCHEMA)
+
+
 def probe_media_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """media + ``png_meta``/``wav_meta`` struct columns — the real
     (codec-free) slice of metadata extraction: format headers parse as

@@ -5794,6 +5794,93 @@ def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_decimate_stats",
+    """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+dims AS (
+  SELECT doc_id,
+         200 + doc_id % 100 AS n_frames,
+         1 + doc_id % 2 AS n_ch,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM ids
+),
+o AS (
+  SELECT d.doc_id, d.n_ch, d.rate, (d.n_frames // 2) AS n2,
+         t.j // d.n_ch AS f2, t.j % d.n_ch AS ch
+  FROM dims d, LATERAL (
+    SELECT UNNEST(generate_series(0, (d.n_frames // 2) * d.n_ch - 1)) AS j
+  ) t
+),
+vals AS (
+  SELECT doc_id, n2, n_ch, rate,
+         ( ((doc_id * 31 + ((2 * f2) * n_ch + ch) * 17) % 65536)
+         + ((doc_id * 31 + ((2 * f2 + 1) * n_ch + ch) * 17) % 65536)
+         ) // 2 - 32768 AS v
+  FROM o
+)
+SELECT doc_id AS media_id,
+       CAST(n2 AS BIGINT) AS out_frames,
+       CAST(n_ch AS INT) AS n_channels,
+       CAST(rate // 2 AS INT) AS out_rate,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(SUM(v * v) AS BIGINT) AS s_sqsum,
+       CAST(MIN(v) AS INT) AS s_min,
+       CAST(MAX(v) AS INT) AS s_max
+FROM vals
+GROUP BY doc_id, n2, n_ch, rate
+ORDER BY media_id
+""",
+)
+def media_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample end-to-end (the rate-conform stage of an
+    audio training pipeline, e.g. 16 kHz → 8 kHz before featurization):
+    the same deterministic PCM streams as media_wav_stats are decoded,
+    box-decimated 2× (operators/multimodal.decimate_frames — floor mean
+    of each 2-frame run per channel, exact integer arithmetic), and
+    reduced to exact-integer stats.
+
+    Oracle subtlety: the engine floors toward −∞ (numpy floor_divide)
+    while DuckDB's ``//`` truncates toward zero, so the SQL averages
+    the +32768-shifted (always non-negative) samples — where the two
+    conventions agree — then shifts back. Any error in WAV decode,
+    frame addressing, or the pooling arithmetic breaks the sums.
+
+    Scale: per-row CPU inside one Arrow-batched ``mapInPandas``, no
+    shuffle; the stage emits factor× fewer frames than it reads.
+    """
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        decimated_audio_stats,
+        encode_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(48)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_frames = 200 + did % 100
+                n_ch = 1 + did % 2
+                rate = 8000 + (did % 3) * 4000
+                v = ((did * 31 + np.arange(n_frames * n_ch, dtype=np.int64) * 17) % 65536) - 32768
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_wav(v.reshape(n_frames, n_ch), rate),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return decimated_audio_stats(media, factor=2).orderBy("media_id")
+
+
+@query(
     "media_resize_stats",
     """
 WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),

@@ -341,6 +341,52 @@ def test_resized_pixel_stats_distributed(spark):
     assert r.px_min == int(exp.min()) and r.px_max == int(exp.max())
 
 
+def test_decimate_frames_matches_naive_loop():
+    """decimate_frames ≡ an independent per-run double loop with exact
+    floor-toward-−∞ means, including negative PCM values and cropping."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import decimate_frames
+
+    rng = np.random.RandomState(11)
+    for n, c, f in [(7, 1, 2), (10, 2, 2), (9, 2, 3), (5, 1, 1)]:
+        s = rng.randint(-32768, 32768, size=(n, c), dtype=np.int64)
+        got = decimate_frames(s, f)
+        n2 = n // f
+        assert got.shape == (n2, c)
+        for fr in range(n2):
+            for ch in range(c):
+                run = s[fr * f:(fr + 1) * f, ch]
+                assert got[fr, ch] == int(run.sum()) // f  # python // floors
+
+
+def test_decimated_audio_stats_distributed(spark):
+    """decode → decimate_frames(2) → exact stats inside mapInPandas,
+    expected values from an independent numpy computation."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        decimate_frames,
+        decimated_audio_stats,
+        encode_wav,
+    )
+
+    s = (np.arange(20, dtype=np.int64).reshape(10, 2) * 1000) - 9000
+    rows = [
+        (1, "audio", encode_wav(s, 16000), ("audio/wav", None, None, None, 16000)),
+        (2, "audio", b"junk", ("audio/wav", None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decimated_audio_stats(media, factor=2).collect()}
+    assert set(got) == {1}
+    exp = decimate_frames(s, 2).reshape(-1)
+    r = got[1]
+    assert (r.out_frames, r.n_channels, r.out_rate) == (5, 2, 8000)
+    assert r.s_sum == int(exp.sum())
+    assert r.s_sqsum == int((exp * exp).sum())
+    assert r.s_min == int(exp.min()) and r.s_max == int(exp.max())
+
+
 def test_frame_sample_plan(spark):
     rows = [(3, "video", None, ("video/mp4", 640, 480, 3500, None))]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
