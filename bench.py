@@ -101,6 +101,11 @@ HEADLINE = [
     # Manku-style simhash banding pair detection (64 bit-votes + band
     # equi-join + hamming verify)
     "simhash_near_dupes",
+    # fourteenth wave (round 4): RRF hybrid retrieval fusion and
+    # 3-round distributed BPE tokenizer training (vocab-level pair
+    # counts + lazy broadcast merge rounds, all-Catalyst fold)
+    "hybrid_search_rrf",
+    "bpe_merge_rounds",
 ]
 
 

@@ -262,3 +262,92 @@ def unigram_logprob_profile(docs: DataFrame, *, text_col: str = "text") -> DataF
         "doc_id", "n_tokens",
         rnd(F.col("__s") / F.col("n_tokens"), 6).alias("avg_nll"),
     )
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over a BPE vocab.
+
+    ``vocab`` is (syms: array<string>, freq: long) — one row per
+    distinct word, symbols are the word's current BPE segmentation.
+    Emits (left_sym, right_sym, pair_count). The pair extraction is a
+    Catalyst ``transform`` over index positions (no Python), so the
+    only shuffle is the pair groupBy — |vocab| rows wide, shrinking
+    every merge round.
+    """
+    pairs = F.when(
+        F.size("syms") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("left_sym"),
+                F.element_at(F.col("syms"), i + 1).alias("right_sym"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left_sym:string,right_sym:string>>"))
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.left_sym", "p.right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
+    """Greedy left-to-right BPE merge of one (left_sym, right_sym) pair.
+
+    ``best`` is a 1-row DataFrame carrying the winning pair; it rides a
+    broadcast cross join so the plan stays lazy (no collect between
+    rounds). The merge itself is an ``F.aggregate`` fold over the
+    symbol array: if the accumulator's last symbol is ``left_sym`` and
+    the next symbol is ``right_sym``, the tail is replaced by the
+    concatenated symbol — exactly the sequential scan BPE specifies
+    ("aaaa" under (a,a) becomes [aa, aa], never [aa, a, a]).
+    """
+    merged_sym = F.concat(F.col("left_sym"), F.col("right_sym"))
+    folded = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("left_sym"))
+            & (x == F.col("right_sym")),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged_sym)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return vocab.crossJoin(F.broadcast(best.select("left_sym", "right_sym"))).select(
+        folded.alias("syms"), "freq"
+    )
+
+
+def bpe_train(vocab: DataFrame, n_merges: int) -> DataFrame:
+    """``n_merges`` BPE rounds: (merge_round, left_sym, right_sym,
+    merged, pair_count) — the merge-table artifact of tokenizer
+    training. Classic BPE runs on the VOCAB (distinct word, freq), not
+    the token stream, so each round is one pair-count shuffle over
+    |vocab| rows plus a 1-row broadcast of the winner; intermediate
+    vocabs are persisted because round r+1's counts and the round-r
+    output row both read them.
+    """
+    bests = []
+    v = vocab
+    for r in range(1, n_merges + 1):
+        best = (
+            bpe_pair_counts(v)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .persist()
+        )
+        bests.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("merged"),
+                "pair_count",
+            )
+        )
+        if r < n_merges:
+            v = bpe_apply_merge(v, best).persist()
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("merge_round")

@@ -132,9 +132,16 @@ _PRIORITY = [
     # approx_stats (sketches keep kll + incoming theta_user_overlap).
     # In: media_pixel_stats/media_wav_stats (REAL stdlib PNG/WAV decode,
     # new this round) + six never-driver-checked families.
+    # round-4 late rotations: union_dedup (U1/U2 — union+dedup shapes
+    # stay checked via dedup_exact and corpus_prep_funnel's union),
+    # daily_left_join (J2 — J family keeps hourly_outer_join/asof_join),
+    # next_events (F5 — F family keeps daily_flags/global_summary/
+    # split_part_types) out for the round-4 flagships:
+    # hybrid_search_rrf (RRF fusion), bpe_merge_rounds (distributed
+    # BPE tokenizer training), media_decimate_stats (real WAV resample).
     "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
     "recommendation_text", "minmax_norm",
-    "rank_pct_diff", "union_dedup", "asof_join",
+    "rank_pct_diff", "hybrid_search_rrf", "asof_join",
     "weather_code_decode",
     "media_pixel_stats", "media_wav_stats", "theta_user_overlap",
     "fuzzy_part_names", "hourly_gapfill_ffill", "event_pattern_match",
@@ -151,9 +158,9 @@ _PRIORITY = [
     # keeps the tolerant-JSON shape checked) and sorted_nations (O4 —
     # every ORDER BY row covers lexicographic sorts) out for the Q21
     # semi/anti flagship and the unigram-LM quality scorer
-    "waiting_suppliers_blame", "daily_left_join", "corpus_prep_funnel", "split_part_types",
+    "waiting_suppliers_blame", "media_decimate_stats", "corpus_prep_funnel", "split_part_types",
     "regex_customer_ids", "unigram_logprob_quality", "scd2_user_tiers",
-    "next_events", "kll_rollup_value_quantiles",
+    "bpe_merge_rounds", "kll_rollup_value_quantiles",
     # round-2/3 flagships, wave 2: embedding-graph semantic dedup (label
     # block + the round-3 data-adaptive IVF-cell block), Bloom-screen
     # incremental dedup, PQ compressed ANN
@@ -8416,3 +8423,208 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "direct_conversion", "purchase_error_repurchase", "double_view_double_click"
         )
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+kw AS (
+  SELECT doc_id, SUM(tf) AS total_tf FROM (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks
+    WHERE term IN ('dup', 'hash', 'scan') GROUP BY doc_id, term
+  ) GROUP BY doc_id
+),
+kwr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY total_tf DESC, doc_id) AS rank_kw
+  FROM kw QUALIFY rank_kw <= 30
+),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         FLOOR((list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                / (GREATEST(sqrt(list_dot_product(q.qv, q.qv)), 1e-12)
+                   * GREATEST(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 1e-12)))
+               * 1000000 + 0.5) / 1000000 AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+vr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_vec
+  FROM scored QUALIFY rank_vec <= 30
+),
+fused AS (
+  SELECT COALESCE(kwr.doc_id, vr.doc_id) AS doc_id, kwr.rank_kw, vr.rank_vec,
+         CAST(FLOOR((COALESCE(1.0 / (60 + kwr.rank_kw), 0.0)
+                     + COALESCE(1.0 / (60 + vr.rank_vec), 0.0)) * 1000000 + 0.5)
+              AS BIGINT) AS rrf_1e6
+  FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id
+)
+SELECT doc_id, rank_kw, rank_vec, rrf_1e6 FROM fused
+ORDER BY rrf_1e6 DESC, doc_id LIMIT 20
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09; the fusion step every RAG retrieval stack runs): a
+    keyword ranking (total tf of {dup, hash, scan} postings) and a
+    dense ranking (exact cosine against one query embedding, the
+    min-vec_id row) are fused by summed reciprocal ranks
+    1/(60+rank) — score-scale-free, so BM25-ish tf counts and cosine
+    similarities need no calibration against each other.
+
+    Determinism: both legs rank with a total order (metric desc,
+    doc_id), the fused score is emitted as an INTEGER (floor of
+    1e6x — IEEE division/sum is bit-identical across engines), and
+    the final order is (rrf_1e6 desc, doc_id).
+
+    Scale: the keyword leg shuffles only matching postings (the
+    IN-list runs inside the token explode's map stage); the dense leg
+    broadcasts the 1-row query set against the partitioned corpus and
+    top-k's via the salted two-level pattern (operators/similarity
+    .topk_per_group inside cosine_topk_bruteforce); the fusion itself
+    joins two <=30-row sides. At 100 TB swap the dense leg's exact
+    scan for the IVF/PQ shortlist — the fusion is unchanged.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    terms = ["dup", "hash", "scan"]
+
+    kw = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("total_tf"))
+    )
+    # matched-posting set is small (rare-term docs), so a single
+    # window is safe here; the dense leg below carries the salted
+    # two-level top-k that matters at scale
+    kwr = (
+        kw.withColumn(
+            "rank_kw",
+            F.row_number().over(Window.orderBy(F.desc("total_tf"), "doc_id")),
+        )
+        .filter(F.col("rank_kw") <= 30)
+        .select("doc_id", "rank_kw")
+    )
+
+    qvec = emb.orderBy("vec_id").limit(1)
+    vr = (
+        cosine_topk_bruteforce(emb, qvec, k=30)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_vec"))
+    )
+
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_kw")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_vec")), F.lit(0.0))
+    )
+    return (
+        kwr.join(vr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_kw",
+            "rank_vec",
+            F.floor(rrf * 1000000 + F.lit(0.5)).cast("long").alias("rrf_1e6"),
+        )
+        .orderBy(F.desc("rrf_1e6"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bpe_oracle_round(n: int) -> str:
+    """One BPE round of the oracle: pairs -> best pair -> greedy merge.
+
+    Mirrors the engine exactly: symbols ride a chr(31)-joined string,
+    the merge is DuckDB's list_reduce twin of the Spark F.aggregate
+    fold (replace-trailing-left-then-append, greedy left-to-right).
+    """
+    p = n - 1
+    return f"""
+p{n} AS (
+  SELECT s[i] AS left_sym, s[i+1] AS right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(ws, chr(31)) AS s, freq FROM v{p}),
+       LATERAL (SELECT UNNEST(generate_series(1, len(s) - 1)) AS i) t
+  GROUP BY 1, 2
+),
+b{n} AS (
+  SELECT left_sym, right_sym, pair_count FROM p{n}
+  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+),
+v{n} AS (
+  SELECT list_reduce(string_split(ws, chr(31)), (acc, x) ->
+           CASE WHEN (acc = b.left_sym OR ends_with(acc, chr(31) || b.left_sym))
+                     AND x = b.right_sym
+                THEN left(acc, length(acc) - length(b.left_sym)) || b.left_sym || b.right_sym
+                ELSE acc || chr(31) || x END) AS ws, freq
+  FROM v{p}, b{n} b
+)"""
+
+
+@query(
+    "bpe_merge_rounds",
+    """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$') GROUP BY word
+),
+v0 AS (
+  SELECT array_to_string(string_split(word, ''), chr(31)) AS ws, freq FROM words
+),"""
+    + ",".join(_bpe_oracle_round(i) for i in (1, 2, 3))
+    + """
+SELECT 1 AS merge_round, left_sym, right_sym, left_sym || right_sym AS merged, pair_count FROM b1
+UNION ALL
+SELECT 2, left_sym, right_sym, left_sym || right_sym, pair_count FROM b2
+UNION ALL
+SELECT 3, left_sym, right_sym, left_sym || right_sym, pair_count FROM b3
+ORDER BY merge_round
+""",
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. ACL'16), 3
+    merge rounds entirely in Catalyst: count adjacent symbol pairs
+    over the corpus vocabulary (frequency-weighted), pick the most
+    frequent pair (ties: lexicographic), merge it greedily
+    left-to-right in every word, repeat. The merge table this emits
+    IS the tokenizer artifact an LLM pipeline trains before anything
+    else touches the corpus.
+
+    The merge apply is an ``F.aggregate`` fold over the symbol array
+    (replace trailing left-symbol + append, exactly the greedy scan) —
+    no Python anywhere; the oracle reruns the identical algorithm via
+    DuckDB's ``list_reduce`` twin over chr(31)-joined symbol strings.
+
+    Scale: classic BPE runs on the VOCAB (distinct word, freq), not
+    the token stream — the explode-heavy stage is the one vocab
+    groupBy; each round is then a pair-count shuffle over |vocab|
+    rows plus a 1-row broadcast of the winning pair (the plan stays
+    lazy: no collect between rounds). Round count is the vocab-size
+    budget (here 3 for the oracle; 32k in production) — each round's
+    cost shrinks as merges shorten words.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+    from etl_weather_spark.operators.textops import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("syms"), "freq")
+        .persist()
+    )
+    return bpe_train(vocab, 3)

@@ -62,6 +62,12 @@ OPS = [
     # merging — ratio should track prefix_filter, not the naive ngram)
     "exact_substring_spans",
     "simhash_near_dupes",
+    # round-4 wave-2: RRF hybrid retrieval (posting-filtered keyword leg
+    # + broadcast dense leg — should be near-flat), vocab-level BPE
+    # merge rounds (vocab grows ~Rx under token salting, so the ratio
+    # tracks the vocab groupBy, not the token stream)
+    "hybrid_search_rrf",
+    "bpe_merge_rounds",
 ]
 
 

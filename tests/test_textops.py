@@ -137,3 +137,74 @@ def test_unigram_logprob_hand_values(spark):
     )
     out2 = {r.doc_id: r.avg_nll for r in unigram_logprob_profile(docs2).collect()}
     assert out2[1] > out2[0]
+
+
+def _py_bpe(vocab: dict[str, int], n_merges: int):
+    """Independent pure-Python BPE reference: returns the merge table
+    [(left, right, merged, count)] with the same greedy left-to-right
+    apply and (count desc, left, right) tie-break as the operator."""
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, l + r, c))
+        for w, syms in segs.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """bpe_train ≡ an independent pure-Python BPE on a randomized vocab
+    (overlapping-pair greediness, frequency weighting, tie-breaks)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.textops import bpe_train
+
+    rng = random.Random(7)
+    words = ["aaaa", "abab", "banana", "x"] + [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+        for _ in range(60)
+    ]
+    vocab = {}
+    for w in words:
+        vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+
+    vdf = spark.createDataFrame(
+        [(w, c) for w, c in vocab.items()], "word string, freq long"
+    ).select(F.split("word", "").alias("syms"), "freq")
+    got = [
+        (r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train(vdf, 4).collect()
+    ]
+    assert got == _py_bpe(vocab, 4)
+
+
+def test_bpe_apply_merge_greedy_overlap(spark):
+    """The fold is greedy left-to-right: 'aaaa' under (a,a) segments to
+    [aa, aa] and 'aaa' to [aa, a] — never re-merging the new symbol."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.textops import bpe_apply_merge
+
+    v = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 1), ("baaab", 1)], "word string, freq long"
+    ).select(F.split("word", "").alias("syms"), "freq")
+    best = spark.createDataFrame(
+        [("a", "a")], "left_sym string, right_sym string"
+    )
+    got = sorted("".join("|".join(r.syms)) for r in bpe_apply_merge(v, best).collect())
+    assert got == sorted(["aa|aa", "aa|a", "b|aa|a|b"])
