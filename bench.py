@@ -106,6 +106,7 @@ HEADLINE = [
     # counts + lazy broadcast merge rounds, all-Catalyst fold)
     "hybrid_search_rrf",
     "bpe_merge_rounds",
+    "bpe_encode_stats",
 ]
 
 

@@ -301,6 +301,9 @@ def bpe_apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
     the next symbol is ``right_sym``, the tail is replaced by the
     concatenated symbol — exactly the sequential scan BPE specifies
     ("aaaa" under (a,a) becomes [aa, aa], never [aa, a, a]).
+
+    Every column of ``vocab`` other than ``syms`` passes through
+    unchanged (so a ``word`` key survives for the encode-side join).
     """
     merged_sym = F.concat(F.col("left_sym"), F.col("right_sym"))
     folded = F.aggregate(
@@ -313,8 +316,9 @@ def bpe_apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
             F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged_sym)),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+    carry = [c for c in vocab.columns if c != "syms"]
     return vocab.crossJoin(F.broadcast(best.select("left_sym", "right_sym"))).select(
-        folded.alias("syms"), "freq"
+        folded.alias("syms"), *carry
     )
 
 
@@ -351,3 +355,25 @@ def bpe_train(vocab: DataFrame, n_merges: int) -> DataFrame:
     for b in bests[1:]:
         out = out.unionAll(b)
     return out.orderBy("merge_round")
+
+
+def bpe_segment(vocab: DataFrame, n_merges: int) -> DataFrame:
+    """ENCODE side of BPE: the vocab after ``n_merges`` trained rounds.
+
+    Same round loop as :func:`bpe_train` but keeps the segmented vocab
+    (all non-``syms`` columns pass through) instead of the merge
+    table — the tokenizer-apply step. Per round: one pair-count
+    shuffle over |vocab| rows + a 1-row broadcast winner; lazy
+    throughout, intermediates persisted because round r+1's counts
+    re-read round r's vocab.
+    """
+    v = vocab
+    for _ in range(n_merges):
+        best = (
+            bpe_pair_counts(v)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .persist()
+        )
+        v = bpe_apply_merge(v, best).persist()
+    return v

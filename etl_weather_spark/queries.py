@@ -8542,12 +8542,14 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_round(n: int) -> str:
+def _bpe_oracle_round(n: int, carry: str = "") -> str:
     """One BPE round of the oracle: pairs -> best pair -> greedy merge.
 
     Mirrors the engine exactly: symbols ride a chr(31)-joined string,
     the merge is DuckDB's list_reduce twin of the Spark F.aggregate
     fold (replace-trailing-left-then-append, greedy left-to-right).
+    ``carry`` (e.g. ``", word"``) threads key columns through each
+    round for the encode-side join.
     """
     p = n - 1
     return f"""
@@ -8566,7 +8568,7 @@ v{n} AS (
            CASE WHEN (acc = b.left_sym OR ends_with(acc, chr(31) || b.left_sym))
                      AND x = b.right_sym
                 THEN left(acc, length(acc) - length(b.left_sym)) || b.left_sym || b.right_sym
-                ELSE acc || chr(31) || x END) AS ws, freq
+                ELSE acc || chr(31) || x END) AS ws, freq{carry}
   FROM v{p}, b{n} b
 )"""
 
@@ -8628,3 +8630,80 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     return bpe_train(vocab, 3)
+
+
+@query(
+    "bpe_encode_stats",
+    """
+WITH tok AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+),
+words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+v0 AS (
+  SELECT array_to_string(string_split(word, ''), chr(31)) AS ws, freq, word FROM words
+),"""
+    + ",".join(_bpe_oracle_round(i, carry=", word") for i in (1, 2, 3))
+    + """,
+seg AS (SELECT word, len(string_split(ws, chr(31))) AS n_pieces FROM v3)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       CAST((10000 * SUM(n_pieces)) // COUNT(*) AS BIGINT) AS pieces_per_word_1e4
+FROM tok JOIN seg USING (word)
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (the encode side of bpe_merge_rounds): the
+    3-round-trained segmentation is applied to every document, emitting
+    per-doc word/char/piece counts and the pieces-per-word compression
+    ratio (integer 1e4 fixed-point) — the "how many tokens does my
+    corpus cost under this tokenizer" accounting every training-budget
+    plan starts from.
+
+    Encoding runs on the VOCAB (operators/textops.bpe_segment — each
+    distinct word segmented once), then fans back to documents via a
+    word-keyed join: at 100 TB the token stream is huge but the vocab
+    join side is millions of rows — broadcast- or at worst
+    shuffle-joinable — so no per-token Python or per-token re-encode
+    ever happens. The oracle replays training AND encoding via the
+    DuckDB list_reduce twin.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+    from etl_weather_spark.operators.textops import bpe_segment
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .persist()
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("syms"), "freq", "word")
+        .persist()
+    )
+    seg = bpe_segment(vocab, 3).select("word", F.size("syms").alias("n_pieces"))
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            F.expr("(10000 * n_pieces) div n_words").alias("pieces_per_word_1e4"),
+        )
+        .orderBy("doc_id")
+    )

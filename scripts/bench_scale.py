@@ -68,6 +68,10 @@ OPS = [
     # tracks the vocab groupBy, not the token stream)
     "hybrid_search_rrf",
     "bpe_merge_rounds",
+    # encode side: the vocab segmentation is constant-ish but the
+    # doc-side join fans over the token stream — ratio should be
+    # linear in rows, nothing worse
+    "bpe_encode_stats",
 ]
 
 

@@ -208,3 +208,39 @@ def test_bpe_apply_merge_greedy_overlap(spark):
     )
     got = sorted("".join("|".join(r.syms)) for r in bpe_apply_merge(v, best).collect())
     assert got == sorted(["aa|aa", "aa|a", "b|aa|a|b"])
+
+
+def test_bpe_segment_matches_python_reference(spark):
+    """bpe_segment's final segmentation ≡ the pure-Python reference
+    after the same number of merges (word key carried through rounds)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.textops import bpe_segment
+
+    rng = random.Random(13)
+    vocab = {}
+    for w in ["aaaa", "abab", "banana", "x"] + [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+        for _ in range(40)
+    ]:
+        vocab[w] = vocab.get(w, 0) + rng.randint(1, 5)
+
+    # reference: re-run _py_bpe and keep the segmentations
+    segs = {w: list(w) for w in vocab}
+    for l, r, m, _c in _py_bpe(vocab, 4):
+        for w, syms in segs.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            segs[w] = out
+
+    vdf = spark.createDataFrame(
+        [(w, c) for w, c in vocab.items()], "word string, freq long"
+    ).select(F.split("word", "").alias("syms"), "freq", "word")
+    got = {r.word: list(r.syms) for r in bpe_segment(vdf, 4).collect()}
+    assert got == segs
