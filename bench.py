@@ -107,6 +107,8 @@ HEADLINE = [
     "hybrid_search_rrf",
     "bpe_merge_rounds",
     "bpe_encode_stats",
+    # perceptual image dedup: real PNG decode -> dHash -> Manku banding
+    "image_dhash_dedup",
 ]
 
 

@@ -811,3 +811,63 @@ def probe_media_meta(media: DataFrame, payload_col: str = "payload") -> DataFram
     return media.withColumns(
         {"png_meta": png_header_meta(p), "wav_meta": wav_header_meta(p)}
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sig_hi", T.LongType()),
+        T.StructField("sig_lo", T.LongType()),
+    ]
+)
+
+
+def dhash_bits(pixels, grid_w: int = 9, grid_h: int = 8):
+    """64-bit difference hash (dHash) of a decoded image, exact-integer:
+    channel-floor-mean to grayscale, block-floor-mean down to an
+    ``grid_h x grid_w`` grid (width/height must divide evenly — run
+    :func:`resize_box` first otherwise), then bit k = r*8+c set iff
+    grid[r][c] > grid[r][c+1]. Returns ``(sig_hi, sig_lo)`` as the two
+    unsigned 32-bit halves (band-join-ready for
+    operators/dedup.simhash_band_pairs). Every step is floor integer
+    arithmetic so a SQL oracle reproduces the hash bit-for-bit.
+    """
+    import numpy as np
+
+    h, w, c = pixels.shape
+    if h % grid_h or w % grid_w:
+        raise ValueError(f"dims {h}x{w} not divisible by grid {grid_h}x{grid_w}")
+    gray = pixels.astype(np.int64).sum(axis=2) // c
+    bh, bw = h // grid_h, w // grid_w
+    m = gray.reshape(grid_h, bh, grid_w, bw).sum(axis=(1, 3)) // (bh * bw)
+    bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).reshape(-1)  # k = r*8 + c
+    ks = np.arange(bits.size, dtype=np.int64)
+    sig_lo = int((bits[ks < 32] << ks[ks < 32]).sum())
+    sig_hi = int((bits[ks >= 32] << (ks[ks >= 32] - 32)).sum())
+    return sig_hi, sig_lo
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, sig_hi, sig_lo) — perceptual dHash per image, decode
+    and hash fused in ONE Arrow-batched ``mapInPandas`` pass (pixels
+    never leave the task that decoded them; only 2 longs per image
+    shuffle afterwards). Undecodable or non-grid-divisible rows are
+    dropped (per-row isolation, same contract as the stats extractors).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    hi, lo = dhash_bits(decode_png(bytes(payload)))
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    continue
+                rows.append({"media_id": mid, "sig_hi": hi, "sig_lo": lo})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=DHASH_SCHEMA)

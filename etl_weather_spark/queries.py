@@ -138,7 +138,10 @@ _PRIORITY = [
     # next_events (F5 — F family keeps daily_flags/global_summary/
     # split_part_types) out for the round-4 flagships:
     # hybrid_search_rrf (RRF fusion), bpe_merge_rounds (distributed
-    # BPE tokenizer training), media_decimate_stats (real WAV resample).
+    # BPE tokenizer training), media_decimate_stats (real WAV resample);
+    # regex_customer_ids (C12 — regex shapes stay via split_part_types
+    # and redact_terms) out for image_dhash_dedup (perceptual dHash
+    # near-dup pairs on the real PNG decode path).
     "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
     "recommendation_text", "minmax_norm",
     "rank_pct_diff", "hybrid_search_rrf", "asof_join",
@@ -159,7 +162,7 @@ _PRIORITY = [
     # every ORDER BY row covers lexicographic sorts) out for the Q21
     # semi/anti flagship and the unigram-LM quality scorer
     "waiting_suppliers_blame", "media_decimate_stats", "corpus_prep_funnel", "split_part_types",
-    "regex_customer_ids", "unigram_logprob_quality", "scd2_user_tiers",
+    "image_dhash_dedup", "unigram_logprob_quality", "scd2_user_tiers",
     "bpe_merge_rounds", "kll_rollup_value_quantiles",
     # round-2/3 flagships, wave 2: embedding-graph semantic dedup (label
     # block + the round-3 data-adaptive IVF-cell block), Bloom-screen
@@ -8706,4 +8709,90 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * n_pieces) div n_words").alias("pieces_per_word_1e4"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "image_dhash_dedup",
+    """
+WITH ids AS (SELECT doc_id AS did FROM documents ORDER BY doc_id LIMIT 48),
+px AS (
+  SELECT did, (did - did % 2) AS bid, t.i % 36 AS x, t.i // 36 AS y
+  FROM ids, LATERAL (SELECT UNNEST(generate_series(0, 575)) AS i) t
+),
+pv AS (
+  SELECT did, y // 2 AS gr, x // 4 AS gc,
+         ((bid * 31 + x * x * 7 + y * 13 + ((bid + x) % 7) * 29
+           + CASE WHEN (did % 2) = 1 AND (x + y) % 29 = 0 THEN 1 ELSE 0 END) % 251) AS p
+  FROM px
+),
+grid AS (SELECT did, gr, gc, SUM(p) // 8 AS m FROM pv GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.did, a.gr * 8 + a.gc AS k,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b ON a.did = b.did AND a.gr = b.gr AND b.gc = a.gc + 1
+  WHERE a.gc < 8
+),
+sig AS (
+  SELECT did,
+         CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS sig_hi,
+         CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS sig_lo
+  FROM bits GROUP BY did
+)
+SELECT x.did AS id_a, y.did AS id_b,
+       CAST(bit_count(xor(x.sig_hi, y.sig_hi)) + bit_count(xor(x.sig_lo, y.sig_lo)) AS INT) AS hamming
+FROM sig x JOIN sig y ON x.did < y.did
+WHERE bit_count(xor(x.sig_hi, y.sig_hi)) + bit_count(xor(x.sig_lo, y.sig_lo)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup end-to-end on the REAL codec path: 48
+    deterministic gray PNGs (even/odd doc pairs are planted near-dups —
+    the odd twin adds +1 to a sparse pixel lattice), each decoded and
+    dHash'd (operators/multimodal.image_dhash: zlib inflate → unfilter
+    → channel/block floor-means → 64 gradient-sign bits) in ONE Arrow
+    pass, then near-dup pairs via the SAME Manku pigeonhole banding
+    equi-join the text simhash uses (operators/dedup.simhash_band_pairs
+    — hamming ≤ 3 ⇒ ≥ 1 identical 16-bit band, zero recall loss).
+
+    The oracle regenerates the pixel formula in SQL, rebuilds the hash
+    bit-for-bit (every step is floor integer arithmetic), and
+    brute-forces ALL pairs — so it independently re-proves the banding
+    join's recall guarantee, not just the hash.
+
+    Scale: pixels never leave the decoding task (2 longs per image
+    shuffle); the pair join is band-bucketed, never all-pairs. This is
+    the image-side twin of text near-dup dedup in a multimodal
+    training pipeline.
+    """
+    import numpy as np
+
+    from etl_weather_spark.operators.dedup import simhash_band_pairs
+    from etl_weather_spark.operators.multimodal import encode_png, image_dhash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(48)
+
+    W, H = 36, 16
+
+    def synth(batches):
+        import pandas as pd
+
+        x = np.arange(W)[None, :]
+        y = np.arange(H)[:, None]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bid = did - did % 2
+                p = (bid * 31 + x * x * 7 + y * 13 + ((bid + x) % 7) * 29) % 251
+                if did % 2 == 1:
+                    p = (p + (((x + y) % 29) == 0)) % 251
+                rows.append({"media_id": did, "payload": encode_png(p.astype(np.uint8))})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return (
+        simhash_band_pairs(image_dhash(media), id_col="media_id", max_hamming=3)
+        .orderBy("id_a", "id_b")
     )

@@ -530,7 +530,7 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         # SYNTHESIZES payloads in pandas but the probe itself is pure
         # Catalyst (asserted in test_binary_files.py's plan check)
         "media_pixel_stats", "media_wav_stats", "png_meta_probe",
-        "media_resize_stats", "media_decimate_stats",
+        "media_resize_stats", "media_decimate_stats", "image_dhash_dedup",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():

@@ -475,3 +475,57 @@ def test_arrow_and_pandas_feature_paths_agree(spark):
         assert via_pandas[k].n_bytes == via_arrow[k].n_bytes
         assert via_pandas[k].content_sha == via_arrow[k].content_sha
         assert via_pandas[k].feature == via_arrow[k].feature
+
+
+def test_dhash_bits_matches_naive_loop():
+    """dhash_bits ≡ an independent per-block double loop (grayscale
+    floor mean, block floor mean, gradient-sign bits, 32-bit halves)."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import dhash_bits
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(16, 36, 3), dtype=np.uint8)
+    hi, lo = dhash_bits(px)
+
+    gray = [[sum(int(px[y, x, ch]) for ch in range(3)) // 3 for x in range(36)] for y in range(16)]
+    m = [
+        [
+            sum(gray[r * 2 + dy][c * 4 + dx] for dy in range(2) for dx in range(4)) // 8
+            for c in range(9)
+        ]
+        for r in range(8)
+    ]
+    ehi = elo = 0
+    for r in range(8):
+        for c in range(8):
+            k = r * 8 + c
+            bit = 1 if m[r][c] > m[r][c + 1] else 0
+            if k < 32:
+                elo |= bit << k
+            else:
+                ehi |= bit << (k - 32)
+    assert (hi, lo) == (ehi, elo)
+
+
+def test_dhash_invariants():
+    """Identical images hash equal; a +1 sparse-lattice twin stays
+    within small hamming; non-divisible dims raise."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import dhash_bits
+
+    x = np.arange(36)[None, :]
+    y = np.arange(16)[:, None]
+    base = ((x * x * 7 + y * 13) % 251).astype(np.uint8)[:, :, None]
+    twin = ((x * x * 7 + y * 13 + (((x + y) % 29) == 0)) % 251).astype(np.uint8)[:, :, None]
+    h1 = dhash_bits(base)
+    assert dhash_bits(base.copy()) == h1
+    h2 = dhash_bits(twin)
+    ham = bin((h1[0] ^ h2[0])).count("1") + bin((h1[1] ^ h2[1])).count("1")
+    assert ham <= 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dhash_bits(np.zeros((15, 36, 1), dtype=np.uint8))
