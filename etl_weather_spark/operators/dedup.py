@@ -504,11 +504,107 @@ def simhash64_portable(
     return per_doc.select(F.col(id_col), hi.alias("sig_hi"), lo.alias("sig_lo"))
 
 
+def simhash_band_candidates(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hot_band_cap: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from 16-bit pigeonhole banding,
+    with an optional RECALL-LOSSLESS hot-band refinement.
+
+    Plain path: equi-join docs on (band_index, band_value); any pair
+    within hamming ≤ 3 shares at least one of the 4 bands (pigeonhole).
+
+    ``hot_band_cap``: a band value shared by f docs expands to f²/2
+    candidate rows. For true near-dup clusters that expansion IS the
+    answer, but an adversarial corpus (shared boilerplate dominating
+    one band while documents differ everywhere else) concentrates one
+    bucket with ~0 surviving pairs. Buckets with f > hot_band_cap are
+    therefore re-banded instead of pair-expanded: their members agree
+    on band b already, so a qualifying pair's ≤ 3 differing bits all
+    lie in the OTHER 48 bits — split those into 4 disjoint 12-bit
+    sub-bands and by the same pigeonhole at least one sub-band is
+    identical. The hot bucket's expansion becomes an equi-join on
+    (b, v, sub_band, sub_value): boilerplate-only agreement scatters
+    across 2¹² sub-values and collapses, while every true ≤ 3-hamming
+    pair is still found — zero recall loss, proven against the
+    brute-force oracle in tests. (Still-hot SUB-buckets are docs
+    agreeing on 28+ bits — either genuine dup clusters, where the
+    quadratic output is the answer, or a deeper adversarial regime
+    Manku et al. handle with more tables; one refinement level matches
+    their finite table budget.)
+    """
+    v_exprs = [
+        F.expr("shiftright(sig_lo, 0) & 65535").cast("long").alias("v0"),
+        F.expr("shiftright(sig_lo, 16) & 65535").cast("long").alias("v1"),
+        F.expr("shiftright(sig_hi, 0) & 65535").cast("long").alias("v2"),
+        F.expr("shiftright(sig_hi, 16) & 65535").cast("long").alias("v3"),
+    ]
+    band_structs = [
+        F.struct(F.lit(b).alias("b"), F.col(f"v{b}").alias("v")) for b in range(4)
+    ]
+    bands = sigs.select(F.col(id_col), *v_exprs).select(
+        F.col(id_col),
+        "v0",
+        "v1",
+        "v2",
+        "v3",
+        F.explode(F.array(*band_structs)).alias("bv"),
+    ).select(F.col(id_col), "v0", "v1", "v2", "v3", "bv.b", "bv.v")
+
+    def pair_join(rows: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            rows.alias("x")
+            .join(rows.alias("y"), keys)
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
+        )
+
+    if hot_band_cap is None:
+        cand = pair_join(bands.select(id_col, "b", "v"), ["b", "v"])
+    else:
+        from pyspark.sql.window import Window
+
+        freq = F.count(F.lit(1)).over(Window.partitionBy("b", "v"))
+        sized = bands.withColumn("f", freq)
+        cold = sized.filter(F.col("f") <= hot_band_cap).select(id_col, "b", "v")
+        # pack the three non-hot 16-bit bands into one 48-bit value,
+        # then slice it into 4 disjoint 12-bit sub-bands
+        rem = F.expr(
+            "CASE b WHEN 0 THEN v1 | shiftleft(v2, 16) | shiftleft(v3, 32) "
+            "WHEN 1 THEN v0 | shiftleft(v2, 16) | shiftleft(v3, 32) "
+            "WHEN 2 THEN v0 | shiftleft(v1, 16) | shiftleft(v3, 32) "
+            "ELSE v0 | shiftleft(v1, 16) | shiftleft(v2, 32) END"
+        )
+        sub_structs = [
+            F.struct(
+                F.lit(j).alias("sb"),
+                F.expr(f"shiftright(__rem, {12 * j}) & 4095").alias("sv"),
+            )
+            for j in range(4)
+        ]
+        hot = (
+            sized.filter(F.col("f") > hot_band_cap)
+            .withColumn("__rem", rem)
+            .select(F.col(id_col), "b", "v", F.explode(F.array(*sub_structs)).alias("s"))
+            .select(F.col(id_col), "b", "v", "s.sb", "s.sv")
+        )
+        cand = pair_join(cold, ["b", "v"]).unionByName(
+            pair_join(hot, ["b", "v", "sb", "sv"])
+        )
+    return cand.distinct()
+
+
 def simhash_band_pairs(
     sigs: DataFrame,
     *,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup PAIRS via pigeonhole banding (Manku, Jain &
     Sarma, "Detecting Near-Duplicates for Web Crawling", WWW 2007 —
@@ -524,38 +620,17 @@ def simhash_band_pairs(
     shape). Output: (id_a, id_b, hamming), id_a < id_b.
 
     Scale: the candidate join is an equi-join on a 16-bit band key —
-    shuffle-native, no similarity scan. A band value shared by f docs
-    expands to f²/2 candidate rows: near-dup clusters make that
-    expansion the ANSWER, but an adversarial corpus (boilerplate docs
-    with near-identical signatures) concentrates one bucket; Manku et
-    al. handle that regime with more/wider tables — here, cap or
-    pre-aggregate the hot band the same way winnow_candidates caps
-    posting lists if it bites.
+    shuffle-native, no similarity scan. ``hot_band_cap`` bounds the
+    adversarial boilerplate regime by recall-losslessly re-banding hot
+    buckets (see :func:`simhash_band_candidates`).
     """
-    band_structs = []
-    for b in range(4):
-        half = "sig_lo" if b < 2 else "sig_hi"
-        shift = 16 * (b % 2)
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("b"),
-                F.expr(f"shiftright({half}, {shift}) & 65535").alias("v"),
-            )
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4-band pigeonhole guarantee "
+            "only holds for 0 <= max_hamming <= 3 (4+ differing bits can "
+            "touch every band); use wider banding, not a larger threshold"
         )
-    bands = (
-        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bv"))
-        .select(F.col(id_col), F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
-    )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["b", "v"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    cand = simhash_band_candidates(sigs, id_col=id_col, hot_band_cap=hot_band_cap)
     s_a = sigs.select(
         F.col(id_col).alias("id_a"),
         F.col("sig_hi").alias("hi_a"),
@@ -1226,17 +1301,20 @@ def cc_large_small_star(
     propagation needs O(diameter) rounds (asserted in
     tests/test_dedup.py::test_large_small_star_round_count_on_chain).
 
-    ``stats``, when passed, receives ``{"rounds": <int>}`` for tests
-    and bench instrumentation.
+    ``stats``, when passed, receives ``{"rounds": <int>, "converged":
+    <bool>}`` for tests and bench instrumentation; a non-converged run
+    (max_iter hit before the fixpoint) also emits a RuntimeWarning.
 
     Returns (node, cluster_id) with cluster_id = min node id of the
     component — identical fixpoint to the driver union-find path.
     """
+    # single consumer (the final left join) — no persist: a cached copy
+    # would either be dropped before the caller materializes the result
+    # or leak past it.
     nodes = (
         pairs.select(F.col(id_a).alias("node"))
         .unionByName(pairs.select(F.col(id_b).alias("node")))
         .distinct()
-        .persist()
     )
     # canonical orientation src > dst; drop self loops
     edges = (
@@ -1250,6 +1328,7 @@ def cc_large_small_star(
     )
     sig_prev = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # -- large-star: doubled edge list, group under every endpoint
@@ -1288,10 +1367,27 @@ def cc_large_small_star(
         )
         edges = new_edges
         if sig == sig_prev:
+            converged = True
             break
         sig_prev = sig
+    if not converged:
+        # a truncated run can silently return non-minimum cluster ids
+        # (groupBy-min over a non-star edge set need not be the
+        # component minimum) — surface it instead of letting callers
+        # treat the output as exact.
+        import warnings
+
+        warnings.warn(
+            f"cc_large_small_star stopped at max_iter={max_iter} without "
+            "reaching the signature fixpoint; cluster ids may not be "
+            "component minima (rounds needed are O(log^2 n) — raise "
+            "max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     # at the fixpoint each src has exactly one dst (its component min);
     # min() guards the max_iter-truncated case
     star = edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))

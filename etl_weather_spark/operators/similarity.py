@@ -627,6 +627,14 @@ def cosine_topk_pq(
     short = shortlist_for(chunks[0])
     for chunk_rows in chunks[1:]:
         short = short.unionByName(shortlist_for(chunk_rows))
+    if multi_chunk:
+        # materialize the unioned shortlist (≤ Q × shortlist narrow
+        # rows): truncates the ceil(Q/chunk)-branch union plan AND lets
+        # the code-table cache be released here — nothing downstream
+        # reads the codes again, so the persist cannot leak past the
+        # operator.
+        short = short.localCheckpoint(eager=True)
+        codes.unpersist()
 
     # exact re-rank: full vectors only for shortlist ids × queries
     c_full = corpus.select(

@@ -322,58 +322,199 @@ def bpe_apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(vocab: DataFrame, n_merges: int) -> DataFrame:
+def _bpe_fold_literal(syms: Column, left: str, right: str) -> Column:
+    """One greedy left-to-right merge of a LITERAL (left, right) pair.
+
+    Same ``F.aggregate`` fold as :func:`bpe_apply_merge` but the winning
+    pair is a driver-side string (the batched trainer already collected
+    it), so no broadcast cross join is needed — the merge is a plain
+    projection expression, chainable ``batch``-deep in one select.
+    """
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _bpe_safe_batch(
+    pool: list, cap: int, alphabet: set[str], *, pool_complete: bool = False
+) -> list[tuple[str, str, int]]:
+    """Select a batch of merges provably identical to running them as
+    sequential classic-BPE rounds.
+
+    ``pool`` is the ranked (count desc, left, right) head of the pair
+    table. The batch is the maximal ranked PREFIX (no skips — skipping
+    would let a skipped pair outrank a later batch member mid-sequence)
+    such that:
+
+    1. pairs are pairwise non-interacting — symbol sets
+       {left, right, left+right} are disjoint, so no batch merge can
+       change another batch pair's count;
+    2. no merged string is an existing symbol (``alphabet`` is a
+       conservative superset of the live symbol set) — otherwise the
+       merge could INCREASE a pre-existing pair's count (e.g. merging
+       (a,b) when "ab" already exists grows (ab,c) by up to count(b,c)),
+       breaking the dominance bound below;
+    3. every accepted count beats every possible outsider at its
+       sequential round. Any pair outside the batch — untouched,
+       decremented, or newly created — stays ≤ the boundary count (the
+       count at the first excluded rank) at every intermediate round:
+       each occurrence of a new pair maps injectively to an original
+       adjacency containing a batch symbol, which is excluded and so
+       ranks at or below the boundary. Accepted counts strictly above
+       the boundary are therefore always safe. Accepted counts EQUAL to
+       the boundary (the "tie tail") are safe too when (a) excluded
+       existing rows at that count cannot win — automatic, because pool
+       rank order at equal count IS the sequential lexicographic
+       tie-break, so every accepted tie pair lex-precedes every excluded
+       tie row — and (b) no NEW pair can reach the boundary count, i.e.
+       no pool row at exactly the boundary count interacts with an
+       accepted pair (new-pair count ≤ its source adjacency's count, and
+       sources always contain an accepted symbol) and the pool was not
+       truncated mid-tie (unknown rows below could be such sources).
+
+    Rank-0 alone is always exact (it IS classic BPE's next merge), so
+    the fallback when the guards strip everything is a 1-pair batch.
+    """
+    top = (pool[0].left_sym, pool[0].right_sym, pool[0].pair_count)
+    if top[0] + top[1] in alphabet:
+        return [top]
+    accepted = [top]
+    used = {top[0], top[1], top[0] + top[1]}
+    boundary = None
+    stop_idx = len(pool)
+    for i, row in enumerate(pool[1:], start=1):
+        l, r, c = row.left_sym, row.right_sym, row.pair_count
+        m = l + r
+        if len(accepted) >= cap or ({l, r, m} & used) or (m in alphabet):
+            boundary = c
+            stop_idx = i
+            break
+        accepted.append((l, r, c))
+        used |= {l, r, m}
+    if boundary is None:
+        # prefix exhausted the pool. If the pool was truncated by the
+        # LIMIT there are unknown ranks below it, each ≤ the last pool
+        # count — use that as the boundary; if the pool IS the whole
+        # pair table, nothing ranks below and the guard is vacuous.
+        boundary = 0 if pool_complete else pool[-1].pair_count
+    if any(t[2] == boundary for t in accepted):
+        truncated_mid_tie = (not pool_complete) and pool[-1].pair_count == boundary
+        tie_source_interacts = any(
+            r.pair_count == boundary
+            and ({r.left_sym, r.right_sym, r.left_sym + r.right_sym} & used)
+            for r in pool[stop_idx:]
+        )
+        if truncated_mid_tie or tie_source_interacts:
+            accepted = [t for t in accepted if t[2] > boundary]
+    return accepted or [top]
+
+
+def _bpe_rounds(
+    vocab: DataFrame,
+    n_merges: int,
+    *,
+    batch_cap: int = 16,
+    pool_size: int = 96,
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Shared batched BPE round loop: (merge table rows, final vocab).
+
+    Production shape (the 32k-merge regime a real tokenizer needs):
+
+    - **one Spark job per ROUND, not per merge** — each round collects a
+      bounded ``pool_size``-row head of the pair counts (the only
+      driver-side transfer, ≤ pool_size rows), picks up to ``batch_cap``
+      merges via :func:`_bpe_safe_batch` (exactly equivalent to that
+      many sequential rounds), and applies them as chained literal folds
+      in a single projection;
+    - **flat lineage** — every ``checkpoint_every`` rounds the vocab is
+      ``localCheckpoint``-ed (the CC operator's pattern,
+      dedup.py cc_large_small_star), so plan depth is bounded by
+      checkpoint_every × batch_cap regardless of total merges and no
+      persist chain accumulates (checkpointed RDDs are dropped by the
+      ContextCleaner once unreferenced).
+    """
+    v = vocab
+    # conservative superset of the live symbol alphabet, maintained
+    # driver-side: seeded once (alphabet-sized collect), grown by each
+    # merge; extinct symbols are kept — only makes guard 2 stricter.
+    alphabet = {
+        r.s for r in v.select(F.explode("syms").alias("s")).distinct().collect()
+    }
+    merges: list[tuple[int, str, str, str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        pool = (
+            bpe_pair_counts(v)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(pool_size)
+            .collect()
+        )
+        if not pool:
+            break
+        batch = _bpe_safe_batch(
+            pool,
+            min(batch_cap, n_merges - len(merges)),
+            alphabet,
+            pool_complete=len(pool) < pool_size,
+        )
+        syms = F.col("syms")
+        for left, right, count in batch:
+            merges.append((len(merges) + 1, left, right, left + right, count))
+            alphabet.add(left + right)
+            syms = _bpe_fold_literal(syms, left, right)
+        carry = [c for c in v.columns if c != "syms"]
+        v = v.select(syms.alias("syms"), *carry)
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            # lazy: the NEXT round's pair-count job materializes the
+            # checkpoint as a side effect — one Spark job per round
+            # total, while still truncating lineage.
+            v = v.localCheckpoint(eager=False)
+    return merges, v
+
+
+def bpe_train(vocab: DataFrame, n_merges: int, **round_opts) -> DataFrame:
     """``n_merges`` BPE rounds: (merge_round, left_sym, right_sym,
     merged, pair_count) — the merge-table artifact of tokenizer
     training. Classic BPE runs on the VOCAB (distinct word, freq), not
-    the token stream, so each round is one pair-count shuffle over
-    |vocab| rows plus a 1-row broadcast of the winner; intermediate
-    vocabs are persisted because round r+1's counts and the round-r
-    output row both read them.
+    the token stream; the batched round loop (:func:`_bpe_rounds`) keeps
+    it one job per ~``batch_cap`` merges with checkpoint-bounded plan
+    depth, and is proven merge-for-merge identical to sequential BPE
+    (tie-breaks: count desc, then lexicographic).
+
+    The returned merge table is driver-built (it is the tokenizer
+    artifact itself — vocab-budget-sized, ≤ n_merges rows, never
+    data-sized).
     """
-    bests = []
-    v = vocab
-    for r in range(1, n_merges + 1):
-        best = (
-            bpe_pair_counts(v)
-            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-            .limit(1)
-            .persist()
+    merges, _ = _bpe_rounds(vocab, n_merges, **round_opts)
+    return (
+        vocab.sparkSession.createDataFrame(
+            merges,
+            "merge_round int, left_sym string, right_sym string, "
+            "merged string, pair_count long",
         )
-        bests.append(
-            best.select(
-                F.lit(r).alias("merge_round"),
-                "left_sym",
-                "right_sym",
-                F.concat("left_sym", "right_sym").alias("merged"),
-                "pair_count",
-            )
-        )
-        if r < n_merges:
-            v = bpe_apply_merge(v, best).persist()
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out.orderBy("merge_round")
+        .coalesce(1)
+        .orderBy("merge_round")
+    )
 
 
-def bpe_segment(vocab: DataFrame, n_merges: int) -> DataFrame:
+def bpe_segment(vocab: DataFrame, n_merges: int, **round_opts) -> DataFrame:
     """ENCODE side of BPE: the vocab after ``n_merges`` trained rounds.
 
-    Same round loop as :func:`bpe_train` but keeps the segmented vocab
-    (all non-``syms`` columns pass through) instead of the merge
-    table — the tokenizer-apply step. Per round: one pair-count
-    shuffle over |vocab| rows + a 1-row broadcast winner; lazy
-    throughout, intermediates persisted because round r+1's counts
-    re-read round r's vocab.
+    Same batched round loop as :func:`bpe_train` but keeps the segmented
+    vocab (all non-``syms`` columns pass through) instead of the merge
+    table — the tokenizer-apply step. The result is localCheckpoint-ed
+    (vocab-sized, eager) so the returned plan is flat and callers may
+    unpersist the input vocab immediately.
     """
-    v = vocab
-    for _ in range(n_merges):
-        best = (
-            bpe_pair_counts(v)
-            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-            .limit(1)
-            .persist()
-        )
-        v = bpe_apply_merge(v, best).persist()
-    return v
+    _, v = _bpe_rounds(vocab, n_merges, **round_opts)
+    return v.localCheckpoint(eager=True)

@@ -1343,8 +1343,10 @@ def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SQL recomputation.
 
     Scale: band equi-join shuffles 16-bit keys, never signatures ×
-    signatures; see operators/dedup.simhash_band_pairs for the
-    hot-bucket regime discussion.
+    signatures; hot_band_cap re-bands any boilerplate-dominated bucket
+    recall-losslessly (operators/dedup.simhash_band_candidates), so the
+    capped path exercised here returns the identical pair set with a
+    bounded candidate expansion.
     """
     from etl_weather_spark.operators.dedup import (
         simhash64_portable,
@@ -1353,7 +1355,7 @@ def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sigs = simhash64_portable(docs).localCheckpoint(eager=False)
-    return simhash_band_pairs(sigs).orderBy("id_a", "id_b")
+    return simhash_band_pairs(sigs, hot_band_cap=64).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -8496,7 +8498,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan for the IVF/PQ shortlist — the fusion is unchanged.
     """
     from etl_weather_spark.operators.dedup import tokens
-    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+    from etl_weather_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        topk_per_group,
+    )
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
@@ -8510,17 +8515,20 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("total_tf"))
     )
-    # matched-posting set is small (rare-term docs), so a single
-    # window is safe here; the dense leg below carries the salted
-    # two-level top-k that matters at scale
-    kwr = (
-        kw.withColumn(
-            "rank_kw",
-            F.row_number().over(Window.orderBy(F.desc("total_tf"), "doc_id")),
-        )
-        .filter(F.col("rank_kw") <= 30)
-        .select("doc_id", "rank_kw")
-    )
+    # the keyword top-30 goes through the same salted two-level top-k
+    # as the dense leg (a constant group key makes the global ranking a
+    # one-group case of topk_per_group): for THIS query's 3 rare terms
+    # a single window would work, but this function is the template for
+    # broad-vocabulary keyword legs where Window.orderBy over all
+    # matching docs is a single-reducer sort.
+    kwr = topk_per_group(
+        kw.withColumn("__g", F.lit(0)),
+        group_col="__g",
+        k=30,
+        sim_col="total_tf",
+        tie_col="doc_id",
+        rank_col="rank_kw",
+    ).select("doc_id", "rank_kw")
 
     qvec = emb.orderBy("vec_id").limit(1)
     vr = (
@@ -8614,11 +8622,14 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: classic BPE runs on the VOCAB (distinct word, freq), not
     the token stream — the explode-heavy stage is the one vocab
-    groupBy; each round is then a pair-count shuffle over |vocab|
-    rows plus a 1-row broadcast of the winning pair (the plan stays
-    lazy: no collect between rounds). Round count is the vocab-size
-    budget (here 3 for the oracle; 32k in production) — each round's
-    cost shrinks as merges shorten words.
+    groupBy; each round is then one pair-count shuffle over |vocab|
+    rows plus a bounded (≤ pool_size-row) head collect from which the
+    batched trainer (operators/textops._bpe_rounds) picks up to
+    batch_cap provably-sequential-equivalent merges, applied as
+    literal Catalyst folds in a single projection. Lineage is
+    localCheckpoint-truncated every few rounds, so at the 32k merges a
+    production tokenizer needs, job count is ~32k/batch_cap and plan
+    depth stays O(checkpoint_every x batch_cap) — never 32k deep.
     """
     from etl_weather_spark.operators.dedup import tokens
     from etl_weather_spark.operators.textops import bpe_train
@@ -8632,7 +8643,11 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.split("word", "").alias("syms"), "freq")
         .persist()
     )
-    return bpe_train(vocab, 3)
+    out = bpe_train(vocab, 3)
+    # training is eager (batched rounds collect their pair-count heads),
+    # so the per-round cache can be dropped before returning.
+    vocab.unpersist()
+    return out
 
 
 @query(
@@ -8693,6 +8708,9 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     seg = bpe_segment(vocab, 3).select("word", F.size("syms").alias("n_pieces"))
+    # bpe_segment returns a checkpointed (flat, materialized) frame, so
+    # the round-loop cache of the input vocab can be dropped here.
+    vocab.unpersist()
     return (
         tok.join(F.broadcast(seg), "word")
         .groupBy("doc_id")
@@ -8793,6 +8811,8 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="media_id long, payload binary")
     return (
-        simhash_band_pairs(image_dhash(media), id_col="media_id", max_hamming=3)
+        simhash_band_pairs(
+            image_dhash(media), id_col="media_id", max_hamming=3, hot_band_cap=64
+        )
         .orderBy("id_a", "id_b")
     )

@@ -285,6 +285,75 @@ def test_simhash_band_pairs_pigeonhole(spark):
     assert all(h <= 3 for h in got.values())
 
 
+def test_simhash_max_hamming_validation(spark):
+    """The 4-band pigeonhole only guarantees recall for hamming <= 3;
+    a larger threshold must raise, not silently lose pairs."""
+    import pytest
+
+    from etl_weather_spark.operators.dedup import simhash_band_pairs
+
+    sigs = spark.createDataFrame([(1, 0, 0)], "doc_id long, sig_hi long, sig_lo long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_band_pairs(sigs, max_hamming=4)
+
+
+def test_simhash_hot_band_cap_recall_lossless_and_bounded(spark):
+    """Adversarial boilerplate corpus: every doc shares band 0 (one hot
+    bucket) but differs randomly in the other 48 bits. The hot-band
+    refinement must (a) keep recall EXACTLY equal to the brute-force
+    hamming oracle — including planted pairs whose ONLY shared band is
+    the hot one — and (b) collapse the f²/2 candidate expansion."""
+    import random
+
+    from etl_weather_spark.operators.dedup import (
+        simhash_band_candidates,
+        simhash_band_pairs,
+    )
+
+    rng = random.Random(99)
+    shared_band0 = 0xBEEF  # low 16 bits of sig_lo, identical everywhere
+    rows = []
+    for i in range(120):
+        upper48 = rng.getrandbits(48)
+        sig = (upper48 << 16) | shared_band0
+        rows.append((i, sig >> 32, sig & 0xFFFFFFFF))
+    # planted near-dups: flip ONE bit in each of bands 1, 2, 3 — the
+    # pair's only shared band is the hot band 0, so finding it requires
+    # the sub-band path, not a lucky cold band.
+    for i, base_id in enumerate([0, 7, 33]):
+        hi, lo = rows[base_id][1], rows[base_id][2]
+        sig = (hi << 32) | lo
+        sig ^= (1 << (16 + 5 * i)) ^ (1 << (32 + 3 * i)) ^ (1 << (48 + 7 * i))
+        rows.append((1000 + i, sig >> 32, sig & 0xFFFFFFFF))
+    sigs = spark.createDataFrame(rows, "doc_id long, sig_hi long, sig_lo long")
+
+    def brute(rows):
+        out = set()
+        for a in range(len(rows)):
+            for b in range(a + 1, len(rows)):
+                ia, ha, la = rows[a]
+                ib, hb, lb = rows[b]
+                d = bin(((ha << 32) | la) ^ ((hb << 32) | lb)).count("1")
+                if d <= 3:
+                    out.add((min(ia, ib), max(ia, ib)))
+        return out
+
+    expected = brute(rows)
+    assert len(expected) >= 3  # the planted pairs are in play
+    capped = {
+        (r.id_a, r.id_b)
+        for r in simhash_band_pairs(sigs, hot_band_cap=10).collect()
+    }
+    uncapped = {(r.id_a, r.id_b) for r in simhash_band_pairs(sigs).collect()}
+    assert capped == expected == uncapped
+    # candidate bound: the uncapped hot bucket expands ~f²/2; the capped
+    # path scatters boilerplate agreement across 2^12 sub-values
+    n_uncapped = simhash_band_candidates(sigs).count()
+    n_capped = simhash_band_candidates(sigs, hot_band_cap=10).count()
+    assert n_uncapped >= (120 * 119) // 2
+    assert n_capped < n_uncapped // 10, (n_capped, n_uncapped)
+
+
 def test_widen_narrow_input_fans_out_and_preserves_rows(spark):
     from etl_weather_spark.operators.dedup import widen_narrow_input
 

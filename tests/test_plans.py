@@ -586,6 +586,24 @@ def test_per_query_topk_is_two_level(spark, sf_dir):
         assert "__salt" in plan, (fn.__name__, plan)
 
 
+def test_hybrid_rrf_keyword_leg_is_two_level(spark, sf_dir):
+    # VERDICT r4 #5: the keyword leg is the template users copy for
+    # broad-vocabulary retrieval — its top-30 must ride the salted
+    # two-level topk_per_group (pre-rank keyed by __salt), never a
+    # global single-partition Window.orderBy over all matching docs.
+    plan = formatted_plan(q.hybrid_search_rrf(spark, sf_dir))
+    # level 1: the tf ranking shuffles on the 32-way salt key with a
+    # map-side partial WindowGroupLimit (top-30 per bucket before the
+    # exchange), so no reducer ever sorts more than its salt share
+    assert "hashpartitioning(__salt" in plan, plan
+    assert "windowspecdefinition(__salt" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    # level 2: the only remaining global window consumes the bounded
+    # (__pr <= 30)-filtered survivors (≤ n_salt × 30 rows), never the
+    # full matching-doc set
+    assert "__pr" in plan, plan
+
+
 def test_topk_two_level_equals_single_window(spark, sf_dir):
     # bit-identity of the salted two-level top-k with the naive
     # single-window plan (same total order both levels)

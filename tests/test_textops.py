@@ -210,6 +210,73 @@ def test_bpe_apply_merge_greedy_overlap(spark):
     assert got == sorted(["aa|aa", "aa|a", "b|aa|a|b"])
 
 
+def test_bpe_batched_matches_sequential_reference_deep(spark):
+    """The batched trainer (_bpe_safe_batch: disjoint ranked prefix +
+    fresh-merged-string guard + boundary/tie dominance) is merge-for-
+    merge identical to sequential classic BPE, stressed DEEP: 40-merge
+    runs, tiny pools (forcing pool-truncation paths), small alphabets
+    (forcing count ties and merged-string/alphabet collisions)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.textops import bpe_train
+
+    for seed, chars, n in [(0, "abc", 40), (1, "abcde", 40), (5, "abc", 25)]:
+        rng = random.Random(seed)
+        vocab: dict[str, int] = {}
+        for _ in range(rng.randint(30, 80)):
+            w = "".join(rng.choice(chars) for _ in range(rng.randint(1, 9)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 6)
+        vdf = spark.createDataFrame(
+            list(vocab.items()), "word string, freq long"
+        ).select(F.split("word", "").alias("syms"), "freq")
+        got = [
+            (r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+            for r in bpe_train(
+                vdf, n, batch_cap=8, pool_size=12, checkpoint_every=3
+            ).collect()
+        ]
+        exp = [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(_py_bpe(vocab, n))]
+        assert got == exp, f"seed={seed}"
+
+
+def test_bpe_production_rounds_flat_lineage(spark):
+    """150 merges complete with CHECKPOINT-BOUNDED lineage: the final
+    vocab's optimized plan must be a handful of lines (a LogicalRDD
+    scan + the post-checkpoint projections), never merges-deep — the
+    property that makes 32k-merge production training viable. Driver
+    transfer per round is ≤ pool_size rows by construction."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.textops import _bpe_rounds
+
+    rng = random.Random(42)
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    vocab: dict[str, int] = {}
+    for _ in range(800):
+        w = "".join(rng.choice(chars) for _ in range(rng.randint(3, 12)))
+        vocab[w] = vocab.get(w, 0) + rng.randint(1, 50)
+    vdf = (
+        spark.createDataFrame(list(vocab.items()), "word string, freq long")
+        .select(F.split("word", "").alias("syms"), "freq")
+        .repartition(4)
+        .persist()
+    )
+    vdf.count()
+    merges, v = _bpe_rounds(
+        vdf, 150, batch_cap=32, pool_size=256, checkpoint_every=4
+    )
+    assert len(merges) == 150
+    assert [m[0] for m in merges] == list(range(1, 151))
+    plan = v._jdf.queryExecution().optimizedPlan().numberedTreeString()
+    depth = len(plan.splitlines())
+    assert depth <= 2 + 4, f"lineage not truncated: {depth} plan lines"
+    vdf.unpersist()
+
+
 def test_bpe_segment_matches_python_reference(spark):
     """bpe_segment's final segmentation ≡ the pure-Python reference
     after the same number of merges (word key carried through rounds)."""
