@@ -28,6 +28,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # activate the vendored protobuf fallback (and its PYTHONPATH
+    # export) BEFORE the JVM starts, so transformWithState's separately
+    # launched Python runner processes inherit it
+    from etl_weather_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

@@ -31,7 +31,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_weather_spark._vendor import ensure_protobuf
 from etl_weather_spark.functions.rounding import dsum, rnd
+
+# transformWithState's state protocol needs google.protobuf; activate
+# the vendored minimal runtime when the real package is absent. Runs at
+# module import so Spark workers that unpickle a processor class from
+# this module get the path bootstrap before the protocol client loads.
+ensure_protobuf()
 
 #: output schema of :func:`running_user_totals`
 RUNNING_TOTALS_SCHEMA = (
@@ -207,9 +214,12 @@ def ewma_anomalies(
 
     Environment: requires the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``) and
-    ``google.protobuf`` (the TWS state protocol) — absent in this
-    container, so the end-to-end test is skipif-gated; the processor
-    logic itself is unit-tested with a fake state handle.
+    ``google.protobuf`` (the TWS state protocol). When the real
+    protobuf package is absent, the vendored minimal runtime
+    (``etl_weather_spark/_vendor``) is activated by this module's
+    import — the end-to-end test runs against the real state store
+    either way; the processor logic is additionally unit-tested with a
+    fake state handle.
     """
     return (
         events.select("user_id", "ts", "value")

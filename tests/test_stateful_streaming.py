@@ -120,6 +120,9 @@ def test_dedup_stream_drops_repeats(spark, tmp_path):
 
 def _has_protobuf() -> bool:
     try:
+        from etl_weather_spark._vendor import ensure_protobuf
+
+        ensure_protobuf()  # activates the vendored runtime if needed
         from google.protobuf import descriptor  # noqa: F401
 
         return True
@@ -130,8 +133,8 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf (state "
-    "protocol); not installed in this container — operator is "
-    "API-complete, gate per environment policy",
+    "protocol); neither a real install nor the vendored minimal "
+    "runtime (etl_weather_spark/_vendor) could be activated",
 )
 def test_ewma_anomalies_across_batches(spark, tmp_path):
     from etl_weather_spark.streaming.stateful import ewma_anomalies
