@@ -610,6 +610,77 @@ def resize_box(pixels, factor: int = 2):
     return (block.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
 
 
+def resize_area(pixels, out_h: int, out_w: int):
+    """Exact area-weighted resize of an ``(h, w, c)`` uint8 pixel array
+    to an ARBITRARY ``(out_h, out_w)`` — the fractional-ratio conform
+    real pipelines need (fixed target resolutions are rarely integer
+    ratios of the source).
+
+    Semantics: output pixel (i, j) averages the source rectangle it
+    covers, weighting partially-overlapped source pixels by overlap
+    area. All arithmetic is integer-exact: per-axis overlap lengths are
+    computed on a grid refined ``out_h`` (resp. ``out_w``) times, so
+    the per-pixel weight total is exactly ``h*w`` and the result is
+    ``floor(Σ wr·wc·px / (h·w))`` — reproducible bit-for-bit by a SQL
+    oracle. Reduces to :func:`resize_box` (sans crop) when the ratio is
+    integer. Vectorized: two integer weight matrices + one einsum.
+    """
+    import numpy as np
+
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"target must be >= 1x1, got {out_h}x{out_w}")
+    h, w, _c = pixels.shape
+
+    def weights(n_in: int, n_out: int):
+        # (n_out, n_in) integer overlap of output cell i = [i*n_in,
+        # (i+1)*n_in) with source cell r = [r*n_out, (r+1)*n_out) on the
+        # n_in*n_out-fine grid; each row sums to exactly n_in
+        i = np.arange(n_out, dtype=np.int64)[:, None]
+        r = np.arange(n_in, dtype=np.int64)[None, :]
+        lo = np.maximum(i * n_in, r * n_out)
+        hi = np.minimum((i + 1) * n_in, (r + 1) * n_out)
+        return np.maximum(hi - lo, 0)
+
+    acc = np.einsum(
+        "ir,rsc,js->ijc",
+        weights(h, out_h),
+        pixels.astype(np.int64),
+        weights(w, out_w),
+    )
+    return (acc // (h * w)).astype(np.uint8)
+
+
+def resample_linear(samples, in_rate: int, out_rate: int):
+    """Exact linear-interpolation resample of an ``(n, c)`` int PCM
+    array from ``in_rate`` to ``out_rate`` Hz — the fractional-ratio
+    rate conform (44.1 kHz → 16 kHz is 160/441, never an integer
+    decimation).
+
+    Output frame k sits at source position ``k·in_rate/out_rate``
+    (exact rational, denominator ``out_rate``); its value is
+    ``floor((s[i]·(out_rate−frac) + s[i+1]·frac) / out_rate)`` with
+    floor-toward-−∞ division, the same oracle-stability contract as
+    :func:`decimate_frames`. Output length spans the full input:
+    ``(n−1)·out_rate//in_rate + 1`` frames.
+    """
+    import numpy as np
+
+    if in_rate < 1 or out_rate < 1:
+        raise ValueError(f"rates must be >= 1, got {in_rate}->{out_rate}")
+    n, c = samples.shape
+    if n == 0:
+        return np.zeros((0, c), dtype=np.int64)
+    out_n = (n - 1) * out_rate // in_rate + 1
+    k = np.arange(out_n, dtype=np.int64)
+    num = k * in_rate
+    i = num // out_rate
+    frac = num - i * out_rate
+    i2 = np.minimum(i + 1, n - 1)
+    s = samples.astype(np.int64)
+    val = s[i] * (out_rate - frac)[:, None] + s[i2] * frac[:, None]
+    return np.floor_divide(val, out_rate)
+
+
 RESIZE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -649,6 +720,47 @@ def resized_pixel_stats(media: DataFrame, factor: int = 2) -> DataFrame:
                 except Exception:  # noqa: BLE001 — per-row isolation
                     continue
                 out = resize_box(px, factor)
+                flat = out.reshape(-1).astype("int64")
+                if flat.size == 0:
+                    continue
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "out_width": out.shape[1],
+                        "out_height": out.shape[0],
+                        "channels": out.shape[2],
+                        "px_sum": int(flat.sum()),
+                        "px_sqsum": int((flat * flat).sum()),
+                        "px_min": int(flat.min()),
+                        "px_max": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in RESIZE_STATS_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_STATS_SCHEMA)
+
+
+def area_resized_pixel_stats(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Decode → :func:`resize_area` → exact-integer stats: the
+    fixed-target-resolution conform stage (fractional ratios included),
+    end-to-end on the real PNG codec. Same Arrow-batched per-row shape
+    and oracle-stability contract as :func:`resized_pixel_stats`.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    px = decode_png(bytes(payload))
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    continue
+                out = resize_area(px, out_h, out_w)
                 flat = out.reshape(-1).astype("int64")
                 if flat.size == 0:
                     continue
@@ -787,6 +899,48 @@ def decimated_audio_stats(media: DataFrame, factor: int = 2) -> DataFrame:
                         "out_frames": int(out.shape[0]),
                         "n_channels": int(out.shape[1]),
                         "out_rate": int(rate) // factor,
+                        "s_sum": int(flat.sum()),
+                        "s_sqsum": int((flat * flat).sum()),
+                        "s_min": int(flat.min()),
+                        "s_max": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in DECIMATE_STATS_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(run, schema=DECIMATE_STATS_SCHEMA)
+
+
+def resampled_audio_stats(media: DataFrame, out_rate: int) -> DataFrame:
+    """Decode → :func:`resample_linear` → exact-integer stats: the
+    conform-to-target-rate stage for FRACTIONAL ratios (every clip
+    lands on ``out_rate`` regardless of its native rate). Same
+    Arrow-batched per-row shape and oracle contract as
+    :func:`decimated_audio_stats`.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    continue
+                out = resample_linear(samples, int(rate), out_rate)
+                flat = out.reshape(-1)
+                if flat.size == 0:
+                    continue
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "out_frames": int(out.shape[0]),
+                        "n_channels": int(out.shape[1]),
+                        "out_rate": out_rate,
                         "s_sum": int(flat.sum()),
                         "s_sqsum": int((flat * flat).sum()),
                         "s_min": int(flat.min()),

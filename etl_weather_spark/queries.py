@@ -5986,6 +5986,195 @@ def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_area_resize_stats",
+    """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+dims AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM ids),
+rw AS (
+  SELECT d.doc_id, y2.y2, r.r,
+         LEAST((y2.y2 + 1) * d.h, (r.r + 1) * 7)
+         - GREATEST(y2.y2 * d.h, r.r * 7) AS wt
+  FROM dims d,
+       LATERAL (SELECT UNNEST(generate_series(0, 6)) AS y2) y2,
+       LATERAL (SELECT UNNEST(generate_series(0, d.h - 1)) AS r) r
+  WHERE LEAST((y2.y2 + 1) * d.h, (r.r + 1) * 7)
+        > GREATEST(y2.y2 * d.h, r.r * 7)
+),
+cw AS (
+  SELECT d.doc_id, x2.x2, s.s,
+         LEAST((x2.x2 + 1) * d.w, (s.s + 1) * 10)
+         - GREATEST(x2.x2 * d.w, s.s * 10) AS wt
+  FROM dims d,
+       LATERAL (SELECT UNNEST(generate_series(0, 9)) AS x2) x2,
+       LATERAL (SELECT UNNEST(generate_series(0, d.w - 1)) AS s) s
+  WHERE LEAST((x2.x2 + 1) * d.w, (s.s + 1) * 10)
+        > GREATEST(x2.x2 * d.w, s.s * 10)
+),
+vals AS (
+  SELECT d.doc_id, rw.y2, cw.x2, ch.c,
+         SUM(rw.wt * cw.wt
+             * ((d.doc_id * 7 + ((rw.r * d.w + cw.s) * 3 + ch.c) * 13) % 256)
+         ) // (d.h * d.w) AS v
+  FROM dims d
+  JOIN rw ON rw.doc_id = d.doc_id
+  JOIN cw ON cw.doc_id = d.doc_id
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) ch
+  GROUP BY 1, 2, 3, 4, d.h, d.w
+)
+SELECT doc_id AS media_id,
+       CAST(10 AS INT) AS out_width,
+       CAST(7 AS INT) AS out_height,
+       3 AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * v) AS BIGINT) AS px_sqsum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM vals
+GROUP BY doc_id
+ORDER BY media_id
+""",
+)
+def media_area_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL-ratio image conform end-to-end: the same
+    deterministic PNGs as media_resize_stats (widths 16-32, heights
+    16-28) are decoded and area-weight resized to a FIXED 10×7 target
+    (operators/multimodal.resize_area) — never an integer ratio of any
+    source, the shape real conform-to-resolution pipelines have. The
+    weighting is exact rational arithmetic on an out_h/out_w-refined
+    integer grid (per-pixel weight total is exactly h·w, output is
+    floor(Σ wr·wc·px / (h·w))), so the oracle can rebuild the identical
+    weights with generate_series arithmetic and match the integer sums
+    bit-for-bit — any error in decode, the overlap windows, or the
+    normalization breaks it.
+
+    Scale: decode+resize is per-row CPU inside one Arrow-batched
+    mapInPandas, no shuffle before the final tiny sort; every output is
+    a fixed 10×7×3 thumbnail regardless of input size, so the stage
+    emits a bounded, uniform corpus downstream.
+    """
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        area_resized_pixel_stats,
+        encode_png,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(48)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 17, 16 + did % 13
+                v = (
+                    (did * 7 + np.arange(w * h * 3, dtype=np.int64) * 13) % 256
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_png(
+                            v.reshape(h, w, 3),
+                            filter_types=[y % 5 for y in range(h)],
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return area_resized_pixel_stats(media, out_h=7, out_w=10).orderBy("media_id")
+
+
+@query(
+    "media_resample_stats",
+    """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+dims AS (
+  SELECT doc_id,
+         200 + doc_id % 100 AS n,
+         1 + doc_id % 2 AS n_ch,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM ids
+),
+outn AS (SELECT *, (n - 1) * 6000 // rate + 1 AS out_n FROM dims),
+vals AS (
+  SELECT d.doc_id, d.out_n, d.n_ch,
+         ( ((d.doc_id * 31
+             + (((k.k * d.rate) // 6000) * d.n_ch + ch.c) * 17) % 65536)
+           * (6000 - (k.k * d.rate) % 6000)
+         + ((d.doc_id * 31
+             + (LEAST((k.k * d.rate) // 6000 + 1, d.n - 1) * d.n_ch + ch.c) * 17)
+            % 65536)
+           * ((k.k * d.rate) % 6000)
+         ) // 6000 - 32768 AS v
+  FROM outn d,
+       LATERAL (SELECT UNNEST(generate_series(0, d.out_n - 1)) AS k) k,
+       LATERAL (SELECT UNNEST(generate_series(0, d.n_ch - 1)) AS c) ch
+)
+SELECT doc_id AS media_id,
+       CAST(out_n AS BIGINT) AS out_frames,
+       CAST(n_ch AS INT) AS n_channels,
+       CAST(6000 AS INT) AS out_rate,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(SUM(v * v) AS BIGINT) AS s_sqsum,
+       CAST(MIN(v) AS INT) AS s_min,
+       CAST(MAX(v) AS INT) AS s_max
+FROM vals
+GROUP BY doc_id, out_n, n_ch
+ORDER BY media_id
+""",
+)
+def media_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL-ratio audio conform end-to-end: the same
+    deterministic PCM streams as media_wav_stats (native rates 8/12/16
+    kHz) are decoded and linear-interpolation resampled to a FIXED
+    6 kHz target (operators/multimodal.resample_linear) — ratios 3/4,
+    1/2 and 3/8, the every-clip-to-one-rate conform a speech pipeline
+    runs before featurization. Output frame k sits at exact rational
+    source position k·rate/6000; the interpolation is pure integer
+    arithmetic (floor-toward-−∞ via the +32768 shift trick the
+    decimate oracle uses), so the SQL twin regenerates every output
+    sample and matches the sums bit-for-bit.
+
+    Scale: per-row CPU inside one Arrow-batched mapInPandas, no
+    shuffle; every clip lands on the same rate, so downstream stages
+    see a uniform corpus.
+    """
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        encode_wav,
+        resampled_audio_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(48)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_frames = 200 + did % 100
+                n_ch = 1 + did % 2
+                rate = 8000 + (did % 3) * 4000
+                v = ((did * 31 + np.arange(n_frames * n_ch, dtype=np.int64) * 17) % 65536) - 32768
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_wav(v.reshape(n_frames, n_ch), rate),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return resampled_audio_stats(media, out_rate=6000).orderBy("media_id")
+
+
+@query(
     "sliding_window_volume",
     """
 WITH grids AS (

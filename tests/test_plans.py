@@ -531,6 +531,8 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         # Catalyst (asserted in test_binary_files.py's plan check)
         "media_pixel_stats", "media_wav_stats", "png_meta_probe",
         "media_resize_stats", "media_decimate_stats", "image_dhash_dedup",
+        # round-5: fractional-ratio conform stages (same codec path)
+        "media_area_resize_stats", "media_resample_stats",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():

@@ -360,6 +360,69 @@ def test_decimate_frames_matches_naive_loop():
                 assert got[fr, ch] == int(run.sum()) // f  # python // floors
 
 
+def test_resize_area_matches_fraction_reference():
+    """resize_area ≡ an independent exact-rational reference (python
+    Fractions accumulating per-pixel overlap areas), across fractional
+    up/down ratios; integer ratios reduce to resize_box."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import resize_area, resize_box
+
+    rng = np.random.RandomState(11)
+    for h, w, c, oh, ow in [(7, 5, 3, 3, 4), (6, 9, 1, 4, 6), (5, 5, 2, 8, 3)]:
+        px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        got = resize_area(px, oh, ow)
+        assert got.shape == (oh, ow, c) and got.dtype == np.uint8
+        for i in range(oh):
+            for j in range(ow):
+                for ch in range(c):
+                    acc = Fraction(0)
+                    y0, y1 = Fraction(i * h, oh), Fraction((i + 1) * h, oh)
+                    x0, x1 = Fraction(j * w, ow), Fraction((j + 1) * w, ow)
+                    for r in range(h):
+                        ry = max(0, min(y1, r + 1) - max(y0, r))
+                        if ry == 0:
+                            continue
+                        for s in range(w):
+                            rx = max(0, min(x1, s + 1) - max(x0, s))
+                            if rx:
+                                acc += ry * rx * int(px[r, s, ch])
+                    area = (y1 - y0) * (x1 - x0)
+                    assert got[i, j, ch] == int(acc / area), (i, j, ch)
+    # integer ratio == box pooling (no crop needed at exact multiples)
+    px = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    assert np.array_equal(resize_area(px, 4, 3), resize_box(px, 2))
+
+
+def test_resample_linear_matches_fraction_reference():
+    """resample_linear ≡ exact-rational linear interpolation at
+    positions k·in/out, floor-toward-−∞, across fractional ratios and
+    both channel counts; endpoint clamps at the final frame."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import resample_linear
+
+    rng = np.random.RandomState(13)
+    for n, c, rin, rout in [(50, 1, 8000, 6000), (33, 2, 16000, 6000), (20, 2, 8000, 12000)]:
+        s = rng.randint(-32768, 32768, size=(n, c)).astype(np.int64)
+        got = resample_linear(s, rin, rout)
+        out_n = (n - 1) * rout // rin + 1
+        assert got.shape == (out_n, c)
+        for k in range(out_n):
+            pos = Fraction(k * rin, rout)
+            i = min(int(pos), n - 1)
+            i2 = min(i + 1, n - 1)
+            frac = pos - i
+            for ch in range(c):
+                exact = (1 - frac) * int(s[i, ch]) + frac * int(s[i2, ch])
+                assert got[k, ch] == math.floor(exact), (k, ch)
+
+
 def test_decimated_audio_stats_distributed(spark):
     """decode → decimate_frames(2) → exact stats inside mapInPandas,
     expected values from an independent numpy computation."""
