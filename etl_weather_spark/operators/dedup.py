@@ -652,6 +652,65 @@ def simhash_band_pairs(
     )
 
 
+def simhash_cross_pairs(
+    index_sigs: DataFrame,
+    new_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    index_id: str = "index_id",
+    new_id: str = "new_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """CROSS-side simhash banding: near-dup pairs between a standing
+    signature index and a new batch — the incremental form of
+    :func:`simhash_band_pairs` (same 4×16-bit pigeonhole, same
+    hamming ≤ 3 guarantee), keyed so only index×new candidates are
+    generated, never index×index. Output: (index_id, new_id, hamming).
+
+    Scale: both sides shuffle once on the 16-bit (band, value) key with
+    the batch as the small side; a boilerplate-hot band on the INDEX
+    side multiplies candidates by the batch's share of that bucket only
+    (f_index × f_new, not f²/2) — for adversarial index skew, apply the
+    sub-band refinement of :func:`simhash_band_candidates` to the hot
+    buckets before the join.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4-band pigeonhole guarantee "
+            "only holds for 0 <= max_hamming <= 3"
+        )
+
+    def bands(df: DataFrame, out_id: str, hi: str, lo: str) -> DataFrame:
+        structs = []
+        for b in range(4):
+            half = "sig_lo" if b < 2 else "sig_hi"
+            shift = 16 * (b % 2)
+            structs.append(
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.expr(f"shiftright({half}, {shift}) & 65535").alias("v"),
+                )
+            )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col("sig_hi").alias(hi),
+            F.col("sig_lo").alias(lo),
+            F.explode(F.array(*structs)).alias("bv"),
+        ).select(out_id, hi, lo, "bv.b", "bv.v")
+
+    bx = bands(index_sigs, index_id, "hi_a", "lo_a")
+    by = bands(new_sigs, new_id, "hi_b", "lo_b")
+    hamming = (
+        F.bit_count(F.expr("lo_a ^ lo_b")) + F.bit_count(F.expr("hi_a ^ hi_b"))
+    ).cast("int")
+    return (
+        bx.join(by, ["b", "v"])
+        .select(index_id, new_id, hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def verify_candidates_jaccard(
     docs: DataFrame,
     cand: DataFrame,
