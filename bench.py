@@ -109,6 +109,13 @@ HEADLINE = [
     "bpe_encode_stats",
     # perceptual image dedup: real PNG decode -> dHash -> Manku banding
     "image_dhash_dedup",
+    # fifteenth wave (round 5): fractional-ratio media conform (area
+    # resize to a fixed target; linear resample to a fixed rate) on the
+    # real codec path; rank-based tokenizer-apply encode (the
+    # production BPE encode, cross-checked against the fold replay)
+    "media_area_resize_stats",
+    "media_resample_stats",
+    "bpe_ranked_encode_stats",
 ]
 
 

@@ -567,10 +567,13 @@ def simhash_band_candidates(
     if hot_band_cap is None:
         cand = pair_join(bands.select(id_col, "b", "v"), ["b", "v"])
     else:
-        from pyspark.sql.window import Window
-
-        freq = F.count(F.lit(1)).over(Window.partitionBy("b", "v"))
-        sized = bands.withColumn("f", freq)
+        # bucket sizes via agg + BROADCAST join back: the (b, v) key
+        # space is structurally bounded at 4 × 2^16 = 262k rows at ANY
+        # corpus size, so the size table always broadcasts — no extra
+        # full shuffle of the bands table (a Window.partitionBy count
+        # would sort-shuffle every row)
+        freq = bands.groupBy("b", "v").agg(F.count(F.lit(1)).alias("f"))
+        sized = bands.join(F.broadcast(freq), ["b", "v"])
         cold = sized.filter(F.col("f") <= hot_band_cap).select(id_col, "b", "v")
         # pack the three non-hot 16-bit bands into one 48-bit value,
         # then slice it into 4 disjoint 12-bit sub-bands

@@ -543,9 +543,14 @@ def cosine_topk_pq(
     sim_decimals: int = 6,
     books: np.ndarray | None = None,
     query_chunk: int = 256,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN: ADC scan over the code table → per-query ``shortlist`` →
     exact cosine re-rank → top-k. (query_id, neighbor_id, sim, rank).
+
+    ``codes``: a pre-built (id, codes) table (e.g. loaded from a
+    persisted PQ index — operators/ann_index) skips the encode pass;
+    it must have been encoded with the SAME ``books``.
 
     Scale shape: the scan reads n_subspaces bytes per corpus row (the
     codes), scores them with per-query lookup tables riding in the UDF
@@ -579,7 +584,10 @@ def cosine_topk_pq(
             n_codes=n_codes,
             seed=seed,
         )
-    codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+    if codes is None:
+        codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+    else:
+        codes = codes.select(F.col(id_col), "codes")
 
     qrows = (
         queries.select(F.col(id_col).alias("i"), as_double_array(F.col(vec_col)).alias("v"))

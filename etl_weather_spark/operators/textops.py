@@ -482,39 +482,167 @@ def _bpe_rounds(
     return merges, v
 
 
+#: budgets at or below this train on the fully-LAZY broadcast-fold
+#: path (zero driver collects, one Spark action at materialization);
+#: above it, the batched eager engine amortizes its per-round job cost
+BPE_LAZY_THRESHOLD = 8
+
+
+def _bpe_lazy_rounds(vocab: DataFrame, n_merges: int):
+    """Lazy round loop: each round's winner is a ``limit(1)`` subplan
+    riding a broadcast cross join into the next round's fold — nothing
+    executes until the caller materializes. Per-round vocabs are
+    persisted (round r+1's counts and the round-r output both read
+    them); the cache footprint is ≤ n_merges vocab-sized frames, which
+    is why this path is gated to small budgets. Returns (per-round
+    best frames, persisted per-round vocabs, final vocab) — callers
+    that materialize eagerly should unpersist the first two."""
+    bests = []
+    cached = []
+    v = vocab
+    for _ in range(n_merges):
+        best = (
+            bpe_pair_counts(v)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .persist()
+        )
+        bests.append(best)
+        v = bpe_apply_merge(v, best).persist()
+        cached.append(v)
+    return bests, cached, v
+
+
 def bpe_train(vocab: DataFrame, n_merges: int, **round_opts) -> DataFrame:
     """``n_merges`` BPE rounds: (merge_round, left_sym, right_sym,
     merged, pair_count) — the merge-table artifact of tokenizer
     training. Classic BPE runs on the VOCAB (distinct word, freq), not
-    the token stream; the batched round loop (:func:`_bpe_rounds`) keeps
-    it one job per ~``batch_cap`` merges with checkpoint-bounded plan
-    depth, and is proven merge-for-merge identical to sequential BPE
-    (tie-breaks: count desc, then lexicographic).
+    the token stream.
 
-    The returned merge table is driver-built (it is the tokenizer
-    artifact itself — vocab-budget-sized, ≤ n_merges rows, never
-    data-sized).
+    Two execution strategies, identical results (both proven against
+    the pure-Python sequential reference in tests):
+
+    - budgets ≤ ``BPE_LAZY_THRESHOLD`` (and no explicit round
+      options): fully lazy — per-round 1-row winners ride broadcast
+      cross joins, the whole training tree executes as ONE action when
+      the caller materializes. Right for oracle-sized demos where
+      per-round job scheduling would dominate.
+    - larger budgets: the batched eager engine (:func:`_bpe_rounds`) —
+      one job per ~batch_cap merges, bounded driver transfer,
+      checkpoint-flat lineage; the only shape that survives 32k
+      merges. The merge table is driver-built and returned via an
+      Arrow local table (never a Python-RDD scan).
     """
+    if n_merges <= BPE_LAZY_THRESHOLD and not round_opts:
+        bests, _cached, _v = _bpe_lazy_rounds(vocab, n_merges)
+        out = None
+        for r, best in enumerate(bests, start=1):
+            b = best.select(
+                F.lit(r).alias("merge_round"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("merged"),
+                "pair_count",
+            )
+            out = b if out is None else out.unionAll(b)
+        return out.orderBy("merge_round")
+    import pandas as pd  # noqa: PLC0415 — Arrow local-table build only
+
     merges, _ = _bpe_rounds(vocab, n_merges, **round_opts)
+    pdf = pd.DataFrame(
+        merges,
+        columns=["merge_round", "left_sym", "right_sym", "merged", "pair_count"],
+    )
     return (
-        vocab.sparkSession.createDataFrame(
-            merges,
-            "merge_round int, left_sym string, right_sym string, "
-            "merged string, pair_count long",
+        vocab.sparkSession.createDataFrame(pdf)
+        .select(
+            F.col("merge_round").cast("int"),
+            "left_sym",
+            "right_sym",
+            "merged",
+            F.col("pair_count").cast("long"),
         )
         .coalesce(1)
         .orderBy("merge_round")
     )
 
 
+def bpe_encode_ranked(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Rank-based BPE ENCODE from a trained merge table — the
+    production tokenizer-apply algorithm (what HF-style encoders run):
+    per word, repeatedly find the LOWEST-RANK adjacent pair present and
+    merge it exhaustively left-to-right, until no table pair applies.
+
+    Provably equivalent to replaying the training merges in rank order
+    (:func:`bpe_segment`): a pair, once exhausted within a word, can
+    never reappear (merges only concatenate — two tokens separated by a
+    third stay separated by its merger), and pairs created by a merge
+    contain its output symbol, which no earlier-rank merge references.
+    The equivalence is asserted against bpe_segment in tests and
+    cross-checked by the DuckDB fold-replay oracle in
+    queries.bpe_ranked_encode_stats.
+
+    Scale: the merge table is a driver-side artifact (vocab-budget
+    rows — 32k for a production tokenizer) broadcast in the UDF
+    closure as a dict; encoding runs once per DISTINCT word
+    (vocab-bound, never token-stream-bound) inside one Arrow-batched
+    ``mapInPandas`` with per-word cost O(|word| × applied merges) and
+    O(1) dict lookups — NOT |merge_table| folds, which is what makes
+    32k-merge tables applicable at all. All non-``syms`` columns pass
+    through for the encode-side join.
+    """
+    rank = {(l, r): i for i, (l, r) in enumerate(merges)}
+    pairs = list(merges)
+    schema = vocab.schema
+
+    def encode(syms: list[str]) -> list[str]:
+        while True:
+            best = None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                return syms
+            left, right = pairs[best]
+            merged = left + right
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms = out
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = [encode(list(s)) for s in pdf["syms"]]
+            yield pdf
+
+    return vocab.mapInPandas(run, schema=schema)
+
+
 def bpe_segment(vocab: DataFrame, n_merges: int, **round_opts) -> DataFrame:
     """ENCODE side of BPE: the vocab after ``n_merges`` trained rounds.
 
-    Same batched round loop as :func:`bpe_train` but keeps the segmented
-    vocab (all non-``syms`` columns pass through) instead of the merge
-    table — the tokenizer-apply step. The result is localCheckpoint-ed
-    (vocab-sized, eager) so the returned plan is flat and callers may
-    unpersist the input vocab immediately.
+    Same strategy split as :func:`bpe_train` (lazy broadcast-fold tree
+    under ``BPE_LAZY_THRESHOLD``, batched eager engine above), keeping
+    the segmented vocab (all non-``syms`` columns pass through) instead
+    of the merge table — the tokenizer-apply step.
+
+    Laziness contract: under the threshold the returned frame is LAZY
+    (the whole training tree fuses into the caller's first action —
+    zero extra materializations) and holds ≤ n_merges bounded
+    vocab-sized persists alive until then, so callers must keep the
+    input vocab cached. Above the threshold the result is
+    localCheckpoint-ed (eager, flat plan) and the input may be
+    unpersisted immediately.
     """
+    if n_merges <= BPE_LAZY_THRESHOLD and not round_opts:
+        _bests, _cached, v = _bpe_lazy_rounds(vocab, n_merges)
+        return v
     _, v = _bpe_rounds(vocab, n_merges, **round_opts)
     return v.localCheckpoint(eager=True)

@@ -142,13 +142,34 @@ _PRIORITY = [
     # regex_customer_ids (C12 — regex shapes stay via split_part_types
     # and redact_terms) out for image_dhash_dedup (perceptual dHash
     # near-dup pairs on the real PNG decode path).
+    # round-5 rotations (out, each shape kept by a checked sibling —
+    # every out-row has at least one prior driver-green round):
+    # media_pixel_stats / media_wav_stats (the real-codec decode+stats
+    # path stays checked via incoming media_resize_stats /
+    # media_area_resize_stats / media_resample_stats, supersets of the
+    # same decode), recommendation_text (C3 — C family keeps
+    # weather_code_decode/split_part_types), theta_user_overlap
+    # (sketches keep kll_rollup_value_quantiles), fuzzy_part_names
+    # (similarity text keeps prefix_filter_jaccard), hourly_gapfill_ffill
+    # (window family keeps minmax_norm/rank_pct_diff),
+    # event_pattern_match (event-sequence shape stays via user_sessions
+    # + incoming session_funnel_conversion), customer_rfm_segments
+    # (rank-bucket shape stays via rank_pct_diff/weighted_sample_topk),
+    # dup_cluster_transitivity (graph keeps dedup_clusters/
+    # semantic_dedup), ann_cosine_ivf (ANN keeps topk/pq).
+    # In: TEN never-driver-checked rows — exact_substring_spans,
+    # simhash_sigs, simhash_near_dupes (now on the hot-band-cap path),
+    # bpe_encode_stats, media_resize_stats, png_meta_probe,
+    # cohort_retention, session_funnel_conversion, and the new
+    # fractional-conform pair media_area_resize_stats /
+    # media_resample_stats.
     "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
-    "recommendation_text", "minmax_norm",
+    "exact_substring_spans", "minmax_norm",
     "rank_pct_diff", "hybrid_search_rrf", "asof_join",
     "weather_code_decode",
-    "media_pixel_stats", "media_wav_stats", "theta_user_overlap",
-    "fuzzy_part_names", "hourly_gapfill_ffill", "event_pattern_match",
-    "dup_cluster_transitivity", "customer_rfm_segments",
+    "media_resize_stats", "media_area_resize_stats", "media_resample_stats",
+    "png_meta_probe", "simhash_sigs", "simhash_near_dupes",
+    "bpe_encode_stats", "cohort_retention", "session_funnel_conversion",
     # round-3 rotations: today_lookup (J4 — J family keeps asof_join/
     # nearest_event/daily_left_join), format_dates (C7 — C family keeps
     # slugify_parts/weather_code_decode/split_part_types),
@@ -179,7 +200,6 @@ _PRIORITY = [
     # training-data pipeline: text analysis + dedup + similarity
     "doc_stats", "dedup_exact", "prefix_filter_jaccard",
     "ann_cosine_topk", "embedding_near_dupes", "lang_quality",
-    "ann_cosine_ivf",
     "winnow_candidates", "minhash_lsh_fast",
     # training-pipeline + streaming-analog flagships
     "dedup_clusters", "user_sessions", "train_test_split",
@@ -2308,6 +2328,60 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, n_subspaces=8, n_codes=16, seed=42
         )
     approx = cosine_topk_pq(emb, qs, k=10, shortlist=100, books=books)
+    return recall_gate(exact, approx, threshold=0.3)
+
+
+#: built PQ index dirs, one per sf_dir (the index is a durable artifact:
+#: train+encode+commit once, reopen per query — the serving pattern)
+_PQ_INDEX_PATHS: dict = {}
+
+
+@query(
+    "ann_pq_index_roundtrip",
+    """
+SELECT vec_id AS query_id,
+       CAST(10 AS BIGINT) AS n_exact,
+       CAST(10 AS BIGINT) AS n_approx,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+ORDER BY query_id
+""",
+)
+def ann_pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-index ANN serving: the corpus is trained+encoded ONCE
+    into a durable PQ index (operators/ann_index: snapshot-layer code
+    table + codebooks + meta on disk), then queries run against the
+    REOPENED index — the standing-artifact pattern every production
+    retrieval stack uses, vs ann_cosine_pq's in-session build. Results
+    must clear the same per-query recall gate against exact brute
+    force, which makes this row a disk-roundtrip proof: any loss or
+    reorder in codebook/code persistence breaks the gate (and the
+    save→load→query ≡ direct-query identity is asserted exactly in
+    tests/test_ann_index.py).
+
+    Scale: the index build is one encode pass committed via the
+    snapshot layer (appends for new vectors ride commit markers —
+    streaming/ann_ingest); serving reads 8-byte codes + KB codebooks,
+    never re-encodes, and the ADC scan + salted two-level top-k is
+    identical to the in-session path.
+    """
+    import tempfile
+
+    from etl_weather_spark.operators.ann_index import build_pq_index, load_pq_index
+    from etl_weather_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        recall_gate,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _PQ_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        path = _PQ_INDEX_PATHS[sf_dir] = tempfile.mkdtemp(prefix="spark_graft_pq_")
+        build_pq_index(emb, path)
+    idx = load_pq_index(spark, path)
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, qs, k=10)
+    approx = idx.query(emb, qs, k=10, shortlist=100)
     return recall_gate(exact, approx, threshold=0.3)
 
 
@@ -8811,14 +8885,15 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: classic BPE runs on the VOCAB (distinct word, freq), not
     the token stream — the explode-heavy stage is the one vocab
-    groupBy; each round is then one pair-count shuffle over |vocab|
-    rows plus a bounded (≤ pool_size-row) head collect from which the
-    batched trainer (operators/textops._bpe_rounds) picks up to
-    batch_cap provably-sequential-equivalent merges, applied as
-    literal Catalyst folds in a single projection. Lineage is
-    localCheckpoint-truncated every few rounds, so at the 32k merges a
-    production tokenizer needs, job count is ~32k/batch_cap and plan
-    depth stays O(checkpoint_every x batch_cap) — never 32k deep.
+    groupBy. This 3-round demo sits under BPE_LAZY_THRESHOLD, so
+    training is FULLY LAZY (per-round 1-row winners ride broadcast
+    cross joins; the whole tree is one action — no per-round job
+    scheduling). Production budgets switch to the batched eager
+    trainer (operators/textops._bpe_rounds): one job per ~batch_cap
+    provably-sequential-equivalent merges, ≤ pool_size-row driver
+    transfer per round, localCheckpoint-flat lineage — so 32k merges
+    is ~32k/batch_cap jobs and never a 32k-deep plan (1k-merge
+    artifact: bpe1k.json).
     """
     from etl_weather_spark.operators.dedup import tokens
     from etl_weather_spark.operators.textops import bpe_train
@@ -8832,15 +8907,19 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.split("word", "").alias("syms"), "freq")
         .persist()
     )
-    out = bpe_train(vocab, 3)
-    # training is eager (batched rounds collect their pair-count heads),
-    # so the per-round cache can be dropped before returning.
-    vocab.unpersist()
-    return out
+    # 3 rounds sit under BPE_LAZY_THRESHOLD: training stays fully lazy
+    # (one action at materialization), so the vocab cache must outlive
+    # this call — bounded, vocab-sized, same as the other input persists
+    return bpe_train(vocab, 3)
 
 
-@query(
-    "bpe_encode_stats",
+#: shared oracle for BOTH encode-side BPE queries: replays 3 training
+#: rounds and the fold-based segmentation via the DuckDB list_reduce
+#: twin. bpe_encode_stats runs the same fold replay Spark-side;
+#: bpe_ranked_encode_stats runs the rank-based tokenizer-apply
+#: algorithm instead — the shared oracle is the cross-algorithm proof
+#: that the two encodes agree.
+_BPE_ENCODE_ORACLE = (
     """
 WITH tok AS (
   SELECT doc_id, word FROM (
@@ -8863,8 +8942,34 @@ SELECT doc_id,
        CAST((10000 * SUM(n_pieces)) // COUNT(*) AS BIGINT) AS pieces_per_word_1e4
 FROM tok JOIN seg USING (word)
 GROUP BY doc_id ORDER BY doc_id
-""",
+"""
 )
+
+
+def _doc_piece_stats(tok: DataFrame, seg: DataFrame) -> DataFrame:
+    """Per-doc token accounting from a (word, n_pieces) segmentation:
+    the token stream never re-encodes — it joins the vocab-sized
+    segmentation by word."""
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            F.expr("(10000 * n_pieces) div n_words").alias("pieces_per_word_1e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("bpe_encode_stats", _BPE_ENCODE_ORACLE)
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLY (the encode side of bpe_merge_rounds): the
     3-round-trained segmentation is applied to every document, emitting
@@ -8896,27 +9001,52 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.split("word", "").alias("syms"), "freq", "word")
         .persist()
     )
+    # 3 rounds sit under BPE_LAZY_THRESHOLD: segmentation stays lazy and
+    # fuses into the final join action, so the vocab cache must outlive
+    # this call (bounded, vocab-sized)
     seg = bpe_segment(vocab, 3).select("word", F.size("syms").alias("n_pieces"))
-    # bpe_segment returns a checkpointed (flat, materialized) frame, so
-    # the round-loop cache of the input vocab can be dropped here.
-    vocab.unpersist()
-    return (
-        tok.join(F.broadcast(seg), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.length("word")).alias("n_chars"),
-            F.sum("n_pieces").alias("n_pieces"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            "n_chars",
-            "n_pieces",
-            F.expr("(10000 * n_pieces) div n_words").alias("pieces_per_word_1e4"),
-        )
-        .orderBy("doc_id")
+    return _doc_piece_stats(tok, seg)
+
+
+@query("bpe_ranked_encode_stats", _BPE_ENCODE_ORACLE)
+def bpe_ranked_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode via the PRODUCTION tokenizer-apply algorithm: train 3
+    rounds (batched trainer — the merge table comes back driver-side),
+    then segment every distinct word by repeatedly merging its
+    lowest-RANK table pair (operators/textops.bpe_encode_ranked, a
+    broadcast rank dict + one Arrow-batched pass over the vocab) rather
+    than replaying the training folds. Same stats surface as
+    bpe_encode_stats and the SAME DuckDB oracle — which makes this row
+    a cross-algorithm proof: the rank-based encode must agree
+    bit-for-bit with the fold-replay the oracle computes.
+
+    Why it exists: fold-replay is O(|merge_table|) Catalyst folds per
+    word — fine at 3 merges, impossible at a production tokenizer's
+    32k. Rank-based apply is O(|word| × applied merges) with dict
+    lookups, independent of table size, and is the encode every
+    deployed BPE tokenizer runs.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+    from etl_weather_spark.operators.textops import _bpe_rounds, bpe_encode_ranked
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .persist()
     )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("syms"), "freq", "word")
+        .persist()
+    )
+    merges, _ = _bpe_rounds(vocab, 3)
+    seg = bpe_encode_ranked(
+        vocab, [(left, right) for _rnd, left, right, _m, _c in merges]
+    ).select("word", F.size("syms").alias("n_pieces"))
+    vocab.unpersist()
+    return _doc_piece_stats(tok, seg)
 
 
 @query(
@@ -8999,9 +9129,11 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    # checkpoint the 3-long-per-row signature table so the decode+dhash
+    # Arrow stage runs ONCE — the banding plan consumes it several
+    # times (bucket-size agg + both self-join sides)
+    sigs = image_dhash(media).localCheckpoint(eager=False)
     return (
-        simhash_band_pairs(
-            image_dhash(media), id_col="media_id", max_hamming=3, hot_band_cap=64
-        )
+        simhash_band_pairs(sigs, id_col="media_id", max_hamming=3, hot_band_cap=64)
         .orderBy("id_a", "id_b")
     )

@@ -531,8 +531,12 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         # Catalyst (asserted in test_binary_files.py's plan check)
         "media_pixel_stats", "media_wav_stats", "png_meta_probe",
         "media_resize_stats", "media_decimate_stats", "image_dhash_dedup",
-        # round-5: fractional-ratio conform stages (same codec path)
+        # round-5: fractional-ratio conform stages (same codec path);
+        # rank-based BPE encode (vocab-bound Arrow pass by design)
         "media_area_resize_stats", "media_resample_stats",
+        "bpe_ranked_encode_stats",
+        # persisted-PQ serving (ADC scan is an Arrow kernel by design)
+        "ann_pq_index_roundtrip",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():

@@ -241,6 +241,48 @@ def test_bpe_batched_matches_sequential_reference_deep(spark):
         assert got == exp, f"seed={seed}"
 
 
+def test_bpe_encode_ranked_equals_fold_replay(spark):
+    """The rank-based tokenizer-apply (lowest-rank pair first, dict
+    lookups) segments every word identically to replaying the training
+    merges in order (bpe_segment) — the equivalence that lets a
+    32k-merge production table be applied without 32k folds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.textops import (
+        _bpe_rounds,
+        bpe_encode_ranked,
+        bpe_segment,
+    )
+
+    rng = random.Random(21)
+    vocab = {}
+    for w in ["aaaa", "abab", "banana", "x"] + [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 9)))
+        for _ in range(50)
+    ]:
+        vocab[w] = vocab.get(w, 0) + rng.randint(1, 5)
+    vdf = (
+        spark.createDataFrame(list(vocab.items()), "word string, freq long")
+        .select(F.split("word", "").alias("syms"), "freq", "word")
+        .persist()
+    )
+    n = 10
+    merges, _ = _bpe_rounds(vdf, n)
+    ranked = {
+        r.word: list(r.syms)
+        for r in bpe_encode_ranked(
+            vdf, [(left, right) for _i, left, right, _m, _c in merges]
+        ).collect()
+    }
+    replay = {r.word: list(r.syms) for r in bpe_segment(vdf, n).collect()}
+    vdf.unpersist()
+    assert ranked == replay
+    # and at least one multi-merge word actually changed
+    assert any(len(s) < len(w) for w, s in ranked.items())
+
+
 def test_bpe_production_rounds_flat_lineage(spark):
     """150 merges complete with CHECKPOINT-BOUNDED lineage: the final
     vocab's optimized plan must be a handful of lines (a LogicalRDD
