@@ -663,6 +663,7 @@ def simhash_cross_pairs(
     index_id: str = "index_id",
     new_id: str = "new_id",
     max_hamming: int = 3,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """CROSS-side simhash banding: near-dup pairs between a standing
     signature index and a new batch — the incremental form of
@@ -673,9 +674,13 @@ def simhash_cross_pairs(
     Scale: both sides shuffle once on the 16-bit (band, value) key with
     the batch as the small side; a boilerplate-hot band on the INDEX
     side multiplies candidates by the batch's share of that bucket only
-    (f_index × f_new, not f²/2) — for adversarial index skew, apply the
-    sub-band refinement of :func:`simhash_band_candidates` to the hot
-    buckets before the join.
+    (f_index × f_new, not f²/2). ``hot_band_cap`` applies the same
+    recall-lossless sub-band refinement as
+    :func:`simhash_band_candidates` to buckets whose INDEX-side size
+    exceeds the cap: a qualifying cross pair shares the hot band, so
+    its ≤ 3 differing bits lie in the other 48 — re-banding BOTH sides
+    of the hot bucket on 4 disjoint 12-bit sub-bands keeps every such
+    pair (pigeonhole) while boilerplate-only agreement scatters.
     """
     if not 0 <= max_hamming <= 3:
         raise ValueError(
@@ -683,32 +688,82 @@ def simhash_cross_pairs(
             "only holds for 0 <= max_hamming <= 3"
         )
 
+    v_exprs = [
+        F.expr("shiftright(sig_lo, 0) & 65535").cast("long").alias("v0"),
+        F.expr("shiftright(sig_lo, 16) & 65535").cast("long").alias("v1"),
+        F.expr("shiftright(sig_hi, 0) & 65535").cast("long").alias("v2"),
+        F.expr("shiftright(sig_hi, 16) & 65535").cast("long").alias("v3"),
+    ]
+    band_structs = [
+        F.struct(F.lit(b).alias("b"), F.col(f"v{b}").alias("v")) for b in range(4)
+    ]
+
     def bands(df: DataFrame, out_id: str, hi: str, lo: str) -> DataFrame:
-        structs = []
-        for b in range(4):
-            half = "sig_lo" if b < 2 else "sig_hi"
-            shift = 16 * (b % 2)
-            structs.append(
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.expr(f"shiftright({half}, {shift}) & 65535").alias("v"),
-                )
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col("sig_hi").alias(hi),
+                F.col("sig_lo").alias(lo),
+                *v_exprs,
             )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col("sig_hi").alias(hi),
-            F.col("sig_lo").alias(lo),
-            F.explode(F.array(*structs)).alias("bv"),
-        ).select(out_id, hi, lo, "bv.b", "bv.v")
+            .select(
+                out_id, hi, lo, "v0", "v1", "v2", "v3",
+                F.explode(F.array(*band_structs)).alias("bv"),
+            )
+            .select(out_id, hi, lo, "v0", "v1", "v2", "v3", "bv.b", "bv.v")
+        )
+
+    def sub_banded(rows: DataFrame) -> DataFrame:
+        rem = F.expr(
+            "CASE b WHEN 0 THEN v1 | shiftleft(v2, 16) | shiftleft(v3, 32) "
+            "WHEN 1 THEN v0 | shiftleft(v2, 16) | shiftleft(v3, 32) "
+            "WHEN 2 THEN v0 | shiftleft(v1, 16) | shiftleft(v3, 32) "
+            "ELSE v0 | shiftleft(v1, 16) | shiftleft(v2, 32) END"
+        )
+        sub_structs = [
+            F.struct(
+                F.lit(j).alias("sb"),
+                F.expr(f"shiftright(__rem, {12 * j}) & 4095").alias("sv"),
+            )
+            for j in range(4)
+        ]
+        keep = [c for c in rows.columns if c not in ("v0", "v1", "v2", "v3")]
+        return (
+            rows.withColumn("__rem", rem)
+            .select(*keep, F.explode(F.array(*sub_structs)).alias("s"))
+            .select(*keep, "s.sb", "s.sv")
+        )
 
     bx = bands(index_sigs, index_id, "hi_a", "lo_a")
     by = bands(new_sigs, new_id, "hi_b", "lo_b")
     hamming = (
         F.bit_count(F.expr("lo_a ^ lo_b")) + F.bit_count(F.expr("hi_a ^ hi_b"))
     ).cast("int")
+
+    if hot_band_cap is None:
+        cand = bx.join(by, ["b", "v"])
+    else:
+        # hotness is judged on the INDEX side (the unbounded one): the
+        # (b, v) key space is ≤ 4 × 2^16 rows, so the size table always
+        # broadcasts
+        freq = bx.groupBy("b", "v").agg(F.count(F.lit(1)).alias("f"))
+        bx_sized = bx.join(F.broadcast(freq), ["b", "v"])
+        by_sized = by.join(
+            F.broadcast(freq), ["b", "v"], "left"
+        ).withColumn("f", F.coalesce(F.col("f"), F.lit(0)))
+        vcols = ["f", "v0", "v1", "v2", "v3"]
+        cold = bx_sized.filter(F.col("f") <= hot_band_cap).drop(*vcols).join(
+            by_sized.filter(F.col("f") <= hot_band_cap).drop(*vcols), ["b", "v"]
+        )
+        hot = sub_banded(
+            bx_sized.filter(F.col("f") > hot_band_cap).drop("f")
+        ).join(
+            sub_banded(by_sized.filter(F.col("f") > hot_band_cap).drop("f")),
+            ["b", "v", "sb", "sv"],
+        )
+        cand = cold.unionByName(hot, allowMissingColumns=True)
     return (
-        bx.join(by, ["b", "v"])
-        .select(index_id, new_id, hamming.alias("hamming"))
+        cand.select(index_id, new_id, hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

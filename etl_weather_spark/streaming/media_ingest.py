@@ -86,6 +86,7 @@ def process_media_batch(
             index_id="earlier_id",
             new_id="later_id",
             max_hamming=max_hamming,
+            hot_band_cap=hot_band_cap,
         )
         flags = within.unionByName(cross)
     else:

@@ -354,6 +354,56 @@ def test_simhash_hot_band_cap_recall_lossless_and_bounded(spark):
     assert n_capped < n_uncapped // 10, (n_capped, n_uncapped)
 
 
+def test_simhash_cross_pairs_hot_band_cap_recall_lossless(spark):
+    """Cross-side banding with a boilerplate-hot INDEX bucket: capped
+    pairs == uncapped == brute force over index x new, including a
+    planted pair whose only shared band is the hot one."""
+    import random
+
+    from etl_weather_spark.operators.dedup import simhash_cross_pairs
+
+    rng = random.Random(7)
+    shared = 0xFACE
+    idx_rows, new_rows = [], []
+    for i in range(80):
+        sig = (rng.getrandbits(48) << 16) | shared
+        idx_rows.append((i, sig >> 32, sig & 0xFFFFFFFF))
+    for i in range(20):
+        sig = (rng.getrandbits(48) << 16) | shared
+        new_rows.append((500 + i, sig >> 32, sig & 0xFFFFFFFF))
+    # planted cross near-dup: new row = index row 3 with one bit flipped
+    # in each of bands 1, 2, 3 (only the hot band 0 is shared)
+    base = (idx_rows[3][1] << 32) | idx_rows[3][2]
+    tweaked = base ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)
+    new_rows.append((999, tweaked >> 32, tweaked & 0xFFFFFFFF))
+
+    def sigdf(rows):
+        return spark.createDataFrame(rows, "doc_id long, sig_hi long, sig_lo long")
+
+    def brute():
+        out = set()
+        for ii, ih, il in idx_rows:
+            for ni, nh, nl in new_rows:
+                d = bin(((ih << 32) | il) ^ ((nh << 32) | nl)).count("1")
+                if d <= 3:
+                    out.add((ii, ni))
+        return out
+
+    expected = brute()
+    assert (3, 999) in expected
+    capped = {
+        (r.index_id, r.new_id)
+        for r in simhash_cross_pairs(
+            sigdf(idx_rows), sigdf(new_rows), hot_band_cap=10
+        ).collect()
+    }
+    uncapped = {
+        (r.index_id, r.new_id)
+        for r in simhash_cross_pairs(sigdf(idx_rows), sigdf(new_rows)).collect()
+    }
+    assert capped == expected == uncapped
+
+
 def test_widen_narrow_input_fans_out_and_preserves_rows(spark):
     from etl_weather_spark.operators.dedup import widen_narrow_input
 
