@@ -116,6 +116,8 @@ HEADLINE = [
     "media_area_resize_stats",
     "media_resample_stats",
     "bpe_ranked_encode_stats",
+    # persisted-PQ-index retrieval roundtrip (standing-artifact serving)
+    "ann_pq_index_roundtrip",
 ]
 
 
