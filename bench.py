@@ -118,6 +118,8 @@ HEADLINE = [
     "bpe_ranked_encode_stats",
     # persisted-PQ-index retrieval roundtrip (standing-artifact serving)
     "ann_pq_index_roundtrip",
+    # WET-style web-text extraction (pure-Catalyst regex chain)
+    "html_extract_stats",
 ]
 
 

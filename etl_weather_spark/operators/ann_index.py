@@ -49,7 +49,13 @@ from etl_weather_spark.sources.snapshots import (
     snapshot_write,
 )
 
-__all__ = ["PQIndex", "build_pq_index", "load_pq_index", "append_pq_index"]
+__all__ = [
+    "PQIndex",
+    "append_pq_index",
+    "build_pq_index",
+    "compact_pq_index",
+    "load_pq_index",
+]
 
 
 def _codes_table(path: str) -> str:
@@ -164,3 +170,21 @@ def append_pq_index(
     )
     mode = "append" if current_version(table) is not None else "overwrite"
     snapshot_write(codes, table, mode=mode, ingest_ts=marker)
+
+
+def compact_pq_index(spark: SparkSession, path: str) -> int:
+    """Rewrite the code table's accumulated append files into
+    target-sized ones (a new snapshot version; history stays readable).
+    The codes themselves are untouched — codebooks stay frozen, so this
+    is pure file-layout maintenance. Run it on the same cadence as any
+    snapshot table under high-frequency streaming appends
+    (streaming/ann_ingest) so the per-query manifest scan stays short.
+    Returns the new version number.
+    """
+    from etl_weather_spark.sources.snapshots import snapshot_compact
+
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    return snapshot_compact(
+        spark, _codes_table(path), sort_within_by=[meta["id_col"]]
+    )

@@ -135,6 +135,57 @@ def chunk_documents(
     )
 
 
+#: HTML entities decoded by :func:`html_to_text`, in decode order —
+#: ``&amp;`` LAST so escaped ampersands never double-decode
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_title(html: Column) -> Column:
+    """<title> contents (first match, entity-decoded,
+    whitespace-collapsed), '' if none."""
+    raw = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, rep in HTML_ENTITIES:
+        raw = F.replace(raw, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(raw, r"\s+", " "))
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML document — the WET-extraction step every
+    web-scale corpus pipeline runs before any quality/dedup stage.
+
+    Pure Catalyst regexp chain (no parser, no Python): drop
+    script/style/head blocks and comments wholesale (their contents are
+    never visible text), replace every remaining tag with a space,
+    decode the common entities (``&amp;`` last), collapse whitespace.
+    Heuristic by design — a browser-grade DOM is out of scope — but
+    deterministic and engine-portable: the same regexes run verbatim in
+    the DuckDB oracle (both engines compile to leftmost-match lazy
+    quantifier semantics for these patterns).
+
+    Scale: per-row regex in whole-stage codegen; fans out by input
+    split, nothing shuffles.
+    """
+    out = html
+    for blk in (
+        r"(?is)<script[^>]*>.*?</script>",
+        r"(?is)<style[^>]*>.*?</style>",
+        r"(?is)<head[^>]*>.*?</head>",
+        r"(?s)<!--.*?-->",
+    ):
+        out = F.regexp_replace(out, blk, " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def token_entropy_profile(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, token_entropy) — per-doc token-level Shannon
     entropy in bits, the cheap perplexity proxy quality filters use

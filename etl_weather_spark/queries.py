@@ -9137,3 +9137,91 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_band_pairs(sigs, id_col="media_id", max_hamming=3, hot_band_cap=64)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "html_extract_stats",
+    r"""
+WITH raw AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' &amp; friends</title><style>p {color: red}</style>'
+         || '<script>var x = 1 < 2;</script></head><body><p>'
+         || regexp_replace(text, '\s+', '</p>' || chr(10) || '<p>', 'g')
+         || '</p><!-- hidden comment --><div class="footer">footer &lt;nav&gt; '
+         || '&quot;links&quot; &#39;here&#39;&nbsp;end</div></body></html>' AS html
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS title,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM raw
+)
+SELECT doc_id, title, clean_text,
+       CAST(length(html) AS BIGINT) AS n_raw,
+       CAST(length(clean_text) AS BIGINT) AS n_clean,
+       CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_words
+FROM extracted
+ORDER BY doc_id
+""",
+)
+def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB-TEXT EXTRACTION (the WET step every web-crawl corpus runs
+    before quality/dedup): deterministic HTML is synthesized in-plan
+    around each document (title, style/script blocks, comments,
+    entity-escaped footer), then operators/textops.html_to_text strips
+    invisible blocks and tags and decodes entities while html_title
+    recovers the decoded <title> — all pure Catalyst regex/replace
+    chains in whole-stage codegen.
+
+    The oracle runs the IDENTICAL construction and extraction regexes
+    in DuckDB (both engines: leftmost lazy-quantifier semantics), so
+    the full cleaned text, title, and length/word accounting are
+    hash-matched character for character — any divergence in block
+    stripping order, entity decode order (&amp; must decode last), or
+    whitespace collapsing breaks the row hash.
+
+    Scale: per-row regex, no shuffle before the final sort; fans out
+    by input split like every map-only conform stage.
+    """
+    from etl_weather_spark.operators.textops import html_title, html_to_text
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; friends</title><style>p {color: red}</style>"),
+        F.lit("<script>var x = 1 < 2;</script></head><body><p>"),
+        F.regexp_replace("text", r"\s+", "</p>\n<p>"),
+        F.lit('</p><!-- hidden comment --><div class="footer">footer &lt;nav&gt; '),
+        F.lit("&quot;links&quot; &#39;here&#39;&nbsp;end</div></body></html>"),
+    )
+    raw = docs.select("doc_id", html.alias("html"))
+    return (
+        raw.select(
+            "doc_id",
+            html_title(F.col("html")).alias("title"),
+            html_to_text(F.col("html")).alias("clean_text"),
+            F.length("html").cast("long").alias("n_raw"),
+        )
+        .withColumn("n_clean", F.length("clean_text").cast("long"))
+        .withColumn("n_words", F.size(F.split("clean_text", " ")).cast("long"))
+        .orderBy("doc_id")
+    )

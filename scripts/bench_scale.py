@@ -72,6 +72,12 @@ OPS = [
     # doc-side join fans over the token stream — ratio should be
     # linear in rows, nothing worse
     "bpe_encode_stats",
+    # round-5: rank-based tokenizer apply (vocab-bound Arrow pass +
+    # token-stream join — same shape as the fold encode), and the
+    # persisted-PQ serving roundtrip (build once per sf dir; the encode
+    # pass scales with rows, the ADC scan with codes)
+    "bpe_ranked_encode_stats",
+    "ann_pq_index_roundtrip",
 ]
 
 

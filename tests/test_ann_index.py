@@ -75,6 +75,32 @@ def test_append_uses_frozen_codebooks_and_markers(spark, tmp_path):
     assert load_pq_index(spark, path).codes.count() == emb.count()
 
 
+def test_compaction_preserves_codes_and_serving(spark, tmp_path):
+    """After many small appends, compaction rewrites the file layout
+    into a new version without changing a single code — queries against
+    the compacted index are bit-identical."""
+    from etl_weather_spark.operators.ann_index import compact_pq_index
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 30)
+    path = str(tmp_path / "pq_index")
+    build_pq_index(base, path)
+    for i, lo in enumerate(range(30, 90, 20)):
+        chunk = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20))
+        append_pq_index(chunk, path, marker=f"m{i}")
+    before = {
+        tuple([r.vec_id] + list(r.codes))
+        for r in load_pq_index(spark, path).codes.collect()
+    }
+    v = compact_pq_index(spark, path)
+    assert v > 0
+    after_idx = load_pq_index(spark, path)
+    after = {tuple([r.vec_id] + list(r.codes)) for r in after_idx.codes.collect()}
+    assert after == before
+    qs = emb.filter(F.col("vec_id") == 7)
+    assert after_idx.query(emb, qs, k=3, shortlist=30).count() == 3
+
+
 def test_streaming_ingest_matches_batch_encode(spark, tmp_path):
     """Streamed micro-batches land the same code table as one batch
     encode of everything with the frozen codebooks, and a planted

@@ -139,6 +139,42 @@ def test_unigram_logprob_hand_values(spark):
     assert out2[1] > out2[0]
 
 
+def test_html_to_text_extraction(spark):
+    """WET-style extraction on adversarial hand-written HTML: script/
+    style/head contents and comments vanish entirely, tags (incl.
+    attributes and multiline) become spaces, entities decode with
+    &amp; last, whitespace collapses."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.textops import html_title, html_to_text
+
+    rows = [
+        (1, "<html><head><title> Hello &amp; Bye </title>"
+            "<style>body { color: red }</style></head>"
+            "<body><p>one</p><p>two</p></body></html>"),
+        (2, "<div class='x'\n data-v='1'>a</div><script>if (1 < 2) { alert('</p>'); }"
+            "</script><b>b</b>"),
+        (3, "pre &lt;tag&gt; &amp;amp; &quot;q&quot;&nbsp;end"),
+        (4, "<!-- a <b> comment --><span>kept</span><!--x-->"),
+        (5, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {
+        r.id: (r.t, r.x)
+        for r in df.select(
+            "id",
+            html_title(F.col("html")).alias("t"),
+            html_to_text(F.col("html")).alias("x"),
+        ).collect()
+    }
+    assert got[1] == ("Hello & Bye", "one two")
+    assert got[2] == ("", "a b")
+    # &amp;amp; decodes exactly once (&amp; last → "&amp;")
+    assert got[3] == ("", 'pre <tag> &amp; "q" end')
+    assert got[4] == ("", "kept")
+    assert got[5] == ("", "no markup at all")
+
+
 def _py_bpe(vocab: dict[str, int], n_merges: int):
     """Independent pure-Python BPE reference: returns the merge table
     [(left, right, merged, count)] with the same greedy left-to-right
