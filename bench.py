@@ -120,6 +120,10 @@ HEADLINE = [
     "ann_pq_index_roundtrip",
     # WET-style web-text extraction (pure-Catalyst regex chain)
     "html_extract_stats",
+    # mixture-weight EXECUTION (largest-remainder stratified sample) and
+    # PII-class scrub, both content-addressed/deterministic
+    "mixture_stratified_sample",
+    "pii_scrub_stats",
 ]
 
 

@@ -186,6 +186,38 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+#: PII regex classes, scrub order matters: emails first (their local
+#: parts/domains contain digits and dots that the narrower numeric
+#: classes must never see), then IPs before bare digit runs. Patterns
+#: are RE2-and-Java-portable (no lookaround), shared verbatim with the
+#: SQL oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("num16", r"\b\d{16}\b", "<NUM16>"),
+]
+
+
+def pii_count_cols(text: Column) -> list[Column]:
+    """Per-class non-overlapping match counts (n_email, n_ip, ...)."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace every PII match with its class token, in PII_PATTERNS
+    order — the redaction pass a corpus runs before anything persists
+    raw text downstream. Class tokens contain no digits, so earlier
+    replacements can never manufacture later-class matches."""
+    out = text
+    for _name, pat, tok in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
 def token_entropy_profile(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, token_entropy) — per-doc token-level Shannon
     entropy in bits, the cheap perplexity proxy quality filters use

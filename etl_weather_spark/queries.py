@@ -9225,3 +9225,227 @@ def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_words", F.size(F.split("clean_text", " ")).cast("long"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mixture_stratified_sample",
+    """
+WITH per_source AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars_src,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_chars_src) AS BIGINT) AS total FROM per_source),
+wts AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(POW(CAST(n_chars_src AS DOUBLE) / total, 0.7) * 1000000000 + 0.5) AS BIGINT) AS w_scaled
+  FROM per_source CROSS JOIN tot
+),
+norm AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS w_total FROM wts),
+quota AS (
+  SELECT source, n_docs, w_scaled, w_total,
+         (w_scaled * 200) // w_total AS base,
+         (w_scaled * 200) % w_total AS rem
+  FROM wts CROSS JOIN norm
+),
+short AS (SELECT CAST(200 - SUM(base) AS BIGINT) AS leftover FROM quota),
+alloc AS (
+  SELECT source, n_docs,
+         LEAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= leftover
+                           THEN 1 ELSE 0 END,
+               n_docs) AS alloc
+  FROM quota CROSS JOIN short
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5('mix|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS smp_rank
+  FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(r.smp_rank AS BIGINT) AS smp_rank,
+       CAST(a.alloc AS BIGINT) AS alloc
+FROM ranked r JOIN alloc a ON a.source = r.source
+WHERE r.smp_rank <= a.alloc
+ORDER BY r.source, r.smp_rank
+""",
+)
+def mixture_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the temperature mixture: turn mixture_temperature_weights'
+    per-source sampling weights into an actual deterministic sampled
+    corpus of (budget) 200 documents — integer largest-remainder
+    allocation per source (base = floor(w·N/Σw); the leftover seats go
+    to the largest remainders, ties by source), capped at each source's
+    availability, then per-source selection of the alloc lowest
+    md5('mix|'||doc_id) ranks. Content-addressed sampling means re-runs,
+    late-arriving partitions, and both engines pick the IDENTICAL
+    document set — no RNG state anywhere.
+
+    Scale: the allocation math is dimension-sized (#sources rows); the
+    per-source ranking rides the salted two-level top-k
+    (operators/similarity.topk_per_group), so no reducer ever sorts a
+    whole source's documents — the final per-source window sees
+    ≤ n_salt × N survivors.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    n_budget = 200
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars_src"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = per.agg(F.sum("n_chars_src").cast("long").alias("total"))
+    wts = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.pow(F.col("n_chars_src").cast("double") / F.col("total"), F.lit(0.7))
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_scaled"),
+    )
+    norm_t = wts.agg(F.sum("w_scaled").cast("long").alias("w_total"))
+    quota = wts.crossJoin(F.broadcast(norm_t)).select(
+        "source",
+        "n_docs",
+        F.expr(f"(w_scaled * {n_budget}) div w_total").alias("base"),
+        F.expr(f"(w_scaled * {n_budget}) % w_total").alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(n_budget) - F.sum("base")).cast("long").alias("leftover")
+    )
+    seat_rank = F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    alloc = (
+        quota.crossJoin(F.broadcast(short))
+        .withColumn("__seat", seat_rank)
+        .select(
+            "source",
+            F.least(
+                F.col("base")
+                + F.when(F.col("__seat") <= F.col("leftover"), 1).otherwise(0),
+                F.col("n_docs"),
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+    ranked = topk_per_group(
+        d.select(
+            "doc_id",
+            "source",
+            F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))).alias(
+                "__h"
+            ),
+        ).withColumn("__neg", F.lit(0)),
+        group_col="source",
+        k=n_budget,
+        sim_col="__neg",
+        tie_col="__h",
+        rank_col="smp_rank",
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("smp_rank") <= F.col("alloc"))
+        .select("doc_id", "source", F.col("smp_rank").cast("long"), "alloc")
+        .orderBy("source", "smp_rank")
+    )
+
+
+@query(
+    "pii_scrub_stats",
+    r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 7 AS VARCHAR) || '.net or 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 5) % 256 AS VARCHAR) || ' card '
+              || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{16}\b')) AS BIGINT) AS n_num16,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         text,
+         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{16}\b', '<NUM16>', 'g') AS scrubbed,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         text,
+         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{16}\b', '<NUM16>', 'g')) AS BIGINT) AS n_chars_scrubbed
+FROM seeded
+ORDER BY doc_id
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-CLASS detection + redaction (the Dolma/C4-style scrub pass a
+    corpus runs before raw text persists anywhere): deterministic PII
+    — an email, a dashed phone, a dotted-quad IP, a 16-digit number —
+    is seeded into every document in-plan, then
+    operators/textops.pii_scrub masks each class with its token in a
+    fixed order (emails FIRST: their local parts and domains contain
+    digit runs the numeric classes must never see) and pii_count_cols
+    reports per-class match counts.
+
+    The oracle seeds the identical strings and runs the identical
+    RE2-and-Java-portable regexes (no lookaround), so per-class counts
+    AND the fully scrubbed text of every document hash-match char for
+    char — a divergence in pattern semantics, scrub order, or
+    boundary handling breaks the row.
+
+    Scale: per-row regex in whole-stage codegen, no shuffle before the
+    final sort; the scrub composes with the corpus-ingest funnel the
+    same way redact_terms does.
+    """
+    from etl_weather_spark.operators.textops import pii_count_cols, pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".net or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 3) % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 5) % 256).cast("string"),
+        F.lit(" card "),
+        F.lpad(
+            ((F.col("doc_id") * F.lit(2654435761)) % F.lit(10000000000000000))
+            .cast("string"),
+            16,
+            "0",
+        ),
+    )
+    t = docs.select("doc_id", seeded.alias("text"))
+    return (
+        t.select(
+            "doc_id",
+            *[c.cast("long") for c in pii_count_cols(F.col("text"))],
+            pii_scrub(F.col("text")).alias("scrubbed"),
+        )
+        .withColumn("n_chars_scrubbed", F.length("scrubbed").cast("long"))
+        .orderBy("doc_id")
+    )

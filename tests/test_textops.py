@@ -175,6 +175,38 @@ def test_html_to_text_extraction(spark):
     assert got[5] == ("", "no markup at all")
 
 
+def test_pii_scrub_classes_and_order(spark):
+    """Each PII class detects and masks independently; emails scrub
+    FIRST so their digit runs never feed the numeric classes; class
+    tokens never cascade into new matches."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.operators.textops import pii_count_cols, pii_scrub
+
+    rows = [
+        (1, "mail a.b-c_9@host.co and x9@y.io twice"),
+        (2, "call 555-123-4567 or 555-000-1111 now"),
+        (3, "host 192.168.0.1 and 10.0.0.255"),
+        (4, "card 1234567890123456 ok, short 123456789012345 no"),
+        (5, "mixed u1@a.io 1.2.3.4 111-222-3333 0000111122223333"),
+        (6, "clean text with numbers 12 and dots. end"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: (r.n_email, r.n_ip, r.n_phone, r.n_num16, r.s)
+        for r in df.select(
+            "id", *pii_count_cols(F.col("t")), pii_scrub(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert got[1][:4] == (2, 0, 0, 0) and got[1][4] == "mail <EMAIL> and <EMAIL> twice"
+    assert got[2][:4] == (0, 0, 2, 0)
+    assert got[3][:4] == (0, 2, 0, 0) and got[3][4] == "host <IP> and <IP>"
+    assert got[4][:4] == (0, 0, 0, 1)
+    assert got[4][4] == "card <NUM16> ok, short 123456789012345 no"
+    assert got[5][4] == "mixed <EMAIL> <IP> <PHONE> <NUM16>"
+    assert got[6][:4] == (0, 0, 0, 0) and got[6][4] == rows[5][1]
+
+
 def _py_bpe(vocab: dict[str, int], n_merges: int):
     """Independent pure-Python BPE reference: returns the merge table
     [(left, right, merged, count)] with the same greedy left-to-right
