@@ -124,6 +124,8 @@ HEADLINE = [
     # PII-class scrub, both content-addressed/deterministic
     "mixture_stratified_sample",
     "pii_scrub_stats",
+    # Gopher n-gram repetition gate (dup-bigram/trigram char coverage)
+    "ngram_repetition",
 ]
 
 

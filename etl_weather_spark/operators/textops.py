@@ -7,7 +7,7 @@ exposed as an oracle-checked query in queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_weather_spark.functions.rounding import rnd
@@ -216,6 +216,130 @@ def pii_scrub(text: Column) -> Column:
     for _name, pat, tok in PII_PATTERNS:
         out = F.regexp_replace(out, pat, tok)
     return out
+
+
+def ngram_repetition_profile(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Gopher-rule n-gram repetition signals per document (Rae et al.
+    2021, "Scaling Language Models", Table A1): the fraction of a
+    document's CHARACTERS covered by duplicated word n-grams (n=2,3)
+    plus the top-bigram character share. token_repetition covers the
+    unigram family; this is the n-gram half of the rule set — the
+    standard pre-training quality gate that catches boilerplate and
+    looping generations that unigram stats miss.
+
+    Coverage semantics match the reference implementations: a token is
+    "covered" for n if ANY duplicated n-gram's occurrence span contains
+    it, i.e. a duplicated n-gram starts at one of the previous n-1
+    positions or at the token itself — computed as a windowed MAX of
+    the duplicate-start flag over ``ROWS BETWEEN n-1 PRECEDING AND
+    CURRENT ROW``, so overlapping occurrences never double-count. The
+    top-bigram share is the classic occurrences×gram_chars / tok_chars
+    approximation (overlaps DO double-count there, by definition).
+
+    Determinism: coverage and counts are pure integers; the two
+    fractions round once at 6 dp; the top bigram tie-breaks (count
+    desc, bigram asc). Scale: every shuffle is keyed by doc_id or
+    (doc_id, gram) — document size is bounded, so no window partition
+    outgrows an executor; no Python, no explode beyond 1 row/token.
+    """
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        F.col("doc_id"), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    g = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.lead("tok", 1).over(w_pos).alias("nxt1"),
+        F.lead("tok", 2).over(w_pos).alias("nxt2"),
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.col("nxt1").isNotNull(), F.concat_ws(" ", "tok", "nxt1")
+        ).alias("bigram"),
+        F.when(
+            F.col("nxt2").isNotNull(), F.concat_ws(" ", "tok", "nxt1", "nxt2")
+        ).alias("trigram"),
+    )
+    gc = g.select(
+        "*",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "bigram")).alias("cnt2"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "trigram")).alias("cnt3"),
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        "bigram",
+        "cnt2",
+        F.when(F.col("bigram").isNotNull() & (F.col("cnt2") >= 2), 1)
+        .otherwise(0)
+        .alias("dup2"),
+        F.when(F.col("trigram").isNotNull() & (F.col("cnt3") >= 2), 1)
+        .otherwise(0)
+        .alias("dup3"),
+    )
+    cov = gc.select(
+        "doc_id",
+        "tok",
+        "bigram",
+        "cnt2",
+        F.max("dup2").over(w_pos.rowsBetween(-1, 0)).alias("covered2"),
+        F.max("dup3").over(w_pos.rowsBetween(-2, 0)).alias("covered3"),
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.length("tok")).cast("long").alias("tok_chars"),
+        F.sum(F.when(F.col("covered2") == 1, F.length("tok")).otherwise(0))
+        .cast("long")
+        .alias("covered2_chars"),
+        F.sum(F.when(F.col("covered3") == 1, F.length("tok")).otherwise(0))
+        .cast("long")
+        .alias("covered3_chars"),
+    )
+    top = (
+        g.filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("top2_count"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("top2_count"), F.asc("bigram")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"), "top2_count")
+    )
+    return (
+        per_doc.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_chars",
+            "covered2_chars",
+            "covered3_chars",
+            rnd(
+                F.col("covered2_chars").cast("double") / F.col("tok_chars"), 6
+            ).alias("dup2_char_frac"),
+            rnd(
+                F.col("covered3_chars").cast("double") / F.col("tok_chars"), 6
+            ).alias("dup3_char_frac"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top2_count", F.lit(0).cast("long")).alias("top2_count"),
+            rnd(
+                F.coalesce(
+                    F.col("top2_count") * (F.length("top_bigram") - 1), F.lit(0)
+                ).cast("double")
+                / F.col("tok_chars"),
+                6,
+            ).alias("top2_char_share"),
+            (F.col("covered2_chars") * 4 > F.col("tok_chars")).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def token_entropy_profile(docs: DataFrame, *, text_col: str = "text") -> DataFrame:

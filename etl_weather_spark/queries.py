@@ -9449,3 +9449,105 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_chars_scrubbed", F.length("scrubbed").cast("long"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ngram_repetition",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+toks_f AS (SELECT * FROM toks WHERE tok <> ''),
+g AS (
+  SELECT doc_id, pos, tok,
+         LEAD(tok, 1) OVER w AS nxt1,
+         LEAD(tok, 2) OVER w AS nxt2
+  FROM toks_f
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g2 AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN nxt1 IS NULL THEN NULL
+              ELSE tok || ' ' || nxt1 END AS bigram,
+         CASE WHEN nxt2 IS NULL THEN NULL
+              ELSE tok || ' ' || nxt1 || ' ' || nxt2 END AS trigram
+  FROM g
+),
+gc AS (
+  SELECT doc_id, pos, tok, bigram,
+         CASE WHEN bigram IS NOT NULL
+                   AND COUNT(*) OVER (PARTITION BY doc_id, bigram) >= 2
+              THEN 1 ELSE 0 END AS dup2,
+         CASE WHEN trigram IS NOT NULL
+                   AND COUNT(*) OVER (PARTITION BY doc_id, trigram) >= 2
+              THEN 1 ELSE 0 END AS dup3
+  FROM g2
+),
+cov AS (
+  SELECT doc_id, tok,
+         MAX(dup2) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS covered2,
+         MAX(dup3) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered3
+  FROM gc
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(LENGTH(tok)) AS BIGINT) AS tok_chars,
+         CAST(SUM(CASE WHEN covered2 = 1 THEN LENGTH(tok) ELSE 0 END) AS BIGINT)
+           AS covered2_chars,
+         CAST(SUM(CASE WHEN covered3 = 1 THEN LENGTH(tok) ELSE 0 END) AS BIGINT)
+           AS covered3_chars
+  FROM cov GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, bigram AS top_bigram, top2_count
+  FROM (
+    SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS top2_count,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, bigram ASC) AS rn
+    FROM g2 WHERE bigram IS NOT NULL
+    GROUP BY doc_id, bigram
+  ) WHERE rn = 1
+)
+SELECT p.doc_id, p.n_tokens, p.tok_chars, p.covered2_chars, p.covered3_chars,
+       FLOOR(CAST(p.covered2_chars AS DOUBLE) / p.tok_chars * 1000000 + 0.5) / 1000000
+         AS dup2_char_frac,
+       FLOOR(CAST(p.covered3_chars AS DOUBLE) / p.tok_chars * 1000000 + 0.5) / 1000000
+         AS dup3_char_frac,
+       COALESCE(t.top_bigram, '') AS top_bigram,
+       COALESCE(t.top2_count, 0) AS top2_count,
+       FLOOR(CAST(COALESCE(t.top2_count * (LENGTH(t.top_bigram) - 1), 0) AS DOUBLE)
+             / p.tok_chars * 1000000 + 0.5) / 1000000 AS top2_char_share,
+       p.covered2_chars * 4 > p.tok_chars AS is_repetitive
+FROM per_doc p LEFT JOIN top t ON t.doc_id = p.doc_id
+ORDER BY p.doc_id
+""",
+)
+def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER n-gram repetition gate (Rae et al. 2021, Table A1 — the
+    rule family every pre-training corpus runs after the unigram stats
+    in token_repetition): per document, the fraction of CHARACTERS
+    covered by duplicated word bigrams/trigrams plus the top-bigram
+    character share, and the classic >25% duplicate-bigram-coverage
+    repetitive flag.
+
+    Coverage is positional (a token counts once no matter how many
+    duplicated n-grams overlap it): a duplicate-START flag per position,
+    then a windowed MAX over ``ROWS BETWEEN n-1 PRECEDING AND CURRENT
+    ROW`` marks every token inside any duplicated occurrence — both
+    engines run the identical window algebra, so the match is exact.
+    The repetitive flag compares integers (covered*4 > chars), no float
+    boundary anywhere; fractions round once at 6 dp.
+
+    Scale: all shuffles are keyed doc_id or (doc_id, gram) and document
+    length is bounded, so no window partition outgrows an executor; one
+    explode row per token, everything else whole-stage codegen.
+    """
+    from etl_weather_spark.operators.textops import ngram_repetition_profile
+
+    return ngram_repetition_profile(load(spark, sf_dir, "documents"))

@@ -207,6 +207,51 @@ def test_pii_scrub_classes_and_order(spark):
     assert got[6][:4] == (0, 0, 0, 0) and got[6][4] == rows[5][1]
 
 
+def test_ngram_repetition_coverage_semantics(spark):
+    """Positional coverage: a token counts once no matter how many
+    duplicated n-grams overlap it; unique-gram docs get zero coverage;
+    the top-bigram share uses the occurrences×chars approximation."""
+    from etl_weather_spark.operators.textops import ngram_repetition_profile
+
+    rows = [
+        # "a b" occurs twice (starts 0 and 2) -> tokens 0..3 covered,
+        # token 4 ('c') not; trigrams all distinct -> covered3 = 0
+        (1, "a b a b c"),
+        # fully repetitive loop: every bigram/trigram duplicated
+        (2, "x y x y x y x y"),
+        # no duplicated n-grams at all
+        (3, "p q r s t"),
+        # overlapping occurrences of "z z": starts 0,1,2 -> all covered;
+        # trigram "z z z" dup (starts 0,1) -> all covered
+        (4, "z z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in ngram_repetition_profile(df).collect()}
+
+    d1 = got[1]
+    assert (d1["n_tokens"], d1["tok_chars"]) == (5, 5)
+    assert (d1["covered2_chars"], d1["covered3_chars"]) == (4, 0)
+    assert d1["dup2_char_frac"] == 0.8 and d1["dup3_char_frac"] == 0.0
+    assert (d1["top_bigram"], d1["top2_count"]) == ("a b", 2)
+    assert d1["top2_char_share"] == 0.8  # 2 occurrences x 2 chars / 5
+    assert d1["is_repetitive"] is True  # 4*4 > 5
+
+    d2 = got[2]
+    assert d2["covered2_chars"] == d2["tok_chars"] == 8
+    assert d2["covered3_chars"] == 8 and d2["is_repetitive"] is True
+
+    d3 = got[3]
+    assert d3["covered2_chars"] == 0 and d3["covered3_chars"] == 0
+    assert d3["dup2_char_frac"] == 0.0 and d3["is_repetitive"] is False
+    assert d3["top2_count"] == 1  # ties break lexicographically
+    assert d3["top_bigram"] == "p q"
+
+    d4 = got[4]
+    assert d4["covered2_chars"] == 4 and d4["covered3_chars"] == 4
+    assert (d4["top_bigram"], d4["top2_count"]) == ("z z", 3)
+    assert d4["top2_char_share"] == 1.5  # overlap double-counts by definition
+
+
 def _py_bpe(vocab: dict[str, int], n_merges: int):
     """Independent pure-Python BPE reference: returns the merge table
     [(left, right, merged, count)] with the same greedy left-to-right
