@@ -126,6 +126,10 @@ HEADLINE = [
     "pii_scrub_stats",
     # Gopher n-gram repetition gate (dup-bigram/trigram char coverage)
     "ngram_repetition",
+    # distributed Lloyd k-means (iterative numeric fixpoint, 3 rounds)
+    "kmeans_embedding_clusters",
+    # C4-style global sentence dedup with per-doc text rebuild
+    "sentence_dedup_global",
 ]
 
 

@@ -1517,3 +1517,84 @@ def cc_large_small_star(
     )
     nodes.unpersist()
     return result
+
+
+def global_sentence_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sent_tokens: int = 8,
+) -> DataFrame:
+    """C4-style GLOBAL sentence dedup: split every document into fixed
+    ``sent_tokens``-token pseudo-sentences, keep only the corpus-FIRST
+    occurrence of each distinct sentence (lowest doc id, then lowest
+    position within it), and rebuild each document's surviving text —
+    the span-removal dedup C4 runs at three-sentence grain (Raffel et
+    al. 2020 §2.2); the corpus here has no sentence boundaries, so the
+    grain is a fixed token window.
+
+    Returns one row per document: (doc_id, n_sents, kept_sents,
+    removed_sents, dedup_text, n_chars_kept).
+
+    Scale: the dedup shuffles 8-byte ``xxhash64(sentence)`` keys, never
+    sentence strings (the Lee-et-al hashed-shingle acceptance — a
+    collision needs ~1e-10 odds at 1e5 sentences); keeper resolution is
+    two partial-agg groupBys (min doc, then min position within it),
+    NOT a per-sentence window, so a boilerplate sentence repeated a
+    million times costs a combiner, not a single hot reducer. The
+    rebuild sorts only within one document (array_sort of bounded
+    per-doc lists).
+    """
+    t = F.split(F.col(text_col), " ")
+    n_windows = F.ceil(F.size(t) / F.lit(float(sent_tokens))).cast("int")
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(t, i * sent_tokens + 1, sent_tokens), " "
+                ),
+            )
+        ).alias("sent_idx", "sent"),
+    ).withColumn("h", F.xxhash64("sent"))
+    kd = sents.groupBy("h").agg(F.min("doc_id").alias("kd"))
+    ki = (
+        sents.join(kd, "h")
+        .filter(F.col("doc_id") == F.col("kd"))
+        .groupBy("h", "kd")
+        .agg(F.min("sent_idx").alias("ki"))
+    )
+    kept = sents.join(ki, "h").filter(
+        (F.col("doc_id") == F.col("kd")) & (F.col("sent_idx") == F.col("ki"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_sents"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sent"))),
+                lambda x: x["sent"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    totals = sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sents")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sents",
+            F.coalesce("kept_sents", F.lit(0).cast("long")).alias("kept_sents"),
+            (F.col("n_sents") - F.coalesce("kept_sents", F.lit(0).cast("long")))
+            .cast("long")
+            .alias("removed_sents"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+            F.length(F.coalesce("dedup_text", F.lit("")))
+            .cast("long")
+            .alias("n_chars_kept"),
+        )
+        .orderBy("doc_id")
+    )

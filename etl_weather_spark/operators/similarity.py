@@ -726,3 +726,119 @@ def cosine_topk_ivf(
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
     return topk_per_group(scored, group_col="query_id", k=k)
+
+
+# ---------------------------------------------------------------------------
+# Fully-distributed Lloyd k-means with exact cross-engine parity.
+# train_ivf_centroids above is the production quantizer (pyspark.ml,
+# driver-held float centroids); THIS one keeps every step — assignment,
+# mean recompute, empty-cluster carry-over — inside the engine as plain
+# relational algebra over quantized integers, so a SQL oracle replays
+# the entire iteration history bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Distributed Lloyd k-means: (vec_id, cluster, qdist) after
+    ``iters`` assignment/update rounds from deterministic seeds (the k
+    lowest-id vectors, components rounded at 6 dp).
+
+    Exactness discipline (what makes another engine reproduce this
+    bit-for-bit, which float k-means never allows):
+
+    - squared distances accumulate as INTEGERS — each per-component
+      ``(x-c)²`` is quantized ``floor(d*1e12+0.5)`` and summed as a
+      long, so accumulation order cannot matter;
+    - centroid means accumulate 1e7-quantized components in decimal
+      (the dsum pattern) and round once at 6 dp, so every round's
+      centroid table is a pure function of the data;
+    - argmin ties break on the lower cluster id; empty clusters carry
+      the previous round's centroid forward (LEFT JOIN + COALESCE).
+
+    Scale: per round, the k·D centroid table broadcasts against the
+    exploded (vec_id, pos, x) components — the N·D·k fanout collapses
+    map-side into (vec_id, cluster) partial sums before the shuffle;
+    the mean recompute is one more (cluster, pos)-keyed agg. Lineage is
+    truncated with ``localCheckpoint`` every ``checkpoint_every``
+    rounds (the CC/BPE lesson) so production iteration counts do not
+    build an iters-deep plan; demo-sized runs stay lazy.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    comp = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"),
+    )
+    seeds = (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cluster", F.row_number().over(Window.orderBy("vec_id")) - F.lit(1)
+        )
+    )
+    cent = comp.join(F.broadcast(seeds), "vec_id").select(
+        "cluster", "pos", rnd(F.col("x"), 6).alias("c")
+    )
+    assign = None
+    for rounds_done in range(1, iters + 1):
+        d = F.col("x") - F.col("c")
+        dist = (
+            comp.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    F.floor(d * d * F.lit(1000000000000) + F.lit(0.5)).cast("long")
+                ).alias("qd")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("qd"), F.asc("cluster"))
+        assign = (
+            dist.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "cluster", F.col("qd").alias("qdist"))
+        )
+        if rounds_done == iters:
+            break
+        means = (
+            assign.join(comp, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.lit(10000000) + F.lit(0.5))
+                    .cast("long")
+                    .cast("decimal(28,0)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                (
+                    F.floor(
+                        (F.col("s").cast("double") / F.lit(10000000) / F.col("n"))
+                        * F.lit(1000000)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1000000)
+                ).alias("c"),
+            )
+        )
+        cent = (
+            cent.alias("p")
+            .join(means.alias("m"), ["cluster", "pos"], "left")
+            .select(
+                "cluster", "pos", F.coalesce(F.col("m.c"), F.col("p.c")).alias("c")
+            )
+        )
+        if rounds_done % checkpoint_every == 0:
+            cent = cent.localCheckpoint()
+    return assign

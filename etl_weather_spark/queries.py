@@ -9551,3 +9551,164 @@ def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_weather_spark.operators.textops import ngram_repetition_profile
 
     return ngram_repetition_profile(load(spark, sf_dir, "documents"))
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-iteration SQL twin of operators/similarity.kmeans_lloyd:
+    one dist/asg/cent CTE triple per Lloyd round, each step the same
+    quantized-integer algebra the Spark operator runs."""
+    ctes = [
+        """comp AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)""",
+        f"""seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        """cent0 AS (
+  SELECT s.cluster, comp.pos, FLOOR(comp.x * 1000000 + 0.5) / 1000000 AS c
+  FROM seeds s JOIN comp ON comp.vec_id = s.vec_id
+)""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"""dist{i} AS (
+  SELECT comp.vec_id, cc.cluster,
+         CAST(SUM(CAST(FLOOR((comp.x - cc.c) * (comp.x - cc.c)
+                             * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS qd
+  FROM comp JOIN {prev} cc ON cc.pos = comp.pos
+  GROUP BY comp.vec_id, cc.cluster
+)"""
+        )
+        ctes.append(
+            f"""asg{i} AS (
+  SELECT vec_id, cluster, qd FROM (
+    SELECT vec_id, cluster, qd,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY qd ASC, cluster ASC) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""cent{i} AS (
+  SELECT p.cluster, p.pos, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT a.cluster, comp.pos,
+           FLOOR((CAST(SUM(CAST(FLOOR(comp.x * 10000000 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 10000000 / COUNT(*)) * 1000000 + 0.5)
+             / 1000000 AS c
+    FROM asg{i} a JOIN comp ON comp.vec_id = a.vec_id
+    GROUP BY a.cluster, comp.pos
+  ) m ON m.cluster = p.cluster AND m.pos = p.pos
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, a.qd AS qdist, e.label
+FROM asg{iters} a JOIN embeddings e ON e.vec_id = a.vec_id
+ORDER BY a.vec_id"""
+    )
+
+
+@query("kmeans_embedding_clusters", _kmeans_oracle(k=4, iters=3))
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-DISTRIBUTED Lloyd k-means over the embedding corpus
+    (operators/similarity.kmeans_lloyd): 3 assignment/update rounds,
+    k=4, from deterministic lowest-id seeds — the clustering step of a
+    semantic-dedup / data-curation pipeline, run entirely as relational
+    algebra (no driver-held centroids, unlike the pyspark.ml quantizer
+    in train_ivf_centroids).
+
+    This is the registry's iterative NUMERIC fixpoint proof: squared
+    distances accumulate as 1e12-quantized integers and centroid means
+    as 1e7-quantized decimal sums rounded once at 6 dp, so the DuckDB
+    twin (one unrolled CTE triple per round, generated by
+    _kmeans_oracle) replays the full iteration history bit-for-bit —
+    assignments, tie-breaks, empty-cluster carry-over and all.
+
+    Scale: per round, the k·D centroid table broadcasts against the
+    exploded components and the N·D·k fanout collapses map-side into
+    (vec_id, cluster) partial sums; lineage truncates via
+    localCheckpoint every checkpoint_every rounds for production
+    iteration counts (lazy at this demo depth).
+    """
+    from etl_weather_spark.operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    asg = kmeans_lloyd(emb, k=4, iters=3)
+    return (
+        asg.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            "qdist",
+            "label",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "sentence_dedup_global",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS sent_idx,
+         array_to_string(t[g.i*8+1:g.i*8+8], ' ') AS sent
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(CEIL(len(t)/8.0) AS BIGINT) - 1)) AS i
+  ) g
+),
+kd AS (SELECT sent, MIN(doc_id) AS kd FROM s GROUP BY sent),
+ki AS (
+  SELECT s.sent, k.kd, MIN(s.sent_idx) AS ki
+  FROM s JOIN kd k ON k.sent = s.sent AND s.doc_id = k.kd
+  GROUP BY s.sent, k.kd
+),
+kept AS (
+  SELECT s.doc_id, s.sent_idx, s.sent
+  FROM s JOIN ki ON ki.sent = s.sent
+   AND s.doc_id = ki.kd AND s.sent_idx = ki.ki
+),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_sents,
+         string_agg(sent, ' ' ORDER BY sent_idx) AS dedup_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents FROM s GROUP BY doc_id)
+SELECT t.doc_id, t.n_sents,
+       COALESCE(r.kept_sents, 0) AS kept_sents,
+       t.n_sents - COALESCE(r.kept_sents, 0) AS removed_sents,
+       COALESCE(r.dedup_text, '') AS dedup_text,
+       CAST(LENGTH(COALESCE(r.dedup_text, '')) AS BIGINT) AS n_chars_kept
+FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def sentence_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style GLOBAL sentence dedup (Raffel et al. 2020 §2.2, at
+    fixed 8-token grain since the corpus has no sentence boundaries):
+    every pseudo-sentence survives only at its corpus-first occurrence
+    (lowest doc_id, then lowest position), and each document's
+    surviving text is REBUILT in order — the whole-corpus span-removal
+    step that runs after per-doc quality gates and before training.
+
+    The Spark side shuffles 8-byte xxhash64 sentence keys; the oracle
+    replays with exact sentence strings (identical modulo a ~1e-10
+    64-bit collision — the same hashed-twin acceptance as
+    exact_substring_spans). Keeper resolution is two partial-agg
+    groupBys, never a per-sentence window, so boilerplate repeated a
+    million times costs a combiner, not a hot reducer; the rebuild
+    sorts only within single documents.
+    """
+    from etl_weather_spark.operators.dedup import global_sentence_dedup
+
+    return global_sentence_dedup(load(spark, sf_dir, "documents"), sent_tokens=8)

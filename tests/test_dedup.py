@@ -689,3 +689,40 @@ def test_cluster_safe_split_no_cross_split_near_dups(spark, sf_dir):
     assert len(pairs) > 0  # corpus has planted near-dups; test is live
     for p in pairs:
         assert out[p.id_a][1] == out[p.id_b][1], (p.id_a, p.id_b)
+
+
+def test_global_sentence_dedup_keeper_and_rebuild(spark):
+    """Corpus-first occurrence survives (lowest doc, then lowest
+    position); later occurrences — including within the keeper doc —
+    are removed; rebuilt text preserves sentence order; a doc whose
+    every sentence is seen earlier elsewhere rebuilds to ''."""
+    from etl_weather_spark.operators.dedup import global_sentence_dedup
+
+    rows = [
+        # doc 1: sentences A B A  (A repeats within the doc)
+        (1, "a1 a2 b1 b2 a1 a2"),
+        # doc 2: sentences B C    (B already seen in doc 1)
+        (2, "b1 b2 c1 c2"),
+        # doc 3: sentences A B    (everything seen earlier -> empty)
+        (3, "a1 a2 b1 b2"),
+        # doc 4: a short tail window, unique
+        (4, "d1 d2 d3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in global_sentence_dedup(df, sent_tokens=2).collect()
+    }
+    d1 = got[1]
+    assert (d1["n_sents"], d1["kept_sents"], d1["removed_sents"]) == (3, 2, 1)
+    assert d1["dedup_text"] == "a1 a2 b1 b2"
+    d2 = got[2]
+    assert (d2["kept_sents"], d2["removed_sents"]) == (1, 1)
+    assert d2["dedup_text"] == "c1 c2"
+    d3 = got[3]
+    assert (d3["kept_sents"], d3["removed_sents"]) == (0, 2)
+    assert d3["dedup_text"] == "" and d3["n_chars_kept"] == 0
+    d4 = got[4]
+    # 3 tokens at 2-token grain -> windows "d1 d2" and "d3"
+    assert (d4["n_sents"], d4["kept_sents"]) == (2, 2)
+    assert d4["dedup_text"] == "d1 d2 d3"

@@ -275,3 +275,106 @@ def test_ivf_cells_seeded_sparse_offset_ids(spark):
     cells = {r.cell for r in out}
     # K = ceil(sqrt(9)) = 3 centroids, all drawn from the actual id space
     assert cells <= {1000, 1001, 1002} and len(cells) >= 1
+
+
+def _py_lloyd(vecs: dict[int, list[float]], k: int, iters: int):
+    """Independent pure-Python replay of kmeans_lloyd's quantized
+    algebra: float64 components, 6-dp-rounded centroids, integer
+    1e12-quantized squared distances, 1e7-quantized decimal means,
+    ties to the lower cluster, empty clusters carried forward."""
+    import math
+
+    def r6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    ids = sorted(vecs)
+    cent = {c: [r6(x) for x in vecs[i]] for c, i in enumerate(ids[:k])}
+    asg = {}
+    for it in range(iters):
+        asg = {}
+        for i in ids:
+            best = None
+            for c in sorted(cent):
+                qd = sum(
+                    math.floor((x - cx) * (x - cx) * 1_000_000_000_000 + 0.5)
+                    for x, cx in zip(vecs[i], cent[c])
+                )
+                if best is None or qd < best[0]:
+                    best = (qd, c)
+            asg[i] = best
+        if it == iters - 1:
+            break
+        for c in sorted(cent):
+            members = [i for i in ids if asg[i][1] == c]
+            if not members:
+                continue
+            cent[c] = [
+                math.floor(
+                    (
+                        sum(
+                            math.floor(vecs[i][p] * 10_000_000 + 0.5)
+                            for i in members
+                        )
+                        / 10_000_000
+                        / len(members)
+                    )
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+                for p in range(len(cent[c]))
+            ]
+    return {i: (qd, c) for i, (qd, c) in asg.items()}
+
+
+def test_kmeans_lloyd_matches_pure_python_replay(spark):
+    """The distributed operator and an independent sequential Lloyd
+    implementation agree on every assignment AND every quantized
+    distance after 3 rounds on adversarially unstructured data."""
+    import random
+
+    from etl_weather_spark.operators.similarity import kmeans_lloyd
+
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: replay sees the same float32-rounded values
+    stored = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in df.select("vec_id", "embedding").collect()
+    }
+    got = {
+        r.vec_id: (r.qdist, r.cluster)
+        for r in kmeans_lloyd(df, k=3, iters=3).collect()
+    }
+    want = _py_lloyd(stored, k=3, iters=3)
+    assert got == want
+
+
+def test_kmeans_lloyd_separates_blobs_and_carries_empty(spark):
+    """Two well-separated blobs with k=2 split perfectly in 2 rounds;
+    duplicate seeds leave one cluster empty without crashing (its
+    centroid carries forward)."""
+    from etl_weather_spark.operators.similarity import kmeans_lloyd
+
+    blob = [(i, [10.0 + 0.01 * i, 10.0]) for i in range(5)] + [
+        (i, [-10.0 - 0.01 * i, -10.0]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(blob, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster for r in kmeans_lloyd(df, k=2, iters=2).collect()}
+    pos, neg = {out[i] for i in range(5)}, {out[i] for i in range(5, 10)}
+    assert len(pos) == 1 and len(neg) == 1 and pos != neg
+
+    dup = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # seeds 0 and 1 are identical -> round 1 ties everything to cluster
+    # 0 and cluster 1 goes EMPTY; its carried-forward centroid [1,1]
+    # then wins the [1,1] vectors back once cluster 0's mean drifts
+    # toward [5,5] — no NaN, no lost rows, correct Lloyd dynamics
+    res = {r.vec_id: r.cluster for r in kmeans_lloyd(dup, k=2, iters=3).collect()}
+    assert len(res) == 3 and res[0] == res[1] == 1 and res[2] == 0
