@@ -130,6 +130,10 @@ HEADLINE = [
     "kmeans_embedding_clusters",
     # C4-style global sentence dedup with per-doc text rebuild
     "sentence_dedup_global",
+    # CCNet-style per-source boilerplate strip (seeded headers)
+    "boilerplate_strip",
+    # Okapi BM25 keyword retrieval (salted top-20)
+    "bm25_topk",
 ]
 
 

@@ -1519,6 +1519,34 @@ def cc_large_small_star(
     return result
 
 
+def _sentence_windows(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sent_tokens: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, [keep_cols...], sent_idx, sent): fixed non-overlapping
+    ``sent_tokens``-token pseudo-sentence windows per document (the last
+    window keeps its short tail). Shared grain for the sentence-level
+    corpus ops below."""
+    t = F.split(F.col(text_col), " ")
+    n_windows = F.ceil(F.size(t) / F.lit(float(sent_tokens))).cast("int")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(t, i * sent_tokens + 1, sent_tokens), " "
+                ),
+            )
+        ).alias("sent_idx", "sent"),
+    )
+
+
 def global_sentence_dedup(
     docs: DataFrame,
     *,
@@ -1595,6 +1623,84 @@ def global_sentence_dedup(
             F.length(F.coalesce("dedup_text", F.lit("")))
             .cast("long")
             .alias("n_chars_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def strip_boilerplate_sentences(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    sent_tokens: int = 8,
+    frac_num: int = 2,
+    frac_den: int = 5,
+) -> DataFrame:
+    """CCNet-style BOILERPLATE removal: inside each ``group_col``
+    (source/domain), any pseudo-sentence present in at least
+    ``frac_num/frac_den`` of the group's documents is boilerplate
+    (headers, footers, subscribe banners) and is stripped from EVERY
+    document — the frequency-based companion to global_sentence_dedup's
+    first-occurrence rule (CCNet does this at paragraph grain;
+    Wenzek et al. 2020 §3.1).
+
+    Returns (doc_id, group, n_sents, boiler_removed, clean_text,
+    n_chars_clean) per document.
+
+    The threshold compares integers (nd·den >= num·n_docs) so no float
+    boundary exists. Scale: document frequency per (group, sentence)
+    shuffles 8-byte xxhash64 keys with map-side partial distinct; the
+    boilerplate set per group is tiny (it must appear in >=40% of docs
+    to qualify) and the strip is a left_anti join on (group, hash);
+    rebuild sorts only within documents.
+    """
+    sents = _sentence_windows(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        sent_tokens=sent_tokens,
+        keep_cols=(group_col,),
+    ).withColumn("h", F.xxhash64("sent"))
+    n_docs = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    freq = sents.groupBy(group_col, "h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    boiler = (
+        freq.join(F.broadcast(n_docs), group_col)
+        .filter(F.col("nd") * F.lit(frac_den) >= F.lit(frac_num) * F.col("n_docs"))
+        .select(group_col, "h")
+    )
+    kept = sents.join(boiler, [group_col, "h"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_sents"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sent"))),
+                lambda x: x["sent"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = sents.groupBy("doc_id", group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sents")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            group_col,
+            "n_sents",
+            (F.col("n_sents") - F.coalesce("kept_sents", F.lit(0).cast("long")))
+            .cast("long")
+            .alias("boiler_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.length(F.coalesce("clean_text", F.lit("")))
+            .cast("long")
+            .alias("n_chars_clean"),
         )
         .orderBy("doc_id")
     )

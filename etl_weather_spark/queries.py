@@ -9712,3 +9712,211 @@ def sentence_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_weather_spark.operators.dedup import global_sentence_dedup
 
     return global_sentence_dedup(load(spark, sf_dir, "documents"), sent_tokens=8)
+
+
+@query(
+    "boilerplate_strip",
+    """
+WITH corpus AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 < 2
+              THEN 'follow ' || source ||
+                   ' on our channel subscribe for daily ' || text
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM corpus),
+s AS (
+  SELECT doc_id, source, CAST(g.i AS BIGINT) AS sent_idx,
+         array_to_string(t[g.i*8+1:g.i*8+8], ' ') AS sent
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(CEIL(len(t)/8.0) AS BIGINT) - 1)) AS i
+  ) g
+),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM corpus GROUP BY source),
+freq AS (
+  SELECT source, sent, COUNT(DISTINCT doc_id) AS ndocs
+  FROM s GROUP BY source, sent
+),
+boiler AS (
+  SELECT f.source, f.sent
+  FROM freq f JOIN nd ON nd.source = f.source
+  WHERE f.ndocs * 5 >= 2 * nd.n_docs
+),
+kept AS (
+  SELECT s.doc_id, s.sent_idx, s.sent
+  FROM s LEFT JOIN boiler b ON b.source = s.source AND b.sent = s.sent
+  WHERE b.sent IS NULL
+),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_sents,
+         string_agg(sent, ' ' ORDER BY sent_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_sents
+  FROM s GROUP BY doc_id, source
+)
+SELECT t.doc_id, t.source, t.n_sents,
+       t.n_sents - COALESCE(r.kept_sents, 0) AS boiler_removed,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(LENGTH(COALESCE(r.clean_text, '')) AS BIGINT) AS n_chars_clean
+FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style BOILERPLATE removal (Wenzek et al. 2020 §3.1, at the
+    corpus's fixed 8-token grain): a deterministic per-source subscribe
+    header is seeded onto 2/3 of each source's documents IN-PLAN (the
+    corpus has no natural boilerplate — same seeding pattern as
+    pii_scrub_stats), then operators/dedup.strip_boilerplate_sentences
+    strips every pseudo-sentence present in >=40% of its source's
+    documents and rebuilds the surviving text. The seeded header is
+    exactly one window, so cleaned seeded docs must byte-equal their
+    original text — the oracle hash-checks that invariant corpus-wide.
+
+    Thresholding is integer (nd*5 >= 2*n_docs); the Spark side shuffles
+    xxhash64 sentence keys while the oracle replays exact strings (the
+    hashed-twin acceptance); the boilerplate set is broadcast-sized by
+    construction (>=40% frequency).
+    """
+    from etl_weather_spark.operators.dedup import strip_boilerplate_sentences
+
+    docs = load(spark, sf_dir, "documents")
+    header = F.concat_ws(
+        " ",
+        F.lit("follow"),
+        F.col("source"),
+        F.lit("on our channel subscribe for daily"),
+    )
+    corpus = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 < 2, F.concat_ws(" ", header, F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_boilerplate_sentences(corpus, frac_num=2, frac_den=5)
+
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ('table', 'scan', 'merge')
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+per_term AS (
+  SELECT tf.doc_id,
+         FLOOR(((FLOOR(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * 10000 + 0.5) / 10000)
+                * ((tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                                     / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))))
+               * 1000000 + 0.5) / 1000000 AS s6
+  FROM tf
+  JOIN dfreq d USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+ds AS (
+  SELECT doc_id, {sql_dsum('s6', 6)} AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, score, n_terms, rank FROM (
+  SELECT doc_id, score, n_terms,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM ds
+) WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+@query("bm25_topk", _BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009; k1=1.2,
+    b=0.75, the Lucene-default +1 idf smoothing that keeps weights
+    positive) for a 3-term query over the documents table — the
+    KEYWORD leg a production retrieval stack runs next to the dense
+    ANN leg (hybrid_search_rrf fuses exactly these two families).
+
+    Determinism: idf rounds once at 4 dp, each per-term contribution at
+    6 dp, and the document score accumulates through dsum (decimal,
+    order-free), so both engines sum identical doubles; the top-20
+    tie-breaks on doc_id. Scale: tf is a partial-agg groupBy keyed
+    (doc, term) AFTER the IN-list prunes the token stream map-side; the
+    df and length stats are dimension-sized; the final ranking rides
+    the salted two-level top-k, never a global single-reducer sort of
+    all matching documents.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    terms = ["table", "scan", "merge"]
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_dl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    idf4 = (
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(10000)
+            + F.lit(0.5)
+        )
+        / F.lit(10000)
+    )
+    tfc = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / avgdl)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", rnd(idf4 * tfc, 6).alias("s6"))
+    )
+    ds = per_term.groupBy("doc_id").agg(
+        dsum("s6", 6).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    return (
+        topk_per_group(
+            ds.withColumn("__g", F.lit(1)),
+            group_col="__g",
+            k=20,
+            sim_col="score",
+            tie_col="doc_id",
+        )
+        .select("doc_id", "score", "n_terms", F.col("rank").cast("long").alias("rank"))
+        .orderBy("rank")
+    )

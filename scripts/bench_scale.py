@@ -78,6 +78,18 @@ OPS = [
     # pass scales with rows, the ADC scan with codes)
     "bpe_ranked_encode_stats",
     "ann_pq_index_roundtrip",
+    # round-5 wave-2: per-doc windowed n-gram coverage (row-bound),
+    # global sentence dedup (hash-keyed partial-agg groupBys),
+    # distributed Lloyd k-means (N·k·D per round, broadcast centroids),
+    # in-plan PII scrub / WET extraction (pure-projection, row-bound),
+    # largest-remainder mixture sampling (dimension-sized allocation +
+    # salted per-source top-k)
+    "ngram_repetition",
+    "sentence_dedup_global",
+    "kmeans_embedding_clusters",
+    "pii_scrub_stats",
+    "html_extract_stats",
+    "mixture_stratified_sample",
 ]
 
 

@@ -726,3 +726,60 @@ def test_global_sentence_dedup_keeper_and_rebuild(spark):
     # 3 tokens at 2-token grain -> windows "d1 d2" and "d3"
     assert (d4["n_sents"], d4["kept_sents"]) == (2, 2)
     assert d4["dedup_text"] == "d1 d2 d3"
+
+
+def test_strip_boilerplate_sentences_threshold_and_restore(spark):
+    """Sentences at >= frac of a group's docs are stripped group-wide;
+    below-threshold repeats survive; a doc made ONLY of boilerplate
+    rebuilds to ''; the threshold is inclusive (integer compare)."""
+    from etl_weather_spark.operators.dedup import strip_boilerplate_sentences
+
+    hdr = "sub now"
+    rows = [
+        # srcA: 4 docs, header on 2 (50% >= 40% -> boilerplate)
+        (1, "srcA", f"{hdr} w1 w2"),
+        (2, "srcA", f"{hdr} w3 w4"),
+        (3, "srcA", "w5 w6"),
+        (4, "srcA", "w7 w8"),
+        # srcB: 4 docs, header on 1 only (25% < 40% -> kept)
+        (5, "srcB", f"{hdr} w9 wa"),
+        (6, "srcB", "wb wc"),
+        (7, "srcB", "wd we"),
+        (8, "srcB", "wf wg"),
+        # srcC: docs that are ONLY boilerplate (100% frequency)
+        (9, "srcC", hdr),
+        (10, "srcC", hdr),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in strip_boilerplate_sentences(
+            df, sent_tokens=2, frac_num=2, frac_den=5
+        ).collect()
+    }
+    assert got[1]["clean_text"] == "w1 w2" and got[1]["boiler_removed"] == 1
+    assert got[2]["clean_text"] == "w3 w4"
+    assert got[3]["boiler_removed"] == 0 and got[3]["clean_text"] == "w5 w6"
+    # srcB: header below threshold -> survives
+    assert got[5]["clean_text"] == f"{hdr} w9 wa" and got[5]["boiler_removed"] == 0
+    # srcC: all-boilerplate docs rebuild to ''
+    assert got[9]["clean_text"] == "" and got[9]["n_chars_clean"] == 0
+    assert got[10]["boiler_removed"] == 1
+
+
+def test_boilerplate_strip_query_restores_original_text(spark, sf_dir):
+    """End-to-end invariant of the seeded query: stripping returns every
+    seeded document to byte-identical original text, and leaves unseeded
+    documents untouched."""
+    from etl_weather_spark.queries import _QUERIES, load
+
+    out = _QUERIES["boilerplate_strip"](spark, sf_dir).select(
+        "doc_id", "clean_text"
+    )
+    orig = load(spark, sf_dir, "documents").select("doc_id", "text")
+    diff = (
+        out.join(orig, "doc_id")
+        .filter(F.col("clean_text") != F.col("text"))
+        .count()
+    )
+    assert diff == 0
