@@ -1574,19 +1574,20 @@ def global_sentence_dedup(
     rebuild sorts only within one document (array_sort of bounded
     per-doc lists).
     """
-    t = F.split(F.col(text_col), " ")
-    n_windows = F.ceil(F.size(t) / F.lit(float(sent_tokens))).cast("int")
-    sents = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_windows - F.lit(1)),
-                lambda i: F.array_join(
-                    F.slice(t, i * sent_tokens + 1, sent_tokens), " "
-                ),
-            )
-        ).alias("sent_idx", "sent"),
+    sents = _sentence_windows(
+        docs, text_col=text_col, id_col=id_col, sent_tokens=sent_tokens
     ).withColumn("h", F.xxhash64("sent"))
+    kept = keep_first_sentence_occurrence(sents)
+    return rebuild_sentence_docs(sents, kept)
+
+
+def keep_first_sentence_occurrence(sents: DataFrame) -> DataFrame:
+    """Keeper resolution for sentence dedup: of every distinct hash in
+    ``sents`` (doc_id, sent_idx, sent, h), keep only the occurrence at
+    the lowest doc_id, then the lowest sent_idx within it — two
+    partial-agg groupBys, never a per-sentence window (a boilerplate
+    sentence repeated a million times costs a combiner, not one hot
+    reducer)."""
     kd = sents.groupBy("h").agg(F.min("doc_id").alias("kd"))
     ki = (
         sents.join(kd, "h")
@@ -1594,9 +1595,20 @@ def global_sentence_dedup(
         .groupBy("h", "kd")
         .agg(F.min("sent_idx").alias("ki"))
     )
-    kept = sents.join(ki, "h").filter(
-        (F.col("doc_id") == F.col("kd")) & (F.col("sent_idx") == F.col("ki"))
+    return (
+        sents.join(ki, "h")
+        .filter(
+            (F.col("doc_id") == F.col("kd")) & (F.col("sent_idx") == F.col("ki"))
+        )
+        .select("doc_id", "sent_idx", "sent", "h")
     )
+
+
+def rebuild_sentence_docs(all_sents: DataFrame, kept: DataFrame) -> DataFrame:
+    """Per-document rebuild: every doc in ``all_sents`` gets a row with
+    its surviving text (kept sentences in original order; '' when all
+    were removed). Sorts only within single documents (array_sort of
+    bounded per-doc lists)."""
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("kept_sents"),
         F.array_join(
@@ -1607,7 +1619,7 @@ def global_sentence_dedup(
             " ",
         ).alias("dedup_text"),
     )
-    totals = sents.groupBy("doc_id").agg(
+    totals = all_sents.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sents")
     )
     return (

@@ -85,3 +85,37 @@ def test_empty_docs_through_round3_textops_and_pruned_pairs(spark):
 
     evecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert ivf_cells_seeded(evecs).count() == 0
+
+
+def test_empty_and_tiny_inputs_round5_wave2_ops(spark):
+    """Round-5 wave-2 operators degrade cleanly: empty corpora yield
+    empty results; k-means with fewer vectors than k just uses fewer
+    seeds; single-token docs window into one short sentence."""
+    from etl_weather_spark.operators.dedup import (
+        global_sentence_dedup,
+        strip_boilerplate_sentences,
+    )
+    from etl_weather_spark.operators.similarity import kmeans_lloyd
+    from etl_weather_spark.operators.textops import ngram_repetition_profile
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_repetition_profile(empty).count() == 0
+    assert global_sentence_dedup(empty).count() == 0
+    esrc = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert strip_boilerplate_sentences(esrc).count() == 0
+
+    evecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_lloyd(evecs, k=3, iters=2).count() == 0
+
+    # N < k: only N seeds exist; every vector still gets a cluster
+    tiny = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = kmeans_lloyd(tiny, k=5, iters=2).collect()
+    assert sorted(r.vec_id for r in out) == [0, 1]
+    assert {r.cluster for r in out} <= {0, 1}
+
+    # one-token doc: a single short window, kept, rebuilt verbatim
+    one = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
+    row = global_sentence_dedup(one).collect()[0]
+    assert (row.n_sents, row.kept_sents, row.dedup_text) == (1, 1, "solo")
