@@ -134,6 +134,10 @@ HEADLINE = [
     "boilerplate_strip",
     # Okapi BM25 keyword retrieval (salted top-20)
     "bm25_topk",
+    # model-based quality filter (fixed-weight logistic, logit scale)
+    "quality_logistic_filter",
+    # URL canonicalization (pure-projection regex chain)
+    "url_normalize_stats",
 ]
 
 

@@ -9920,3 +9920,247 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "n_terms", F.col("rank").cast("long").alias("rank"))
         .orderBy("rank")
     )
+
+
+@query(
+    "quality_logistic_filter",
+    """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(cnt) AS BIGINT) AS top_count,
+         CAST(SUM(CASE WHEN tok IN ('the','and','of','to','in')
+                       THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
+  FROM tc GROUP BY doc_id
+),
+feat AS (
+  SELECT doc_id, n_tokens,
+         FLOOR(CAST(n_distinct AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000
+           AS f_distinct,
+         FLOOR(CAST(top_count AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000
+           AS f_top,
+         FLOOR(LEAST(n_tokens / 100.0, 1.0) * 1000000 + 0.5) / 1000000
+           AS f_len,
+         FLOOR(LEAST((n_stop * 5.0) / n_tokens, 1.0) * 1000000 + 0.5) / 1000000
+           AS f_stop
+  FROM per
+)
+SELECT doc_id, n_tokens, f_distinct, f_top, f_len, f_stop,
+       FLOOR((-2.0 + 3.5 * f_distinct - 4.0 * f_top + 1.5 * f_len
+              + 2.0 * f_stop) * 10000 + 0.5) / 10000 AS z,
+       FLOOR((-2.0 + 3.5 * f_distinct - 4.0 * f_top + 1.5 * f_len
+              + 2.0 * f_stop) * 10000 + 0.5) / 10000 > 0 AS keep
+FROM feat
+ORDER BY doc_id
+""",
+)
+def quality_logistic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering (the CCNet/FineWeb classifier
+    stage): a fixed-weight logistic model over per-doc lexical features
+    — distinct-token ratio, top-token share, capped length, capped
+    stopword density — scored on the LOGIT scale (keep ⇔ z > 0, which
+    equals sigmoid(z) > 0.5 without ever calling exp, so no libm
+    transcendental parity risk beyond the proven LN family; the weights
+    are illustrative constants standing in for a trained model's).
+
+    Each feature rounds once at 6 dp BEFORE the linear combination and
+    z rounds at 4 dp, so both engines fold identical doubles in the
+    identical written order. Scale: one (doc, token) partial-agg
+    shuffle and one per-doc rollup — the stopword count folds out of
+    the same token-count relation (no second pass over text); pure
+    whole-stage codegen after the aggs.
+    """
+    stoplist = ["the", "and", "of", "to", "in"]
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("cnt").cast("long").alias("top_count"),
+        F.sum(F.when(F.col("tok").isin(stoplist), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    feat = per.select(
+        "doc_id",
+        "n_tokens",
+        rnd(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            "f_distinct"
+        ),
+        rnd(F.col("top_count").cast("double") / F.col("n_tokens"), 6).alias(
+            "f_top"
+        ),
+        rnd(F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)), 6).alias(
+            "f_len"
+        ),
+        rnd(
+            F.least(
+                (F.col("n_stop") * F.lit(5.0)) / F.col("n_tokens"), F.lit(1.0)
+            ),
+            6,
+        ).alias("f_stop"),
+    )
+    z = rnd(
+        F.lit(-2.0)
+        + F.lit(3.5) * F.col("f_distinct")
+        - F.lit(4.0) * F.col("f_top")
+        + F.lit(1.5) * F.col("f_len")
+        + F.lit(2.0) * F.col("f_stop"),
+        4,
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "f_distinct",
+        "f_top",
+        "f_len",
+        "f_stop",
+        z.alias("z"),
+        (z > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "url_normalize_stats",
+    """
+WITH raw AS (
+  SELECT doc_id, source,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'HTTPS://WWW.' || source || '.example.com/Docs/'
+                       || doc_id || '/?utm_source=feed&ref=x&q=keep#frag'
+           WHEN 1 THEN 'http://' || source || '.example.com/Docs/'
+                       || doc_id || '/'
+           WHEN 2 THEN 'https://www.' || source || '.EXAMPLE.com/docs/'
+                       || doc_id || '?id=' || doc_id || '&utm_campaign=a'
+           ELSE 'https://' || source || '.example.com:443/docs/'
+                || doc_id || '#section-2'
+         END AS url_raw
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, url_raw,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             lower(url_raw),
+             '^https?://', ''),
+             '^www\\.', ''),
+             ':(443|80)/', '/'),
+             '#.*$', ''),
+             '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+             '[?&]+$', ''),
+             '/+$', '') AS url_norm,
+         CAST(len(regexp_extract_all(lower(url_raw), '[?&](utm_[a-z]+|ref)='))
+              AS BIGINT) > 0 AS had_tracking
+  FROM raw
+)
+SELECT doc_id, url_raw, url_norm,
+       regexp_extract(url_norm, '^[^/]+') AS domain,
+       regexp_replace(url_norm, '^[^/]+', '') AS path,
+       had_tracking
+FROM norm
+ORDER BY doc_id
+""",
+)
+def url_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION (the prep step before C4-style URL dedup
+    and domain-level filtering): deterministic messy URLs — upper-case
+    schemes, www. prefixes, :443 ports, utm_*/ref tracking params,
+    fragments, trailing slashes — are synthesized in-plan per document
+    (the corpus has no URL column; same seeding pattern as
+    pii_scrub_stats), then normalized by a fixed regex chain shared
+    VERBATIM with the oracle: lowercase → strip scheme → strip www. →
+    strip default port → strip fragment → strip tracking params → tidy
+    dangling separators → strip trailing slash; domain and path split
+    off the canonical form.
+
+    No backreferences anywhere (Spark's $1 and DuckDB's \\1 disagree),
+    so every pattern is engine-portable. Scale: pure projection in
+    whole-stage codegen — no shuffle, no Python; the downstream
+    domain-level groupBy (not shown) would be the only exchange.
+    """
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.col("source"),
+                F.lit(".example.com/Docs/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=feed&ref=x&q=keep#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com/Docs/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://www."),
+                F.col("source"),
+                F.lit(".EXAMPLE.com/docs/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&utm_campaign=a"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com:443/docs/"),
+                F.col("doc_id").cast("string"),
+                F.lit("#section-2"),
+            )
+        )
+        .alias("url_raw"),
+    )
+    u = F.lower(F.col("url_raw"))
+    for pat, rep in [
+        (r"^https?://", ""),
+        (r"^www\.", ""),
+        (r":(443|80)/", "/"),
+        (r"#.*$", ""),
+        (r"(utm_[a-z]+|ref)=[^&]*&?", ""),
+        (r"[?&]+$", ""),
+        (r"/+$", ""),
+    ]:
+        u = F.regexp_replace(u, pat, rep)
+    norm = raw.select(
+        "doc_id",
+        "url_raw",
+        u.alias("url_norm"),
+        (
+            F.regexp_count(
+                F.lower(F.col("url_raw")), F.lit(r"[?&](utm_[a-z]+|ref)=")
+            )
+            > 0
+        ).alias("had_tracking"),
+    )
+    return norm.select(
+        "doc_id",
+        "url_raw",
+        "url_norm",
+        F.regexp_extract("url_norm", r"^[^/]+", 0).alias("domain"),
+        F.regexp_replace("url_norm", r"^[^/]+", "").alias("path"),
+        "had_tracking",
+    ).orderBy("doc_id")
