@@ -138,6 +138,8 @@ HEADLINE = [
     "quality_logistic_filter",
     # URL canonicalization (pure-projection regex chain)
     "url_normalize_stats",
+    # URL-level exact dedup + per-domain rollup with blocklist flag
+    "url_dedup_domains",
 ]
 
 

@@ -10164,3 +10164,153 @@ def url_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("url_norm", r"^[^/]+", "").alias("path"),
         "had_tracking",
     ).orderBy("doc_id")
+
+
+@query(
+    "url_dedup_domains",
+    """
+WITH raw AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'HTTPS://WWW.' || source || '.example.com/'
+           WHEN doc_id % 4 = 0
+              THEN 'HTTPS://WWW.' || source || '.example.com/Docs/'
+                   || doc_id || '/?utm_source=feed&ref=x&q=keep#frag'
+           WHEN doc_id % 4 = 1
+              THEN 'http://' || source || '.example.com/Docs/' || doc_id || '/'
+           WHEN doc_id % 4 = 2
+              THEN 'https://www.' || source || '.EXAMPLE.com/docs/'
+                   || doc_id || '?id=' || doc_id || '&utm_campaign=a'
+           ELSE 'https://' || source || '.example.com:443/docs/'
+                || doc_id || '#section-2'
+         END AS url_raw
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             lower(url_raw),
+             '^https?://', ''),
+             '^www\\.', ''),
+             ':(443|80)/', '/'),
+             '#.*$', ''),
+             '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+             '[?&]+$', ''),
+             '/+$', '') AS url_norm
+  FROM raw
+),
+d AS (SELECT doc_id, url_norm, regexp_extract(url_norm, '^[^/]+') AS domain FROM norm)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) - COUNT(DISTINCT url_norm) AS BIGINT) AS dups_removed,
+       domain IN ('src3.example.com', 'src7.example.com') AS blocked
+FROM d
+GROUP BY domain
+ORDER BY domain
+""",
+)
+def url_dedup_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup + per-DOMAIN rollup with a blocklist flag
+    (the C4 steps that run right after canonicalization): every fifth
+    document gets its source's HOMEPAGE URL (deterministic in-plan
+    seeding — real crawls hit the same landing pages constantly), the
+    rest the per-doc messy variants from url_normalize_stats; after the
+    identical backreference-free normalization chain, documents
+    sharing a canonical URL collapse (dups_removed per domain) and two
+    domains carry the blocklist flag a production pipeline would drop.
+
+    Scale: canonicalization is pure projection; the only exchange is
+    the (domain)-keyed rollup whose distinct-URL count partial-aggs
+    map-side — domain cardinality is bounded, and a pathological
+    single-domain crawl shows up as one group whose DISTINCT still
+    combines before the shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.col("source"), F.lit(".example.com/")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.col("source"),
+                F.lit(".example.com/Docs/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=feed&ref=x&q=keep#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com/Docs/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://www."),
+                F.col("source"),
+                F.lit(".EXAMPLE.com/docs/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&utm_campaign=a"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com:443/docs/"),
+                F.col("doc_id").cast("string"),
+                F.lit("#section-2"),
+            )
+        )
+        .alias("url_raw"),
+    )
+    u = F.lower(F.col("url_raw"))
+    for pat, rep in [
+        (r"^https?://", ""),
+        (r"^www\.", ""),
+        (r":(443|80)/", "/"),
+        (r"#.*$", ""),
+        (r"(utm_[a-z]+|ref)=[^&]*&?", ""),
+        (r"[?&]+$", ""),
+        (r"/+$", ""),
+    ]:
+        u = F.regexp_replace(u, pat, rep)
+    d = raw.select(
+        "doc_id",
+        u.alias("url_norm"),
+    ).withColumn("domain", F.regexp_extract("url_norm", r"^[^/]+", 0))
+    return (
+        d.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("url_norm").cast("long").alias("n_urls"),
+            (F.count(F.lit(1)) - F.count_distinct("url_norm"))
+            .cast("long")
+            .alias("dups_removed"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_urls",
+            "dups_removed",
+            F.col("domain")
+            .isin("src3.example.com", "src7.example.com")
+            .alias("blocked"),
+        )
+        .orderBy("domain")
+    )

@@ -90,6 +90,14 @@ OPS = [
     "pii_scrub_stats",
     "html_extract_stats",
     "mixture_stratified_sample",
+    # round-5 wave-3: per-source boilerplate frequency strip, BM25
+    # keyword ranking (IN-list pruned tf + salted top-k), logistic
+    # quality features (two partial-agg shuffles), URL canonicalization
+    # (pure projection)
+    "boilerplate_strip",
+    "bm25_topk",
+    "quality_logistic_filter",
+    "url_normalize_stats",
 ]
 
 
