@@ -140,6 +140,8 @@ HEADLINE = [
     "url_normalize_stats",
     # URL-level exact dedup + per-domain rollup with blocklist flag
     "url_dedup_domains",
+    # Zipf-law corpus diagnostic (quantized log-log least squares)
+    "zipf_fit_stats",
 ]
 
 

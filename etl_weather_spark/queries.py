@@ -10314,3 +10314,117 @@ def url_dedup_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@query(
+    "zipf_fit_stats",
+    """
+WITH toks AS (
+  SELECT t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rnk
+  FROM tc
+),
+top AS (SELECT * FROM ranked WHERE rnk <= 100),
+q AS (
+  SELECT rnk, cnt,
+         LN(CAST(rnk AS DOUBLE)) AS x,
+         LN(CAST(cnt AS DOUBLE)) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 AS sx,
+         CAST(SUM(CAST(FLOOR(y * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 AS sy,
+         CAST(SUM(CAST(FLOOR((x * y) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 AS sxy,
+         CAST(SUM(CAST(FLOOR((x * x) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 AS sxx
+  FROM q
+),
+fit AS (
+  SELECT n, sx, sy,
+         FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
+           / 1000000 AS slope
+  FROM s
+)
+SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM tc) AS n_tokens_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tc) AS vocab,
+       n AS n_fit, slope,
+       FLOOR((sy - slope * sx) / n * 1000000 + 0.5) / 1000000 AS intercept
+FROM fit
+""",
+)
+def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW fit over the corpus token distribution: least-squares
+    slope/intercept of log(freq) vs log(rank) for the top-100 tokens —
+    the corpus-health diagnostic every pre-training data report plots
+    (natural language sits near slope -1; a synthetic or
+    template-heavy corpus shows up immediately as a flat or cliffed
+    curve).
+
+    Determinism: every log term is 1e9-quantized BEFORE summing, so the
+    four regression sums are exact integers and the closed-form slope
+    folds identical doubles in the identical written order; the
+    intercept reuses the ROUNDED slope. Scale: the only corpus-sized
+    stage is the vocab groupBy (map-side partial counts); the ranking
+    window runs over the VOCAB (a bounded dimension — the corpus's
+    distinct-token space), and the regression reduces 100 rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ranked = tc.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+        .cast("long"),
+    ).filter(F.col("rnk") <= 100)
+    qd = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+
+    def qsum(c, name):
+        return (
+            F.sum(F.floor(c * F.lit(1000000000) + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1000000000)
+        ).alias(name)
+
+    s = qd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        qsum(F.col("x"), "sx"),
+        qsum(F.col("y"), "sy"),
+        qsum(F.col("x") * F.col("y"), "sxy"),
+        qsum(F.col("x") * F.col("x"), "sxx"),
+    )
+    slope = rnd(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    fit = s.select("n", "sx", "sy", slope.alias("slope"))
+    totals = tc.agg(
+        F.sum("cnt").cast("long").alias("n_tokens_total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    return fit.crossJoin(F.broadcast(totals)).select(
+        "n_tokens_total",
+        "vocab",
+        F.col("n").alias("n_fit"),
+        "slope",
+        rnd((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
