@@ -142,6 +142,10 @@ HEADLINE = [
     "url_dedup_domains",
     # Zipf-law corpus diagnostic (quantized log-log least squares)
     "zipf_fit_stats",
+    # training-objective prep: content-addressed word dropout and
+    # T5-style span corruption (input, target) pairs
+    "augment_word_dropout",
+    "span_corruption_pairs",
 ]
 
 

@@ -10428,3 +10428,252 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "augment_word_dropout",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         substring(md5('aug|' || CAST(doc_id AS VARCHAR) || '|'
+                       || CAST(pos AS VARCHAR) || '|' || tok), 1, 2) < '34'
+           AS dropped
+  FROM toks
+),
+reb AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT dropped)
+           AS aug_text,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_dropped,
+       COALESCE(aug_text, '') AS aug_text,
+       CAST(LENGTH(COALESCE(aug_text, '')) AS BIGINT) AS n_chars_aug
+FROM reb
+ORDER BY doc_id
+""",
+)
+def augment_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA AUGMENTATION by deterministic word dropout (~20% of tokens,
+    the noising step contrastive/denoising training recipes apply):
+    each token drops iff the first hex byte of
+    ``md5('aug|'||doc_id||'|'||pos||'|'||tok)`` sorts below '34'
+    (0x34/0x100 ≈ 20%) — CONTENT-ADDRESSED like mixture sampling's
+    ranks, so re-runs, replays, and both engines drop the identical
+    tokens with no RNG state anywhere.
+
+    Scale: one explode row per token and one doc-keyed rebuild shuffle;
+    the drop decision is a pure projection. The hex-prefix comparison
+    is a string compare on lowercase md5 output (identical in both
+    engines), never a float threshold.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    marked = toks.withColumn(
+        "dropped",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("aug"),
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                    F.col("tok"),
+                )
+            ),
+            1,
+            2,
+        )
+        < "34",
+    )
+    reb = marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("dropped"), F.struct("pos", "tok")
+                        )
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("aug_text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    return reb.select(
+        "doc_id",
+        "n_tokens",
+        "n_dropped",
+        F.coalesce("aug_text", F.lit("")).alias("aug_text"),
+        F.length(F.coalesce("aug_text", F.lit("")))
+        .cast("long")
+        .alias("n_chars_aug"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "span_corruption_pairs",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) - 1
+           AS pos0,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+m AS (
+  SELECT doc_id, pos0, tok,
+         ((pos0 // 3) % 5 = 0) AS masked,
+         pos0 // 15 AS span_id
+  FROM toks
+),
+inp AS (
+  SELECT doc_id,
+         string_agg(
+           CASE WHEN NOT masked THEN tok
+                WHEN pos0 % 15 = 0
+                THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '>'
+           END, ' ' ORDER BY pos0)
+           FILTER (WHERE NOT masked OR pos0 % 15 = 0) AS input_text
+  FROM m GROUP BY doc_id
+),
+tgt_rows AS (
+  SELECT doc_id, pos0, 0 AS sub,
+         '<extra_id_' || CAST(span_id AS VARCHAR) || '>' AS ttok
+  FROM m WHERE masked AND pos0 % 15 = 0
+  UNION ALL
+  SELECT doc_id, pos0, 1 AS sub, tok AS ttok FROM m WHERE masked
+),
+tgt AS (
+  SELECT doc_id, string_agg(ttok, ' ' ORDER BY pos0, sub) AS target_text
+  FROM tgt_rows GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (WHERE masked) AS BIGINT) AS n_masked,
+         CAST(COUNT(*) FILTER (WHERE masked AND pos0 % 15 = 0) AS BIGINT)
+           AS n_spans
+  FROM m GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens, s.n_masked, s.n_spans,
+       COALESCE(i.input_text, '') AS input_text,
+       COALESCE(t.target_text, '') AS target_text
+FROM stats s
+LEFT JOIN inp i ON i.doc_id = s.doc_id
+LEFT JOIN tgt t ON t.doc_id = s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-STYLE SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): every
+    15-token stride masks its first 3 tokens into one sentinel —
+    deterministic by POSITION (no RNG, both engines mask identical
+    spans) — and each document becomes the (input, target) pair the
+    denoising objective trains on: the input keeps unmasked tokens with
+    one ``<extra_id_N>`` per span; the target lists each sentinel
+    followed by the tokens it hid, in order. ~20% mask rate, mean span
+    3 — the paper's defaults.
+
+    Scale: one explode row per token, a doc-keyed rebuild for each side
+    (the target side unions one sentinel row per span before the same
+    ordered fold); everything else is projection arithmetic on the
+    position — no joins bigger than doc-keyed, no Python.
+    """
+    docs = load(spark, sf_dir, "documents")
+    m = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("pos0"),
+            "tok",
+        )
+        .select(
+            "doc_id",
+            "pos0",
+            "tok",
+            (F.expr("(pos0 div 3) % 5") == 0).alias("masked"),
+            F.expr("pos0 div 15").alias("span_id"),
+        )
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("span_id").cast("string"), F.lit(">")
+    )
+    inp = (
+        m.filter(~F.col("masked") | (F.col("pos0") % 15 == 0))
+        .select(
+            "doc_id",
+            "pos0",
+            F.when(~F.col("masked"), F.col("tok"))
+            .otherwise(sentinel)
+            .alias("itok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "itok"))),
+                    lambda x: x["itok"],
+                ),
+                " ",
+            ).alias("input_text")
+        )
+    )
+    tgt_rows = (
+        m.filter(F.col("masked") & (F.col("pos0") % 15 == 0))
+        .select("doc_id", "pos0", F.lit(0).alias("sub"), sentinel.alias("ttok"))
+        .unionByName(
+            m.filter(F.col("masked")).select(
+                "doc_id", "pos0", F.lit(1).alias("sub"), F.col("tok").alias("ttok")
+            )
+        )
+    )
+    tgt = tgt_rows.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "sub", "ttok"))),
+                lambda x: x["ttok"],
+            ),
+            " ",
+        ).alias("target_text")
+    )
+    stats = m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.sum(
+            F.when(F.col("masked") & (F.col("pos0") % 15 == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return (
+        stats.join(inp, "doc_id", "left")
+        .join(tgt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            F.coalesce("input_text", F.lit("")).alias("input_text"),
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+        )
+        .orderBy("doc_id")
+    )
