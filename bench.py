@@ -146,6 +146,8 @@ HEADLINE = [
     # T5-style span corruption (input, target) pairs
     "augment_word_dropout",
     "span_corruption_pairs",
+    # soft dedup: duplication-discounted sampling weights
+    "dedup_weighted_sampling",
 ]
 
 

@@ -10677,3 +10677,77 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_weighted_sampling",
+    """
+WITH corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 < 3 THEN l.text ELSE d.text END AS text
+  FROM documents d
+  JOIN documents l ON l.doc_id = (d.doc_id // 10) * 10
+),
+fps AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+),
+g AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS group_size,
+         MIN(doc_id) AS canon
+  FROM fps GROUP BY fp
+)
+SELECT f.doc_id, g.group_size,
+       FLOOR(POW(1.0 / g.group_size, 0.7) * 1000000 + 0.5) / 1000000 AS weight,
+       f.doc_id = g.canon AS is_canonical
+FROM fps f JOIN g USING (fp)
+ORDER BY f.doc_id
+""",
+)
+def dedup_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup via duplication discounting (the RefinedWeb/Pile
+    alternative to hard removal): every document keeps a sampling
+    weight ``(1/group_size)^0.7`` from its exact-fingerprint duplicate
+    group — repeated boilerplate still contributes, but sub-linearly —
+    plus the canonical flag hard dedup would keep. Duplicate groups are
+    seeded in-plan (each decade's first three documents share the
+    decade leader's text; the natural corpus is exact-dup-free), so
+    both engines weigh the identical groups.
+
+    Scale: the leader join and the fingerprint groupBy are both keyed
+    shuffles moving 32-byte md5 values, never document bodies; the
+    group stats join back broadcast-shaped (distinct fingerprints <=
+    docs). POW parity follows the mixture-weights precedent.
+    """
+    docs = load(spark, sf_dir, "documents")
+    leaders = docs.select(
+        F.col("doc_id").alias("lid"), F.col("text").alias("ltext")
+    )
+    corpus = (
+        docs.withColumn("lid", F.expr("(doc_id div 10) * 10"))
+        .join(leaders, "lid")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 3, F.col("ltext"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    fps = corpus.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    g = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("doc_id").alias("canon"),
+    )
+    return (
+        fps.join(g, "fp")
+        .select(
+            "doc_id",
+            "group_size",
+            rnd(F.pow(F.lit(1.0) / F.col("group_size"), F.lit(0.7)), 6).alias(
+                "weight"
+            ),
+            (F.col("doc_id") == F.col("canon")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

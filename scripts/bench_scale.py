@@ -98,6 +98,13 @@ OPS = [
     "bm25_topk",
     "quality_logistic_filter",
     "url_normalize_stats",
+    # round-5 wave-4: corpus Zipf fit (vocab-bound), content-addressed
+    # dropout + positional span corruption (token-stream rebuilds)
+    "zipf_fit_stats",
+    "augment_word_dropout",
+    "span_corruption_pairs",
+    "url_dedup_domains",
+    "dedup_weighted_sampling",
 ]
 
 
