@@ -148,6 +148,8 @@ HEADLINE = [
     "span_corruption_pairs",
     # soft dedup: duplication-discounted sampling weights
     "dedup_weighted_sampling",
+    # semi-supervised kNN label spreading + confusion rollup
+    "knn_label_spread",
 ]
 
 

@@ -10751,3 +10751,104 @@ def dedup_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "knn_label_spread",
+    """
+WITH seeds AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 1000
+),
+targets AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS tv
+  FROM embeddings WHERE NOT (vec_id % 5 = 0 AND vec_id < 1000)
+),
+scored AS (
+  SELECT t.vec_id AS query_id, s.vec_id AS neighbor_id, s.label AS nlabel,
+         FLOOR((list_dot_product(tv, sv)
+                / (GREATEST(sqrt(list_dot_product(tv, tv)), 1e-12)
+                   * GREATEST(sqrt(list_dot_product(sv, sv)), 1e-12)))
+               * 1000000 + 0.5) / 1000000 AS sim
+  FROM targets t CROSS JOIN seeds s
+),
+knn AS (
+  SELECT query_id, nlabel FROM (
+    SELECT query_id, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 3
+),
+votes AS (
+  SELECT query_id, nlabel, COUNT(*) AS v FROM knn GROUP BY query_id, nlabel
+),
+pred AS (
+  SELECT query_id, nlabel AS pred_label FROM (
+    SELECT query_id, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, nlabel ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT t.label AS true_label, p.pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN targets t ON t.vec_id = p.query_id
+GROUP BY t.label, p.pred_label
+ORDER BY true_label, pred_label
+""",
+)
+def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-SUPERVISED LABEL SPREADING: every fifth vector is a trusted
+    labeled seed; each remaining vector takes the majority label of its
+    3 nearest seeds by cosine (ties: higher vote count, then
+    lexicographic label; neighbor rank ties on seed id) — the cheap
+    label-propagation step a curation pipeline uses to extend a small
+    set of human quality labels across the corpus — reported as the
+    confusion matrix against the held-back true labels, i.e. the
+    spread-quality check itself.
+
+    Scale: the seed set is BOUNDED (the <=200 lowest seed ids — a
+    human-labeled set does not grow with the crawl), so the brute-force
+    leg broadcasts a fixed-size side against the partitioned targets
+    and total work is linear in corpus size, never targets x corpus
+    (the label-blocked quadratic trap); the per-target top-3 rides the
+    salted two-level top-k; votes and the confusion rollup are
+    dimension-sized aggs.
+    """
+    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings")
+    is_seed = (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 1000)
+    seeds = emb.filter(is_seed)
+    targets = emb.filter(~is_seed)
+    knn = cosine_topk_bruteforce(seeds, targets, k=3)
+    votes = (
+        knn.join(
+            seeds.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            targets.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "query_id",
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -105,6 +105,7 @@ OPS = [
     "span_corruption_pairs",
     "url_dedup_domains",
     "dedup_weighted_sampling",
+    "knn_label_spread",
 ]
 
 
