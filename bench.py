@@ -150,6 +150,8 @@ HEADLINE = [
     "dedup_weighted_sampling",
     # semi-supervised kNN label spreading + confusion rollup
     "knn_label_spread",
+    # corpus bigram-LM perplexity proxy (context-aware quality)
+    "bigram_logprob_quality",
 ]
 
 

@@ -10852,3 +10852,131 @@ def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+@query(
+    "bigram_logprob_quality",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos, tok,
+         LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+),
+b AS (
+  SELECT doc_id, tok AS w1, tok || ' ' || nxt AS bg
+  FROM g WHERE nxt IS NOT NULL
+),
+db AS (
+  SELECT doc_id, bg, MIN(w1) AS w1, CAST(COUNT(*) AS BIGINT) AS d12
+  FROM b GROUP BY doc_id, bg
+),
+c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY bg),
+c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY tok),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+per AS (
+  SELECT db.doc_id,
+         CAST(db.d12 AS DOUBLE)
+           * (log2(c1.c1 + 0.5 * vv.v) - log2(c12.c12 + 0.5)) AS contrib,
+         db.d12
+  FROM db
+  JOIN c12 ON c12.bg = db.bg
+  JOIN c1 ON c1.tok = db.w1
+  CROSS JOIN vv
+),
+agg AS (
+  SELECT doc_id,
+         (CAST(SUM(CAST(FLOOR((contrib) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 1000000) AS s,
+         CAST(SUM(d12) AS BIGINT) AS n_bigrams
+  FROM per GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN a.n_bigrams IS NULL THEN 0.0
+            ELSE FLOOR(a.s / a.n_bigrams * 1000000 + 0.5) / 1000000
+       END AS avg_nll2
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-LM perplexity-proxy quality scoring: average per-bigram
+    negative log2-probability under the corpus's OWN add-0.5-smoothed
+    bigram model, nll(w2|w1) = log2(c(w1) + 0.5·V) − log2(c(w1w2) + 0.5)
+    — the context-aware upgrade of unigram_logprob_quality (CCNet runs
+    a 5-gram KenLM for exactly this signal; a doc full of common words
+    in UNCOMMON orders scores high here while the unigram filter lets
+    it through).
+
+    Determinism follows the unigram op: each (doc, bigram-type)
+    contribution is 1e6-quantized before the integer sum, so engines
+    accumulate in any order; the per-doc average rounds once. Scale:
+    one lead window keyed by doc, then all joins key on the bigram/
+    unigram VOCABULARY (bounded dimensions); the corpus vocab size
+    rides as a broadcast 1-row cross join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    g = toks.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1)
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("nxt"),
+    )
+    b = g.filter(F.col("nxt").isNotNull()).select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.concat_ws(" ", "tok", "nxt").alias("bg"),
+    )
+    db = b.groupBy("doc_id", "bg").agg(
+        F.min("w1").alias("w1"), F.count(F.lit(1)).cast("long").alias("d12")
+    )
+    c12 = b.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vv = c1.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    contrib = F.col("d12").cast("double") * (
+        F.log2(F.col("c1") + F.lit(0.5) * F.col("v"))
+        - F.log2(F.col("c12") + F.lit(0.5))
+    )
+    per = (
+        db.join(c12, "bg")
+        .join(c1, F.col("w1") == F.col("tok"))
+        .crossJoin(F.broadcast(vv))
+        .select("doc_id", contrib.alias("contrib"), "d12")
+    )
+    agg = per.groupBy("doc_id").agg(
+        (
+            F.sum(
+                F.floor(F.col("contrib") * F.lit(1000000) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.lit(1000000)
+        ).alias("s"),
+        F.sum("d12").cast("long").alias("n_bigrams"),
+    )
+    tot = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.when(F.col("n_bigrams").isNull(), F.lit(0.0))
+            .otherwise(rnd(F.col("s") / F.col("n_bigrams"), 6))
+            .alias("avg_nll2"),
+        )
+        .orderBy("doc_id")
+    )

@@ -106,6 +106,7 @@ OPS = [
     "url_dedup_domains",
     "dedup_weighted_sampling",
     "knn_label_spread",
+    "bigram_logprob_quality",
 ]
 
 
