@@ -152,6 +152,8 @@ HEADLINE = [
     "knn_label_spread",
     # corpus bigram-LM perplexity proxy (context-aware quality)
     "bigram_logprob_quality",
+    # embedding label-quality audit (centroid silhouette)
+    "label_silhouette_lite",
 ]
 
 

@@ -10980,3 +10980,150 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "label_silhouette_lite",
+    """
+WITH comp AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         FLOOR((CAST(SUM(CAST(FLOOR(x * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 10000000 / COUNT(*)) * 1000000 + 0.5) / 1000000 AS c
+  FROM comp GROUP BY label, pos
+),
+qd AS (
+  SELECT comp.vec_id, comp.label AS own_label, cent.label AS to_label,
+         CAST(SUM(CAST(FLOOR((comp.x - cent.c) * (comp.x - cent.c)
+                             * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS qd
+  FROM comp JOIN cent ON cent.pos = comp.pos
+  GROUP BY comp.vec_id, comp.label, cent.label
+),
+ab AS (
+  SELECT vec_id, own_label,
+         MIN(CASE WHEN to_label = own_label THEN qd END) AS a,
+         MIN(CASE WHEN to_label <> own_label THEN qd END) AS b
+  FROM qd GROUP BY vec_id, own_label
+),
+s AS (
+  SELECT vec_id, own_label,
+         CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+              ELSE FLOOR(CAST(b - a AS DOUBLE) / GREATEST(a, b)
+                         * 1000000 + 0.5) / 1000000
+         END AS sil
+  FROM ab
+)
+SELECT own_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       FLOOR((CAST(SUM(CAST(FLOOR(sil * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 1000000 / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS mean_silhouette
+FROM s GROUP BY own_label
+ORDER BY label
+""",
+)
+def label_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-VALIDITY scoring of the labeled embedding space: a
+    centroid-based (simplified) silhouette per label — a = squared
+    distance to the OWN label centroid, b = squared distance to the
+    nearest OTHER centroid, s = (b−a)/max(a,b) — the label-quality
+    audit run before trusting labels for blocking, semantic dedup, or
+    classifier training (mean s near 0 = that label is not a real
+    cluster; negative = its members sit closer to another class).
+
+    Determinism composes the proven pieces: centroid means via the
+    1e7-quantized decimal path (label_centroid_norms), distances as
+    1e12-quantized integer sums (kmeans_lloyd), per-vector s rounded at
+    6 dp then quantize-summed for the label mean. Scale: one
+    (label,pos)-keyed centroid agg, then the L·D centroid table
+    broadcasts against exploded components with map-side partial sums —
+    N·D·L fanout collapses before the shuffle, same shape as one
+    k-means round.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.expr("transform(embedding, v -> cast(v as double))")).alias(
+            "pos", "x"
+        ),
+    )
+    cent = (
+        comp.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("x") * F.lit(10000000) + F.lit(0.5))
+                .cast("long")
+                .cast("decimal(28,0)")
+            ).alias("qs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "clabel",
+            "pos",
+            (
+                F.floor(
+                    (F.col("qs").cast("double") / F.lit(10000000) / F.col("n"))
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("c"),
+        )
+    )
+    d = F.col("x") - F.col("c")
+    qd = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy(
+            "vec_id",
+            F.col("label").alias("own_label"),
+            F.col("clabel").alias("to_label"),
+        )
+        .agg(
+            F.sum(
+                F.floor(d * d * F.lit(1000000000000) + F.lit(0.5)).cast("long")
+            ).alias("qd")
+        )
+    )
+    ab = qd.groupBy("vec_id", "own_label").agg(
+        F.min(
+            F.when(F.col("to_label") == F.col("own_label"), F.col("qd"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("to_label") != F.col("own_label"), F.col("qd"))
+        ).alias("b"),
+    )
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        rnd(
+            (F.col("b") - F.col("a")).cast("double") / F.greatest("a", "b"), 6
+        )
+    )
+    s = ab.select("vec_id", "own_label", sil.alias("sil"))
+    return (
+        s.groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("sil") * F.lit(1000000) + F.lit(0.5)
+                            ).cast("long")
+                        ).cast("double")
+                        / F.lit(1000000)
+                        / F.count(F.lit(1))
+                    )
+                    * F.lit(1000000)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000)
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

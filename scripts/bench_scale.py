@@ -107,6 +107,7 @@ OPS = [
     "dedup_weighted_sampling",
     "knn_label_spread",
     "bigram_logprob_quality",
+    "label_silhouette_lite",
 ]
 
 
