@@ -154,6 +154,8 @@ HEADLINE = [
     "bigram_logprob_quality",
     # embedding label-quality audit (centroid silhouette)
     "label_silhouette_lite",
+    # text/vector store join-health audit
+    "embedding_coverage_audit",
 ]
 
 

@@ -11127,3 +11127,62 @@ def label_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embedding_coverage_audit",
+    """
+WITH d AS (
+  SELECT doc_id, source FROM documents
+),
+e AS (SELECT vec_id FROM embeddings)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(e.vec_id) AS BIGINT) AS n_with_vec,
+       CAST(COUNT(*) - COUNT(e.vec_id) AS BIGINT) AS n_missing,
+       FLOOR(CAST(COUNT(e.vec_id) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+         / 1000000 AS coverage,
+       CAST((SELECT COUNT(*) FROM e
+             WHERE e.vec_id NOT IN (SELECT doc_id FROM d)) AS BIGINT)
+         AS n_orphan_vecs
+FROM d LEFT JOIN e ON e.vec_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPELINE-INTEGRITY audit between the text and vector stores: per
+    source, how many documents have an embedding row (vec_id aligned to
+    doc_id), how many are missing, and how many vectors are ORPHANED
+    (no backing document) — the join-health check that catches a
+    partially-failed embedding job or a stale vector snapshot before
+    any ANN/semantic-dedup stage silently under-covers the corpus.
+
+    Scale: one left join keyed on the id plus an anti-join for orphans
+    — both partial-agg-friendly equi-joins; the per-source rollup is
+    dimension-sized. The orphan count broadcasts as a single-row
+    subquery result on both engines.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id, "left")
+    per = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("vec_id").cast("long").alias("n_with_vec"),
+        (F.count(F.lit(1)) - F.count("vec_id")).cast("long").alias("n_missing"),
+        rnd(
+            F.count("vec_id").cast("double") / F.count(F.lit(1)), 6
+        ).alias("coverage"),
+    )
+    orphans = (
+        emb.join(docs, emb.vec_id == docs.doc_id, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_vecs"))
+    )
+    return (
+        per.crossJoin(F.broadcast(orphans))
+        .select(
+            "source", "n_docs", "n_with_vec", "n_missing", "coverage",
+            "n_orphan_vecs",
+        )
+        .orderBy("source")
+    )
