@@ -156,6 +156,8 @@ HEADLINE = [
     "label_silhouette_lite",
     # text/vector store join-health audit
     "embedding_coverage_audit",
+    # PMI collocation extraction (multiword-expression mining)
+    "collocation_pmi_topk",
 ]
 
 

@@ -11186,3 +11186,126 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "collocation_pmi_topk",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos, tok,
+         LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+),
+b AS (SELECT tok AS w1, nxt AS w2, tok || ' ' || nxt AS bg FROM g WHERE nxt IS NOT NULL),
+cb AS (
+  SELECT bg, MIN(w1) AS w1, MIN(w2) AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM b GROUP BY bg
+),
+cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+nn AS (
+  SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_bi,
+         CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS n_uni
+),
+pmi AS (
+  SELECT cb.bg, cb.c12,
+         FLOOR(log2((CAST(cb.c12 AS DOUBLE) / nn.n_bi)
+                    / ((CAST(u1.c AS DOUBLE) / nn.n_uni)
+                       * (CAST(u2.c AS DOUBLE) / nn.n_uni)))
+               * 1000000 + 0.5) / 1000000 AS pmi
+  FROM cb
+  JOIN cu u1 ON u1.tok = cb.w1
+  JOIN cu u2 ON u2.tok = cb.w2
+  CROSS JOIN nn
+  WHERE cb.c12 >= 5
+)
+SELECT bg, c12, pmi, rank FROM (
+  SELECT bg, c12, pmi,
+         CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bg ASC) AS BIGINT) AS rank
+  FROM pmi
+) WHERE rank <= 20
+ORDER BY rank
+""",
+)
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION extraction by pointwise mutual information: the
+    top-20 adjacent word pairs (support >= 5) ranked by
+    PMI = log2(p(w1w2) / (p(w1)·p(w2))) — the corpus-analysis op that
+    surfaces multiword expressions worth protecting from tokenizer
+    splits and reveals templated phrasing that per-doc stats miss.
+
+    Determinism: PMI rounds once at 6 dp from identically-written
+    double algebra (log2 parity per the unigram-LM precedent); the
+    ranking tie-breaks on the bigram string. Scale: bigram and unigram
+    counts are vocabulary-keyed partial aggs; the two scalar totals
+    broadcast; the support filter prunes BEFORE the joins, and the
+    final ranking rides the salted two-level top-k over the (bounded)
+    surviving bigram vocabulary.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    g = toks.select(
+        "tok",
+        F.lead("tok", 1)
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("nxt"),
+    )
+    b = g.filter(F.col("nxt").isNotNull()).select(
+        F.col("tok").alias("w1"),
+        F.col("nxt").alias("w2"),
+        F.concat_ws(" ", "tok", "nxt").alias("bg"),
+    )
+    cb = (
+        b.groupBy("bg")
+        .agg(
+            F.min("w1").alias("w1"),
+            F.min("w2").alias("w2"),
+            F.count(F.lit(1)).cast("long").alias("c12"),
+        )
+        .filter(F.col("c12") >= 5)
+    )
+    cu = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nn = b.agg(F.count(F.lit(1)).cast("long").alias("n_bi")).crossJoin(
+        toks.agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+    )
+    u1 = cu.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = cu.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        cb.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "bg",
+            "c12",
+            rnd(
+                F.log2(
+                    (F.col("c12").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_uni"))
+                        * (F.col("c2").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        topk_per_group(
+            pmi.withColumn("__g", F.lit(1)),
+            group_col="__g",
+            k=20,
+            sim_col="pmi",
+            tie_col="bg",
+        )
+        .select("bg", "c12", "pmi", F.col("rank").cast("long").alias("rank"))
+        .orderBy("rank")
+    )
