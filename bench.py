@@ -158,6 +158,8 @@ HEADLINE = [
     "embedding_coverage_audit",
     # PMI collocation extraction (multiword-expression mining)
     "collocation_pmi_topk",
+    # cross-language vocabulary overlap audit
+    "lang_vocab_overlap",
 ]
 
 

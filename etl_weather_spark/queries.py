@@ -11309,3 +11309,83 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg", "c12", "pmi", F.col("rank").cast("long").alias("rank"))
         .orderBy("rank")
     )
+
+
+@query(
+    "lang_vocab_overlap",
+    """
+WITH toks AS (
+  SELECT DISTINCT lang, t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab FROM toks GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM toks a JOIN toks b ON b.tok = a.tok AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+       i.n_shared,
+       FLOOR(CAST(i.n_shared AS DOUBLE)
+             / (sa.vocab + sb.vocab - i.n_shared) * 1000000 + 0.5) / 1000000
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+ORDER BY i.lang_a, i.lang_b
+""",
+)
+def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LANGUAGE vocabulary overlap audit: Jaccard similarity of
+    the distinct-token vocabularies of every language pair — a
+    multilingual corpus whose language tags are trustworthy shows low
+    off-diagonal overlap; a high-overlap pair means mislabeled docs or
+    a shared boilerplate layer leaking across language shards (the
+    check run before per-language mixture weights are trusted).
+
+    Scale: the (lang, token) relation is distinct-reduced map-side
+    BEFORE the self-join; the join keys on the token so each token's
+    cross-language fanout is |langs| at most (bounded dimension), never
+    corpus-sized; vocab sizes broadcast. Pure integer set algebra plus
+    one 6-dp rounded division.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab")
+    )
+    a = toks.select(F.col("lang").alias("lang_a"), "tok")
+    b = toks.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            rnd(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
