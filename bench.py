@@ -160,6 +160,8 @@ HEADLINE = [
     "collocation_pmi_topk",
     # cross-language vocabulary overlap audit
     "lang_vocab_overlap",
+    # language-ID confidence margins (CCNet-style keep gate)
+    "lang_id_confidence",
 ]
 
 

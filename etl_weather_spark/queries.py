@@ -11389,3 +11389,86 @@ def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@query(
+    "lang_id_confidence",
+    r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, s_en, s_es, s_fr, s_de,
+         list_sort([s_en, s_es, s_fr, s_de], 'DESC') AS l
+  FROM scored
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+            WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+            ELSE 'und' END AS lang_pred,
+       CAST(l[1] AS BIGINT) AS best,
+       CAST(l[2] AS BIGINT) AS runner_up,
+       CAST(l[1] - l[2] AS BIGINT) AS margin,
+       CASE WHEN l[1] = 0 THEN 'none'
+            WHEN l[1] - l[2] >= 3 AND l[1] >= 3 THEN 'high'
+            ELSE 'low' END AS tier,
+       (CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+             ELSE 'und' END) = lang AS agree
+FROM ranked
+ORDER BY doc_id
+""",
+)
+def lang_id_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID CONFIDENCE audit (CCNet keeps a doc only when the
+    classifier is CONFIDENT, not merely argmax): per document, the
+    winning stopword score, the runner-up, their margin, an integer-
+    thresholded confidence tier (high: margin >= 3 and best >= 3; low:
+    any hits; none: zero hits), and whether the prediction agrees with
+    the stored language tag — the report that decides which shards need
+    re-identification before per-language processing.
+
+    All comparisons are integers (stopword hit counts), so no float
+    boundary exists anywhere; the runner-up comes from a 4-element
+    sorted literal array on both engines. Scale: pure projection — four
+    regexp_count columns and integer algebra in whole-stage codegen, no
+    shuffle but the final sort.
+    """
+    from etl_weather_spark.operators.textops import LANG_STOPWORDS, lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    scores = {
+        lng: F.regexp_count(
+            F.lower(F.col("text")),
+            F.lit(r"\b(" + "|".join(ws) + r")\b"),
+        ).cast("long")
+        for lng, ws in LANG_STOPWORDS.items()
+    }
+    arr = F.sort_array(F.array(*scores.values()), asc=False)
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("lang_pred"),
+        arr.getItem(0).alias("best"),
+        arr.getItem(1).alias("runner_up"),
+        (arr.getItem(0) - arr.getItem(1)).alias("margin"),
+        F.when(arr.getItem(0) == 0, F.lit("none"))
+        .when(
+            (arr.getItem(0) - arr.getItem(1) >= 3) & (arr.getItem(0) >= 3),
+            F.lit("high"),
+        )
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+        (lang_id(F.col("text")) == F.col("lang")).alias("agree"),
+    ).orderBy("doc_id")
