@@ -162,6 +162,9 @@ HEADLINE = [
     "lang_vocab_overlap",
     # language-ID confidence margins (CCNet-style keep gate)
     "lang_id_confidence",
+    # round-6: real baseline-JPEG decode path (huffman + IDCT inside
+    # mapInPandas — the dominant real-crawl image format)
+    "media_jpeg_stats",
 ]
 
 
@@ -222,20 +225,56 @@ def main() -> None:
         timings[name] = min(samples)
         print(f"# {name}: {timings[name]:.3f}s (samples: {samples})", file=sys.stderr)
 
-    out = {
+    streaming_rate = _streaming_windowed_rate(spark)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map: bench_out.json (committed artifact) + stderr.
+    # The final stdout line stays COMPACT (worst-5 only) because the
+    # driver's tail capture keeps ~2,000 chars — the full 75-query map
+    # blew past that in round 5 and the bench artifact parsed as null.
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "streaming_windowed_rows_per_sec": streaming_rate,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(f"# full per-query map: {json.dumps(timings, sort_keys=True)}", file=sys.stderr)
+    print(json.dumps(compact_line(timings, sf_val, streaming_rate)))
+    spark.stop()
+
+
+#: hard budget for the final stdout JSON line — the driver keeps only
+#: the last ~2,000 chars of output, so the line must stay well under
+#: that forever regardless of how many queries the headline set grows.
+COMPACT_LINE_BUDGET = 1500
+
+
+def compact_line(timings: dict, sf, streaming_rate: int) -> dict:
+    """One driver-parseable summary line: total + worst-5 per-query map.
+
+    The full map lives in bench_out.json / stderr; ``queries`` here is
+    capped at the 5 slowest so the serialized line never approaches the
+    driver's 2,000-char tail window (asserted < COMPACT_LINE_BUDGET by
+    tests/test_bench_line.py even at 500 registered queries).
+    """
+    worst5 = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": worst5,
+        "n_queries": len(timings),
+        "queries_full": "bench_out.json",
+        "sf": sf,
         # tracked separately (rows/sec, not seconds — never added into
         # the headline total): watermarked tumbling-window agg over the
         # rate source, Spark's own processedRowsPerSecond measurement.
         # Full methodology + stateless ceiling: scripts/bench_streaming.py
-        "streaming_windowed_rows_per_sec": _streaming_windowed_rate(spark),
+        "streaming_windowed_rows_per_sec": streaming_rate,
     }
-    print(json.dumps(out))
-    spark.stop()
 
 
 def _streaming_windowed_rate(spark, rows_per_sec: int = 500_000, seconds: int = 8) -> int:
