@@ -266,6 +266,8 @@ def embedding_near_dupes(
     threshold: float = 0.95,
     sim_decimals: int = 6,
     allow_full_cross: bool = False,
+    block_cap: int | None = 1000,
+    cells_per_sqrt_n: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with cosine ≥ threshold.
 
@@ -275,11 +277,72 @@ def embedding_near_dupes(
     full O(n²) self-join, which is catastrophic at scale, so it must be
     opted into explicitly with ``allow_full_cross=True`` (small corpora
     only); otherwise it raises.
+
+    ``block_cap`` (default ON) bounds the within-block term — the one
+    quadratic a fixed block key cannot escape (L fixed labels ⇒ 10×
+    rows ≈ 100× comparisons per block, VERDICT r2 #3). Blocks larger
+    than the cap are sub-split by deterministic IVF cell
+    (:func:`ivf_cells_seeded`, K ∝ √N so expected cell size ∝ √N):
+    their pairs must ALSO share the cell, and the equi-join key for
+    the oversized leg is (block, cell) — the within-block cross
+    product never materializes. Small blocks stay exact. Like any
+    blocked dedup (SemDeDup included), oversized-block pairs that
+    straddle a cell boundary are missed by design — the
+    recall/throughput trade at scale. Pass ``block_cap=None`` to opt
+    back into pure (unbounded) label blocking. Both the cell
+    assignment and the size gate are pure functions of the table, so
+    a SQL oracle replays the capped pair set exactly.
     """
     if block_col is None and not allow_full_cross:
         raise ValueError(
             "block_col=None is an all-pairs cross join; pass "
             "allow_full_cross=True to confirm the corpus is small enough"
+        )
+    sim = rnd(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), sim_decimals)
+    if block_col is not None and block_cap is not None:
+        cells = ivf_cells_seeded(
+            emb,
+            vec_col=vec_col,
+            id_col=id_col,
+            cells_per_sqrt_n=cells_per_sqrt_n,
+            sim_decimals=sim_decimals,
+        )
+        blk = emb.select(
+            F.col(id_col).alias("vec_id"), F.col(block_col).alias("__blk")
+        )
+        base = cells.join(blk, "vec_id")
+        # block-size gate: key space is the (bounded) block dimension,
+        # so the size relation broadcasts — no extra sort shuffle
+        sizes = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bs"))
+        base = base.join(F.broadcast(sizes), "__blk")
+
+        small = base.filter(F.col("__bs") <= block_cap)
+        big = base.filter(F.col("__bs") > block_cap)
+        pairs_small = (
+            small.select("__blk", F.col("vec_id").alias("id_a"),
+                         F.col("v").alias("va"), F.col("nv").alias("na"))
+            .join(
+                small.select("__blk", F.col("vec_id").alias("id_b"),
+                             F.col("v").alias("vb"), F.col("nv").alias("nb")),
+                on="__blk",
+            )
+        )
+        pairs_big = (
+            big.select("__blk", "cell", F.col("vec_id").alias("id_a"),
+                       F.col("v").alias("va"), F.col("nv").alias("na"))
+            .join(
+                big.select("__blk", "cell", F.col("vec_id").alias("id_b"),
+                           F.col("v").alias("vb"), F.col("nv").alias("nb")),
+                on=["__blk", "cell"],
+            )
+            .drop("cell")
+        )
+        pairs = pairs_small.unionByName(pairs_big).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        return (
+            pairs.select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
         )
     v = as_double_array(F.col(vec_col))
     base = emb.select(F.col(id_col), *( [F.col(block_col)] if block_col else [] ), v.alias("v")).withColumn("n", norm_safe(F.col("v")))
@@ -293,7 +356,6 @@ def embedding_near_dupes(
     )
     on = [block_col] if block_col else None
     pairs = (a.join(b, on=on) if on else a.crossJoin(b)).filter(F.col("id_a") < F.col("id_b"))
-    sim = rnd(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), sim_decimals)
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 

@@ -66,6 +66,52 @@ def test_near_dupes_blocked(spark):
     assert (0, 3) not in pairs  # below threshold
 
 
+def test_block_cap_subsplit_semantics(spark, sf_dir):
+    """block_cap: capped pairs == uncapped pairs restricted to
+    (block ≤ cap) OR (same IVF cell); a cap above every block size is
+    a no-op (identical pair set)."""
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.operators.similarity import ivf_cells_seeded
+
+    emb = q.load(spark, sf_dir, "embeddings")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes(
+            emb, block_col="label", threshold=0.3, block_cap=None
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes(
+            emb, block_col="label", threshold=0.3, block_cap=32
+        ).collect()
+    }
+    # same cell geometry as the operator's capped leg (K = ⌈√N⌉)
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_cells_seeded(emb, cells_per_sqrt_n=1).collect()
+    }
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    sizes: dict[int, int] = {}
+    for lab in labels.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    expect = {
+        (a, b)
+        for (a, b) in uncapped
+        if sizes[labels[a]] <= 32 or cells[a] == cells[b]
+    }
+    assert capped == expect
+    assert capped < uncapped  # the cap binds on this data (blocks > 32)
+    # a cap no block exceeds leaves the exact pair set untouched
+    noop = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes(
+            emb, block_col="label", threshold=0.3, block_cap=10_000
+        ).collect()
+    }
+    assert noop == uncapped
+
+
 def test_near_dupes_full_cross_requires_opt_in(spark):
     import pytest
 
@@ -147,7 +193,8 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert len(canon) == 1 and canon[0].vec_id == cid
 
     # decisions consistent with the underlying near-dup pair graph
-    pairs = embedding_near_dupes(emb, block_col="label", threshold=0.3)
+    # (same block_cap as the query: oversized labels sub-split by cell)
+    pairs = embedding_near_dupes(emb, block_col="label", threshold=0.3, block_cap=32)
     cc = {
         r.node: r.cluster_id
         for r in connected_components(pairs.select("id_a", "id_b")).collect()
