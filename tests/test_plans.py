@@ -537,6 +537,9 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         "bpe_ranked_encode_stats",
         # persisted-PQ serving (ADC scan is an Arrow kernel by design)
         "ann_pq_index_roundtrip",
+        # round-6: real baseline-JPEG decode runs inside mapInPandas by
+        # design (same per-row-CPU codec path as the PNG/WAV rows)
+        "media_jpeg_stats",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():
