@@ -4,10 +4,13 @@ The Spark-side design is fully real — schemas, partition-aware batch
 processing via ``mapInPandas`` (Arrow-batched), typed metadata struct —
 and since round 4 the PNG and WAV codecs are real too, implemented on
 stdlib ``zlib``/``struct`` + numpy (:func:`decode_png`,
-:func:`decode_wav`, plus encoders for test fixtures). Formats beyond
-PNG/WAV (JPEG, MP3, H.264 …) would need codec libraries (Pillow,
-ffmpeg) that are not in this container; those paths degrade to the
-deterministic fake-feature extractor and are clearly marked.
+:func:`decode_wav`, plus encoders for test fixtures). Round 6 adds a
+real baseline JPEG codec (operators/jpeg.py: huffman + dequant + exact
+IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart intervals). Formats beyond
+PNG/JPEG/WAV (MP3, H.264, progressive JPEG …) would need codec
+libraries (Pillow, ffmpeg) that are not in this container; those paths
+degrade to the deterministic fake-feature extractor and are clearly
+marked.
 
 Scale notes:
 - binary payloads ride in the same row as their metadata; Parquet stores
@@ -298,19 +301,27 @@ def decode_media(payload: bytes, mime: str):
     """Dispatch REAL payload decode by content magic (mime is advisory).
 
     PNG → ``{"modality": "image", "pixels": (h,w,c) uint8}``;
+    baseline JPEG (operators/jpeg.decode_jpeg, round 6) → same shape;
     RIFF/WAVE PCM → ``{"modality": "audio", "samples": (n,ch) int32,
     "sample_rate": hz}``. Formats that genuinely require codec
-    libraries absent from this container (JPEG, MP3, MP4, …) raise
-    ``NotImplementedError`` — the extract_features(decode=True) path
-    degrades those to a per-row ``decode_error``."""
+    libraries absent from this container (MP3, MP4, progressive JPEG,
+    …) raise ``NotImplementedError`` — the extract_features(decode=True)
+    path degrades those to a per-row ``decode_error``."""
     if payload[:8] == _PNG_SIG:
         return {"modality": "image", "pixels": decode_png(payload)}
+    if payload[:3] == b"\xff\xd8\xff":
+        from etl_weather_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.ndim == 2:
+            px = px[:, :, None]  # grayscale → (h, w, 1), PNG gray parity
+        return {"modality": "image", "pixels": px}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, rate = decode_wav(payload)
         return {"modality": "audio", "samples": samples, "sample_rate": rate}
     raise NotImplementedError(
         f"no stdlib decoder for this payload (mime hint {mime!r}); "
-        "JPEG/MP3/MP4 need codec libraries not present in this container"
+        "MP3/MP4 need codec libraries not present in this container"
     )
 
 
@@ -540,9 +551,22 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
+def _decode_image(payload: bytes):
+    """Magic-dispatched image decode: PNG via :func:`decode_png`, baseline
+    JPEG via operators/jpeg.decode_jpeg (grayscale normalized to
+    ``(h, w, 1)``)."""
+    if payload[:3] == b"\xff\xd8\xff":
+        from etl_weather_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        return px[:, :, None] if px.ndim == 2 else px
+    return decode_png(payload)
+
+
 def pixel_stats(media: DataFrame) -> DataFrame:
-    """Per-image pixel statistics through the REAL :func:`decode_png`
-    path — Arrow-batched ``mapInPandas``, one decode per payload, all
+    """Per-image pixel statistics through the REAL decode path
+    (:func:`decode_png` or the baseline JPEG decoder, by content magic)
+    — Arrow-batched ``mapInPandas``, one decode per payload, all
     stats as EXACT integers (sum / sum-of-squares / min / max over the
     uint8 pixel bytes) so a SQL oracle that regenerates the same pixels
     can match hash-for-hash with no float drift.
@@ -559,7 +583,7 @@ def pixel_stats(media: DataFrame) -> DataFrame:
                 if payload is None:
                     continue
                 try:
-                    px = decode_png(bytes(payload))
+                    px = _decode_image(bytes(payload))
                 except Exception:  # noqa: BLE001 — per-row isolation
                     continue
                 flat = px.reshape(-1).astype("int64")
