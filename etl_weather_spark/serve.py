@@ -1,9 +1,16 @@
 """Serving edge: the reference's web read path (web.py:376-561) over the
 engine, on the stdlib only (no FastAPI in this environment).
 
-Routes (all GET, all JSON):
+Routes (all GET, JSON unless noted):
 
+- ``/``                           HTML index (web.py:247-249): the
+                                  report renderer's dashboard page
+                                  served live, plus the route table
 - ``/health``                     liveness
+- ``/ai/status``                  enrichment-config probe
+                                  (web.py:257-261): model/key presence
+                                  + one tiny generate probe, secrets
+                                  never echoed
 - ``/data/daily``                 daily gold rows (daily_flags)
 - ``/data/hourly?limit=24``       hourly join rows, serving-edge limit
 - ``/summary``                    global summary + recommendations
@@ -49,6 +56,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 CACHE_MAX = 32
+
+
+class HtmlPage(str):
+    """Marker type: a route payload served as text/html, not JSON."""
 
 
 def _jsonable(v):
@@ -180,6 +191,65 @@ class EngineAPI:
             }
         return {"city": city, "fun_fact": self._compute_funfact(city), "source": "model"}
 
+    # -- HTML index (web.py / -> templates/index.html) --------------------
+    def index_html(self) -> str:
+        """The reference's ``/`` dashboard, rendered live from the gold
+        queries through report.render_report (charts + data table), with
+        a route index appended so the page doubles as API docs."""
+        import html as _html
+
+        from etl_weather_spark.report import render_report
+
+        s = records(self.registry["global_summary"](self.spark, self.sf_dir))
+        daily = records(
+            self.registry["daily_agg"](self.spark, self.sf_dir).orderBy("date")
+        )
+        rec = records(self.registry["recommendation_text"](self.spark, self.sf_dir))
+        recommendation = str(rec[0].get("recommendation", "")) if rec else ""
+        page = render_report(
+            title="events",
+            summary=s[0] if s else {},
+            daily=daily,
+            recommendation=recommendation,
+        )
+        routes = (
+            "/health /ai/status /data/daily /data/hourly /summary /compare "
+            "/search /provinces /regencies/&lt;code&gt; "
+            "/city/funfact/&lt;city&gt; /query/&lt;name&gt;"
+        ).split()
+        idx = "".join(f"<li><code>{r}</code></li>" for r in routes)
+        nq = _html.escape(str(len(self.registry)))
+        return page + (
+            f"<h2>API</h2><p>{nq} registry queries servable via "
+            f"<code>/query/&lt;name&gt;</code>.</p><ul>{idx}</ul>"
+        )
+
+    # -- enrichment-config probe (web.py /ai/status) ----------------------
+    def ai_status(self) -> dict:
+        """Diagnostic twin of the reference's AI-status probe: reports
+        whether an enrichment model is wired up and whether a one-token
+        generate call succeeds, without echoing any secret material."""
+        import os
+
+        model = self._funfact_model
+        sdk_ok = callable(model)
+        api_key_present = bool(os.environ.get("ENRICH_API_KEY"))
+        model_name = getattr(model, "__name__", type(model).__name__)
+        gen_ok = False
+        err = None
+        if sdk_ok:
+            try:
+                gen_ok = bool(model("status probe"))
+            except Exception as ex:  # noqa: BLE001 - diagnostic route
+                err = f"{ex.__class__.__name__}: {str(ex)[:180]}"
+        return {
+            "sdk": sdk_ok,
+            "api_key": api_key_present,
+            "model": model_name,
+            "generate_ok": gen_ok,
+            "error": err,
+        }
+
     def _cached(self, key: str, compute, refresh: bool) -> list[dict]:
         if not refresh and key in self._cache:
             self._cache.move_to_end(key)
@@ -194,8 +264,18 @@ class EngineAPI:
     def handle(self, path: str, params: dict) -> tuple[int, dict | list]:
         refresh = params.get("refresh", ["false"])[0].lower() == "true"
         limit = int(params["limit"][0]) if "limit" in params else None
+        if path == "/":
+            # cached like any data route (the backing queries are the
+            # same gold tables); the cache stores a 1-element record
+            # list so the LRU machinery stays uniform
+            page = self._cached(
+                "index", lambda: [{"html": self.index_html()}], refresh
+            )[0]["html"]
+            return 200, HtmlPage(page)
         if path == "/health":
             return 200, {"ok": True, "sf_dir": self.sf_dir}
+        if path == "/ai/status":
+            return 200, self.ai_status()
         if path == "/data/daily":
             return 200, self._cached(
                 f"daily|{limit}",
@@ -332,9 +412,14 @@ def make_server(
                 status, payload = api.handle(u.path, parse_qs(u.query))
             except Exception as ex:  # pragma: no cover - defensive edge
                 status, payload = 500, {"error": str(ex)[:500]}
-            body = json.dumps(payload).encode("utf-8")
+            if isinstance(payload, HtmlPage):
+                body = str(payload).encode("utf-8")
+                ctype = "text/html; charset=utf-8"
+            else:
+                body = json.dumps(payload).encode("utf-8")
+                ctype = "application/json"
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

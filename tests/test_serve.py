@@ -153,3 +153,59 @@ def test_funfact_url_encoded_city_decodes(server, tmp_path):
     # the decoded form hits the same cache entry
     status, body = _get(server, "/city/funfact/New%20York")
     assert body["source"] == "cache"
+
+
+def _get_raw(server, path):
+    port = server.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=120) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read().decode("utf-8")
+
+
+def test_index_html_route(server):
+    """`/` serves the report renderer's dashboard as text/html
+    (reference web.py:247-249) with the route table appended."""
+    status, ctype, body = _get_raw(server, "/")
+    assert status == 200
+    assert ctype.startswith("text/html")
+    assert "<h2>Data</h2>" in body  # the report's data table
+    assert "/query/&lt;name&gt;" in body  # the route index
+    # cached like any route: second hit identical
+    status2, _, body2 = _get_raw(server, "/")
+    assert (status2, body2) == (200, body)
+
+
+def test_ai_status_route(server, monkeypatch):
+    """`/ai/status` probes the wired enrichment model without echoing
+    secrets (reference web.py:257-261)."""
+    monkeypatch.delenv("ENRICH_API_KEY", raising=False)
+    # earlier tests swap the shared server's model; pin the default here
+    from etl_weather_spark.functions.enrich import deterministic_fake_model
+
+    server.api._funfact_model = deterministic_fake_model
+    status, body = _get(server, "/ai/status")
+    assert status == 200
+    assert body["sdk"] is True
+    assert body["api_key"] is False
+    assert body["generate_ok"] is True
+    assert body["error"] is None
+    assert body["model"] == "deterministic_fake_model"
+    # key presence is reported as a boolean, never the value
+    monkeypatch.setenv("ENRICH_API_KEY", "sekrit-value")
+    status, body = _get(server, "/ai/status")
+    assert body["api_key"] is True
+    assert "sekrit-value" not in json.dumps(body)
+
+
+def test_ai_status_reports_model_failure(server):
+    def broken(prompt):
+        raise RuntimeError("quota exceeded")
+
+    orig = server.api._funfact_model
+    try:
+        server.api._funfact_model = broken
+        status, body = _get(server, "/ai/status")
+        assert status == 200
+        assert body["generate_ok"] is False
+        assert "quota exceeded" in body["error"]
+    finally:
+        server.api._funfact_model = orig
