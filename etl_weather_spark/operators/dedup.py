@@ -1515,7 +1515,6 @@ def cc_large_small_star(
             F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
         )
     )
-    nodes.unpersist()
     return result
 
 

@@ -157,3 +157,85 @@ def test_out_of_scope_field_type_raises():
     fdp = b"\x0a\x07t.proto" + b"\x22" + bytes([len(msg)]) + msg
     with pytest.raises(NotImplementedError, match="scope"):
         resolve_types(parse_file_descriptor(fdp))
+
+
+def _build_nested_repeated_classes():
+    """message C { repeated int64 xs = 1; }  message M { C child = 1; }
+    hand-encoded as FileDescriptorProto bytes (public descriptor.proto)."""
+    from google.protobuf._minimal import make_message_class
+
+    fld_xs = b"\x0a\x02xs" + b"\x18\x01" + b"\x20\x03" + b"\x28\x03"
+    msg_c = b"\x0a\x01C" + b"\x12" + bytes([len(fld_xs)]) + fld_xs
+    fld_child = (
+        b"\x0a\x05child" + b"\x18\x01" + b"\x20\x01" + b"\x28\x0b" + b"\x32\x02.C"
+    )
+    msg_m = b"\x0a\x01M" + b"\x12" + bytes([len(fld_child)]) + fld_child
+    fdp = (
+        b"\x0a\x07t.proto"
+        + b"\x22" + bytes([len(msg_c)]) + msg_c
+        + b"\x22" + bytes([len(msg_m)]) + msg_m
+    )
+    fd = parse_file_descriptor(fdp)
+    resolve_types(fd)
+    c_cls = make_message_class(fd.message_types_by_name["C"])
+    m_cls = make_message_class(fd.message_types_by_name["M"])
+    return c_cls, m_cls
+
+
+def test_autovivified_repeated_mutation_propagates_presence():
+    """parent.child.xs.append(v) on an auto-vivified child must mark the
+    child present (ADVICE r5: the list used to land in a dropped child);
+    a bare READ of the repeated field still creates no presence."""
+    _, m_cls = _build_nested_repeated_classes()
+    m = m_cls()
+    _ = list(m.child.xs)  # read-only: no presence anywhere
+    assert not m.HasField("child")
+    assert m.SerializeToString() == b""
+    m.child.xs.append(7)
+    assert m.HasField("child")
+    back = m_cls()
+    back.ParseFromString(m.SerializeToString())
+    assert list(back.child.xs) == [7]
+    # extend / setitem mutate through the same path
+    m2 = m_cls()
+    m2.child.xs.extend([1, 2])
+    assert m2.HasField("child")
+    back2 = m_cls()
+    back2.ParseFromString(m2.SerializeToString())
+    assert list(back2.child.xs) == [1, 2]
+
+
+def test_packed_repeated_varint_parse():
+    """proto3 serializers pack repeated scalars into one LEN field; the
+    runtime must decode that wire form (ADVICE r5), including negatives
+    and mixes of packed + unpacked records."""
+    c_cls, _ = _build_nested_repeated_classes()
+    # xs = [3, 270, -1] packed: field 1 LEN, payload = varints
+    payload = (
+        encode_varint(3) + encode_varint(270) + encode_varint(-1)
+    )
+    data = b"\x0a" + encode_varint(len(payload)) + payload
+    msg = c_cls()
+    msg.ParseFromString(data)
+    assert list(msg.xs) == [3, 270, -1]
+    # unpacked record appended after a packed run merges in order
+    msg2 = c_cls()
+    msg2.ParseFromString(data + b"\x08" + encode_varint(9))
+    assert list(msg2.xs) == [3, 270, -1, 9]
+
+
+def test_oneof_set_clears_siblings():
+    """Setting a second member of a oneof on a reused message must clear
+    the first, so serialization emits one member and WhichOneof reports
+    the last-set field (ADVICE r5)."""
+    sm = _pyspark_pb2()
+    req = sm.StateRequest()
+    req.statefulProcessorCall.CopyFrom(sm.StatefulProcessorCall())
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    req.implicitGroupingKeyRequest.CopyFrom(sm.ImplicitGroupingKeyRequest())
+    assert req.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert not req.HasField("statefulProcessorCall")
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert not back.HasField("statefulProcessorCall")
