@@ -65,8 +65,12 @@ def test_multimodal_features(spark):
 def test_decode_dispatch_and_unsupported_formats():
     from etl_weather_spark.operators.multimodal import decode_media
 
-    # formats with no stdlib decoder (JPEG magic) stay explicitly unsupported
+    # formats with no stdlib decoder (MP3/MP4) stay explicitly unsupported
     with pytest.raises(NotImplementedError):
+        decode_media(b"ID3\x04\x00 mp3 frames", "audio/mpeg")
+    # JPEG magic routes to the REAL baseline decoder (round 6); a
+    # truncated stream fails loudly rather than claiming unsupported
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0jfif-ish", "image/jpeg")
     # a payload CLAIMING to be PNG but with a broken signature is not
     # silently accepted either
@@ -88,13 +92,16 @@ def test_decode_true_degrades_gracefully(spark):
     px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     rows = [
         (1, "image", encode_png(px), ("image/png", 4, 4, None, None)),
-        (2, "image", b"\xff\xd8\xff\xe0 jpeg bytes", ("image/jpeg", 4, 4, None, None)),
+        # MP3: no stdlib decoder exists (JPEG decodes for real since r6)
+        (2, "audio", b"ID3\x04\x00 mp3 frames", ("audio/mpeg", None, None, 1000, None)),
         (3, "image", b"\x89PNG\r\n\x1a\ncorrupt body", ("image/png", 4, 4, None, None)),
         (4, "image", None, ("image/png", 1, 1, None, None)),
+        # truncated JPEG: real decoder raises ValueError, row survives
+        (5, "image", b"\xff\xd8\xff\xe0 jpeg bytes", ("image/jpeg", 4, 4, None, None)),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r for r in extract_features(media, decode=True).collect()}
-    assert set(got) == {1, 2, 3, 4}
+    assert set(got) == {1, 2, 3, 4, 5}
     # valid PNG: real 16-bin histogram feature — values 0..47 land in bins 0-2
     assert got[1].decode_error is None
     feat = got[1].feature
@@ -107,6 +114,8 @@ def test_decode_true_degrades_gracefully(spark):
     assert got[3].decode_error.startswith("ValueError")
     assert got[3].content_sha is not None  # hash path still genuine
     assert got[4].decode_error == "null_payload"
+    assert got[5].feature is None
+    assert got[5].decode_error.startswith("ValueError")
 
 
 def _reference_decode_png(payload):
