@@ -165,6 +165,14 @@ HEADLINE = [
     # round-6: real baseline-JPEG decode path (huffman + IDCT inside
     # mapInPandas — the dominant real-crawl image format)
     "media_jpeg_stats",
+    # round-6 wave: DSIR hashed-bigram importance weights (256-bucket
+    # broadcast dimension), CCNet per-lang perplexity terciles
+    # (sample-trained boundaries), c-TF-IDF source keywords (salted
+    # per-source top-5), int8 quantization audit (pure projection)
+    "dsir_importance_weights",
+    "ccnet_ppl_buckets",
+    "ctfidf_source_keywords",
+    "int8_quant_audit",
 ]
 
 

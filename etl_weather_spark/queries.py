@@ -11619,3 +11619,470 @@ def lang_id_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tier"),
         (lang_id(F.col("text")) == F.col("lang")).alias("agree"),
     ).orderBy("doc_id")
+
+
+# --- round-6 wave: data-selection + serving-compression operators ---------
+
+#: engine-portable hash bucket 0..255 from the first two hex nibbles of
+#: md5 — only substr/instr/md5, identical semantics in Spark SQL and
+#: DuckDB (same trick as operators/dedup._md5_bit_sql), so the SAME
+#: text runs on both engines and the bucket IDENTITY (not just its use
+#: as a join key) is oracle-replayable.
+_MD5_BUCKET_SQL = (
+    "((instr('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(bg), 2, 1)) - 1))"
+)
+
+#: bigram list per document, shared convention with rare_bigram_quality
+#: (docs under 2 tokens contribute one pseudo-bigram = the whole text)
+_BIGRAMS_EXPR = (
+    "CASE WHEN size(tk) >= 2"
+    " THEN zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),"
+    " (a, b) -> concat(a, ' ', b))"
+    " ELSE array(array_join(tk, ' ')) END"
+)
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+WITH toked AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, UNNEST(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [array_to_string(toks, ' ')] END) AS bg
+  FROM toked
+),
+bb AS (SELECT doc_id, lang, {_MD5_BUCKET_SQL} AS bucket FROM b),
+dbc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c_d FROM bb GROUP BY 1, 2),
+qb AS (SELECT bucket, CAST(SUM(c_d) AS BIGINT) AS c_all FROM dbc GROUP BY bucket),
+tb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_t FROM bb WHERE lang = 'en' GROUP BY bucket),
+tot AS (
+  SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bb WHERE lang = 'en') AS n_t
+  FROM qb
+),
+dim AS (
+  SELECT qb.bucket,
+         FLOOR((LN(COALESCE(tb.c_t, 0) + 1.0) - LN(t.n_t + 256.0)
+                - LN(qb.c_all + 1.0) + LN(t.n_all + 256.0)) * 1000000 + 0.5)
+           / 1000000 AS ratio6
+  FROM qb LEFT JOIN tb ON tb.bucket = qb.bucket CROSS JOIN tot t
+)
+SELECT dbc.doc_id,
+       CAST(SUM(dbc.c_d) AS BIGINT) AS n_bigrams,
+       {sql_dsum('dbc.c_d * dim.ratio6', 6)} AS dsir_logweight,
+       ({sql_dsum('dbc.c_d * dim.ratio6', 6)} > 0.0) AS kept
+FROM dbc JOIN dim ON dim.bucket = dbc.bucket
+GROUP BY dbc.doc_id
+ORDER BY dbc.doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log importance weight of its HASHED BIGRAM features
+    under an add-1-smoothed bag-of-buckets model of the target
+    distribution (here: the English subcorpus stands in for the
+    high-quality target) versus the raw corpus, log w(d) = Σ_b c_d(b) ·
+    (ln p_target(b) − ln q_raw(b)) over 256 md5 buckets. kept =
+    positive weight — the resampling keep-set.
+
+    Determinism: the bucket is an engine-portable md5-nibble hash (the
+    bucket identity itself replays in SQL, not just as an opaque join
+    key), each per-bucket log-ratio is 1e6-quantized once on the
+    256-row dimension, and per-doc accumulation is decimal (dsum), so
+    both engines sum identical values in any order.
+
+    Scale: the feature space is FIXED (256 buckets) — both corpus
+    models are 256-row aggregates and the scoring join broadcasts the
+    dimension; the only corpus-sized stages are one bigram projection
+    and one (doc, bucket) partial-agg groupBy. This is DSIR's whole
+    point: importance weights at 100 TB without training a model.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tk = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    b = (
+        docs.select("doc_id", "lang", tk.alias("tk"))
+        .select("doc_id", "lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+        .select("doc_id", "lang", F.expr(_MD5_BUCKET_SQL).alias("bucket"))
+    )
+    dbc = b.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_d")
+    )
+    qb = dbc.groupBy("bucket").agg(F.sum("c_d").cast("long").alias("c_all"))
+    tb = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    tot = qb.agg(F.sum("c_all").cast("long").alias("n_all")).crossJoin(
+        b.filter(F.col("lang") == "en").agg(
+            F.count(F.lit(1)).cast("long").alias("n_t")
+        )
+    )
+    ratio6 = rnd(
+        F.log(F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
+        - F.log(F.col("n_t") + F.lit(256.0))
+        - F.log(F.col("c_all") + F.lit(1.0))
+        + F.log(F.col("n_all") + F.lit(256.0)),
+        6,
+    )
+    dim = (
+        qb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("bucket", ratio6.alias("ratio6"))
+    )
+    lw = dsum(F.col("c_d") * F.col("ratio6"), 6)
+    return (
+        dbc.join(F.broadcast(dim), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_d").cast("long").alias("n_bigrams"),
+            lw.alias("dsir_logweight"),
+            (lw > 0.0).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "int8_quant_audit",
+    """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, v,
+         FLOOR(GREATEST(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12)
+               / 127.0 * 1000000000 + 0.5) / 1000000000 AS scale9
+  FROM e
+),
+r AS (
+  SELECT vec_id, label, v, scale9,
+         list_transform(v, x -> LEAST(GREATEST(FLOOR(x / scale9 + 0.5), -127.0), 127.0) * scale9) AS recon,
+         CAST(list_aggregate(list_transform(v, x ->
+              CASE WHEN FLOOR(x / scale9 + 0.5) > 127.0
+                     OR FLOOR(x / scale9 + 0.5) < -127.0 THEN 1 ELSE 0 END), 'sum')
+              AS BIGINT) AS n_clipped
+  FROM s
+)
+SELECT vec_id, label, scale9, n_clipped,
+       FLOOR(list_dot_product(list_transform(list_zip(v, recon), p -> p[1] - p[2]),
+                              list_transform(list_zip(v, recon), p -> p[1] - p[2]))
+             * 1000000000 + 0.5) / 1000000000 AS sq_err9,
+       FLOOR((list_dot_product(v, recon)
+              / (GREATEST(sqrt(list_dot_product(v, v)), 1e-12)
+                 * GREATEST(sqrt(list_dot_product(recon, recon)), 1e-12)))
+             * 1000000 + 0.5) / 1000000 AS cos6
+FROM r
+ORDER BY vec_id
+""",
+)
+def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization audit — the compression
+    every embedding-serving stack applies before shipping vectors to an
+    ANN index (4x smaller than float32, 8x smaller than the double
+    math): scale = max|x|/127, q_i = clip(round(x_i/scale), ±127), and
+    the audit reports reconstruction quality per vector — squared
+    error, cosine(original, reconstruction), and how many components
+    clipped (only possible via the 1e-9 scale rounding, so n_clipped>0
+    flags quantizer-resolution trouble, not data trouble).
+
+    Determinism: the scale is 1e-9-quantized ONCE and reused by both
+    engines; round-half-up FLOOR(x+0.5) everywhere; the error/cosine
+    aggregates ride the same sequential-fold dot used by every
+    embedding oracle (list_dot_product twin), rounded once at the end.
+
+    Scale: pure projection over higher-order functions — no shuffle,
+    no UDF, whole-stage codegen end to end; 100 TB of vectors stream
+    through map-side.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    from etl_weather_spark.operators.similarity import dot
+
+    v = "cast(embedding as array<double>)"
+    scale9 = (
+        f"floor(greatest(aggregate(transform({v}, x -> abs(x)), cast(0.0 as double),"
+        f" (acc, x) -> greatest(acc, x)), 1e-12d) / 127.0d * 1000000000 + 0.5) / 1000000000"
+    )
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr(v).alias("v"),
+        F.expr(scale9).alias("scale9"),
+    )
+    qexpr = "least(greatest(floor(x / scale9 + 0.5d), -127.0d), 127.0d)"
+    r = base.select(
+        "vec_id",
+        "label",
+        "v",
+        "scale9",
+        F.expr(f"transform(v, x -> {qexpr} * scale9)").alias("recon"),
+        F.expr(
+            "cast(aggregate(transform(v, x -> case when"
+            f" floor(x / scale9 + 0.5d) > 127.0d or floor(x / scale9 + 0.5d) < -127.0d"
+            " then 1 else 0 end), 0, (acc, x) -> acc + x) as bigint)"
+        ).alias("n_clipped"),
+    )
+    d = F.zip_with("v", "recon", lambda a, b: a - b)
+    cos = rnd(
+        dot(F.col("v"), F.col("recon"))
+        / (
+            F.greatest(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12))
+            * F.greatest(F.sqrt(dot(F.col("recon"), F.col("recon"))), F.lit(1e-12))
+        ),
+        6,
+    )
+    return r.select(
+        "vec_id",
+        "label",
+        "scale9",
+        "n_clipped",
+        rnd(dot(d, d), 9).alias("sq_err9"),
+        cos.alias("cos6"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "ctfidf_source_keywords",
+    """
+WITH toked AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, source, UNNEST(toks) AS t FROM toked WHERE len(toks) > 0),
+tf AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok WHERE t <> '' GROUP BY 1, 2),
+sdf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS src_df FROM tf GROUP BY t),
+ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src FROM tf),
+scored AS (
+  SELECT tf.source, tf.t AS token, tf.tf, sdf.src_df,
+         FLOOR(tf.tf * LN(CAST(ns.n_src AS DOUBLE) / sdf.src_df) * 1000000 + 0.5)
+           / 1000000 AS score6
+  FROM tf JOIN sdf ON sdf.t = tf.t CROSS JOIN ns
+)
+SELECT source, token, tf, src_df, score6,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY score6 DESC, token ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+ORDER BY source, rank
+""",
+)
+def ctfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF keyword extraction per source (the c-TF-IDF
+    move BERTopic popularized, over the classic idf = ln(N/df) on
+    SOURCE-level document frequency): which tokens characterize each
+    crawl source against the rest of the corpus? Tokens present in
+    every source score exactly 0 (idf = ln(1)); the per-source top-5
+    are the source's signature vocabulary — the triage view a curation
+    team reads before writing source-level filters.
+
+    Determinism: score = tf · ln(n_src/src_df) quantized once at 6 dp;
+    ranking tie-breaks on the token string.
+
+    Scale: tf is a (source, token) partial-agg groupBy; src_df and
+    n_src are token/dimension-sized aggregates joined ON TOKEN (the
+    bounded vocabulary side); the per-source top-5 rides the salted
+    two-level top-k, never a global single-partition window.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    tk = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    tok = (
+        docs.select("doc_id", "source", tk.alias("tk"))
+        .filter(F.size("tk") > 0)
+        .select("doc_id", "source", F.explode("tk").alias("t"))
+        .filter(F.col("t") != "")
+    )
+    tf = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    sdf = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("src_df"))
+    ns = tf.agg(F.count_distinct("source").cast("long").alias("n_src"))
+    scored = (
+        tf.join(sdf, "t")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            F.col("t").alias("token"),
+            "tf",
+            "src_df",
+            rnd(
+                F.col("tf")
+                * F.log(F.col("n_src").cast("double") / F.col("src_df")),
+                6,
+            ).alias("score6"),
+        )
+    )
+    return (
+        topk_per_group(
+            scored, group_col="source", k=5, sim_col="score6", tie_col="token"
+        )
+        .select(
+            "source", "token", "tf", "src_df", "score6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+@query(
+    "ccnet_ppl_buckets",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos, tok,
+         LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+),
+b AS (
+  SELECT doc_id, tok AS w1, tok || ' ' || nxt AS bg
+  FROM g WHERE nxt IS NOT NULL
+),
+db AS (
+  SELECT doc_id, bg, MIN(w1) AS w1, CAST(COUNT(*) AS BIGINT) AS d12
+  FROM b GROUP BY doc_id, bg
+),
+c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY bg),
+c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY tok),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+per AS (
+  SELECT db.doc_id,
+         CAST(db.d12 AS DOUBLE)
+           * (log2(c1.c1 + 0.5 * vv.v) - log2(c12.c12 + 0.5)) AS contrib,
+         db.d12
+  FROM db
+  JOIN c12 ON c12.bg = db.bg
+  JOIN c1 ON c1.tok = db.w1
+  CROSS JOIN vv
+),
+agg AS (
+  SELECT doc_id,
+         (CAST(SUM(CAST(FLOOR((contrib) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 1000000) AS s,
+         CAST(SUM(d12) AS BIGINT) AS n_bigrams
+  FROM per GROUP BY doc_id
+),
+scores AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN a.n_bigrams IS NULL THEN 0.0
+              ELSE FLOOR(a.s / a.n_bigrams * 1000000 + 0.5) / 1000000
+         END AS avg_nll2
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+),
+samp AS (
+  SELECT doc_id, lang, avg_nll2 FROM (
+    SELECT doc_id, lang, avg_nll2,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS srn
+    FROM scores
+  ) WHERE srn <= 200
+),
+cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ns FROM samp GROUP BY lang),
+rk AS (
+  SELECT s.doc_id, s.lang, s.avg_nll2, c.ns,
+         ROW_NUMBER() OVER (PARTITION BY s.lang ORDER BY s.avg_nll2, s.doc_id) AS rn
+  FROM samp s JOIN cnt c ON c.lang = s.lang
+),
+bd AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = CAST(CEIL(ns / 3.0) AS BIGINT) THEN avg_nll2 END) AS s1,
+         MAX(CASE WHEN rn = CAST(CEIL(ns / 3.0) AS BIGINT) THEN doc_id END) AS d1,
+         MAX(CASE WHEN rn = CAST(CEIL(2.0 * ns / 3.0) AS BIGINT) THEN avg_nll2 END) AS s2,
+         MAX(CASE WHEN rn = CAST(CEIL(2.0 * ns / 3.0) AS BIGINT) THEN doc_id END) AS d2
+  FROM rk GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.avg_nll2,
+       CASE WHEN sc.avg_nll2 < bd.s1 OR (sc.avg_nll2 = bd.s1 AND sc.doc_id <= bd.d1)
+              THEN 'head'
+            WHEN sc.avg_nll2 < bd.s2 OR (sc.avg_nll2 = bd.s2 AND sc.doc_id <= bd.d2)
+              THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores sc JOIN bd ON bd.lang = sc.lang
+ORDER BY sc.doc_id
+""",
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature curation move (Wenzek et al. 2020 §3.3):
+    bucket every document into head/middle/tail by per-LANGUAGE
+    perplexity terciles — head = most-fluent third, the slice CCNet
+    keeps by default. The perplexity proxy is the corpus-trained
+    bigram LM shared with bigram_logprob_quality (CCNet uses a 5-gram
+    KenLM; same signal family).
+
+    The tercile BOUNDARIES are trained on a bounded deterministic
+    sample (the 200 lowest doc_ids per language — CCNet likewise fits
+    its cutoffs on a sample, not the crawl) and applied to every doc by
+    broadcast comparison, tie-broken on (score, doc_id) so the split is
+    total and exact. This avoids the per-lang full-corpus window sort
+    an NTILE would plan (few languages = few reducers = a straggler
+    wall at 100 TB).
+
+    Scale: scoring reuses the bigram-LM shape (doc-keyed lead window +
+    vocabulary-keyed joins); the sample is ≤200·n_langs rows via the
+    salted two-level top-k; boundaries are a broadcast dimension; the
+    final bucket is a map-side CASE.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    scores = (
+        bigram_logprob_quality(spark, sf_dir)
+        .select("doc_id", "avg_nll2")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    samp = topk_per_group(
+        scores.withColumn("negid", (-F.col("doc_id")).cast("long")),
+        group_col="lang",
+        k=200,
+        sim_col="negid",
+        tie_col="doc_id",
+    ).select("doc_id", "lang", "avg_nll2")
+    cnt = samp.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    w = Window.partitionBy("lang").orderBy("avg_nll2", "doc_id")
+    rk = (
+        samp.join(F.broadcast(cnt), "lang")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    p1 = F.ceil(F.col("ns") / 3.0).cast("long")
+    p2 = F.ceil(F.col("ns") * 2.0 / 3.0).cast("long")
+    bd = rk.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == p1, F.col("avg_nll2"))).alias("s1"),
+        F.max(F.when(F.col("rn") == p1, F.col("doc_id"))).alias("d1"),
+        F.max(F.when(F.col("rn") == p2, F.col("avg_nll2"))).alias("s2"),
+        F.max(F.when(F.col("rn") == p2, F.col("doc_id"))).alias("d2"),
+    )
+    is_head = (F.col("avg_nll2") < F.col("s1")) | (
+        (F.col("avg_nll2") == F.col("s1")) & (F.col("doc_id") <= F.col("d1"))
+    )
+    is_mid = (F.col("avg_nll2") < F.col("s2")) | (
+        (F.col("avg_nll2") == F.col("s2")) & (F.col("doc_id") <= F.col("d2"))
+    )
+    return (
+        scores.join(F.broadcast(bd), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_nll2",
+            F.when(is_head, "head").when(is_mid, "middle").otherwise("tail").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

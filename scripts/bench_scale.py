@@ -108,6 +108,13 @@ OPS = [
     "knn_label_spread",
     "bigram_logprob_quality",
     "label_silhouette_lite",
+    # round-6 wave: fixed-256-bucket importance weights (the dimension
+    # never grows), sample-trained per-lang ppl terciles, source
+    # keyword extraction, int8 audit (projection-only)
+    "dsir_importance_weights",
+    "ccnet_ppl_buckets",
+    "ctfidf_source_keywords",
+    "int8_quant_audit",
 ]
 
 
@@ -130,10 +137,20 @@ def build(spark) -> None:
         )
         eb = rep if eb is None else eb.unionByName(rep)
     eb.repartition(32).write.parquet(f"{OUT}/embeddings.parquet")
+    # salt every token EXCEPT bm25_topk's fixed query terms: replica-0
+    # salting used to rename 'table'->'tablex0' too, emptying the BM25
+    # IN-list so its 10x/30x rows measured only the scan (rowsR: 0,
+    # VERDICT r5 Next #4). Keeping the three query terms unsalted
+    # exercises the posting join + per-doc accumulation + salted top-k
+    # at scale; shared isolated unigrams add no cross-replica shingles
+    # (a shared trigram would need 3 consecutive unsalted tokens).
+    _keep = r"(?!(?:table|scan|merge)(?!\S))"
     reps = [
         docs.select(
             (F.col("doc_id") + F.lit(r * 100_000_000)).alias("doc_id"),
-            F.regexp_replace("text", r"(\S+)", f"$1x{r}").alias("text"),
+            F.regexp_replace(
+                "text", r"(?<!\S)" + _keep + r"(\S+)", f"$1x{r}"
+            ).alias("text"),
             "lang", "source", "n_chars",
         )
         for r in range(R)
