@@ -173,6 +173,8 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "ctfidf_source_keywords",
     "int8_quant_audit",
+    # distributed power iteration (iterative numeric fixpoint #2)
+    "pca_power_iteration",
 ]
 
 

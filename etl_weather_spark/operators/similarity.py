@@ -904,3 +904,113 @@ def kmeans_lloyd(
         if rounds_done % checkpoint_every == 0:
             cent = cent.localCheckpoint()
     return assign
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iters: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Distributed power iteration for the TOP PRINCIPAL DIRECTION of
+    the (uncentered) mean Gram matrix Σ = (1/N)·Σᵢ vᵢvᵢᵀ — the
+    dominant axis an embedding-compression / whitening / drift-audit
+    step wants, without materializing Σ: each round computes
+    Σx = (1/N)·Σᵢ vᵢ·(vᵢᵀx) as two keyed aggregations (never a D×D
+    shuffle, never a driver-side matrix).
+
+    Returns the ``dim``-row relation (pos, component6, eig_mean_gram6)
+    — the unit eigenvector estimate after ``iters`` rounds plus the
+    Rayleigh-style eigenvalue estimate ‖Σx‖ (x unit) from the last
+    round.
+
+    Exactness discipline (the kmeans_lloyd pattern — an iterative
+    float fixpoint another engine can replay bit-for-bit):
+
+    - every dot accumulates 1e12-quantized per-component products as
+      LONG (order-free integer sum), then rounds once at 6 dp;
+    - the matrix-vector product divides by N and re-rounds at 6 dp;
+    - normalization uses a 1e6-quantized norm and 6-dp re-rounding, so
+      each round's iterate is a pure 6-dp function of the data;
+    - x₀ = (round(1/√dim, 6), …) — a deterministic constant start (the
+      Gram matrix is PSD, so iteration from any non-orthogonal start
+      converges to the dominant eigenspace; determinism, not chance,
+      picks the representative).
+
+    Scale: per round, the x iterate is a dim-row broadcast; s = vᵀx is
+    one (vec_id-keyed) partial agg over the exploded components, and
+    y = Σ vᵢsᵢ one (pos-keyed) partial agg — both map-side combinable.
+    Production iteration counts truncate lineage every
+    ``checkpoint_every`` rounds (the CC/BPE lesson); the default demo
+    depth stays lazy.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    comp = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"),
+    )
+    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spark = emb.sparkSession
+    x = spark.range(dim).select(
+        F.col("id").alias("pos"),
+        rnd(F.lit(1.0) / F.sqrt(F.lit(float(dim))), 6).alias("xv"),
+    )
+    q12 = F.lit(10**12)
+    nr = None
+    for rounds_done in range(1, iters + 1):
+        s = (
+            comp.join(F.broadcast(x), "pos")
+            .groupBy("vec_id")
+            .agg(
+                rnd(
+                    F.sum(
+                        F.floor(F.col("x") * F.col("xv") * q12 + F.lit(0.5)).cast("long")
+                    ).cast("double")
+                    / q12,
+                    6,
+                ).alias("s6")
+            )
+        )
+        y = (
+            comp.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("x") * F.col("s6") * q12 + F.lit(0.5)).cast("long")
+                    ).cast("double")
+                    / q12
+                ).alias("raw")
+            )
+            .crossJoin(F.broadcast(n_df))
+            .select("pos", rnd(F.col("raw") / F.col("n"), 6).alias("y6"))
+        )
+        nr = y.agg(
+            rnd(
+                F.sqrt(
+                    F.sum(
+                        F.floor(F.col("y6") * F.col("y6") * F.lit(10**6) + F.lit(0.5)).cast("long")
+                    ).cast("double")
+                    / F.lit(10**6)
+                ),
+                6,
+            ).alias("norm6")
+        )
+        x = y.crossJoin(F.broadcast(nr)).select(
+            "pos", rnd(F.col("y6") / F.col("norm6"), 6).alias("xv")
+        )
+        if rounds_done % checkpoint_every == 0:
+            x = x.localCheckpoint()
+    return (
+        x.crossJoin(F.broadcast(nr))
+        .select(
+            "pos",
+            F.col("xv").alias("component6"),
+            F.col("norm6").alias("eig_mean_gram6"),
+        )
+        .orderBy("pos")
+    )

@@ -12086,3 +12086,129 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pca_power_iteration",
+    """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+         UNNEST(v) AS x
+  FROM e
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+x0 AS (
+  SELECT CAST(UNNEST(range(0, 64)) AS BIGINT) AS pos,
+         FLOOR((1.0 / sqrt(64.0)) * 1000000 + 0.5) / 1000000 AS xv
+),
+s1 AS (
+  SELECT c.vec_id,
+         FLOOR((CAST(SUM(CAST(FLOOR(c.x * x.xv * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1000000000000) * 1000000 + 0.5) / 1000000 AS s6
+  FROM comp c JOIN x0 x ON x.pos = c.pos
+  GROUP BY c.vec_id
+),
+yraw1 AS (
+  SELECT c.pos,
+         CAST(SUM(CAST(FLOOR(c.x * s.s6 * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000000 AS raw
+  FROM comp c JOIN s1 s ON s.vec_id = c.vec_id
+  GROUP BY c.pos
+),
+y1 AS (
+  SELECT pos, FLOOR((raw / nn.n) * 1000000 + 0.5) / 1000000 AS y6
+  FROM yraw1 CROSS JOIN nn
+),
+nr1 AS (
+  SELECT FLOOR(sqrt(CAST(SUM(CAST(FLOOR(y6 * y6 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000) * 1000000 + 0.5) / 1000000 AS norm6
+  FROM y1
+),
+x1 AS (
+  SELECT pos, FLOOR((y6 / nr1.norm6) * 1000000 + 0.5) / 1000000 AS xv
+  FROM y1 CROSS JOIN nr1
+),
+s2 AS (
+  SELECT c.vec_id,
+         FLOOR((CAST(SUM(CAST(FLOOR(c.x * x.xv * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1000000000000) * 1000000 + 0.5) / 1000000 AS s6
+  FROM comp c JOIN x1 x ON x.pos = c.pos
+  GROUP BY c.vec_id
+),
+yraw2 AS (
+  SELECT c.pos,
+         CAST(SUM(CAST(FLOOR(c.x * s.s6 * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000000 AS raw
+  FROM comp c JOIN s2 s ON s.vec_id = c.vec_id
+  GROUP BY c.pos
+),
+y2 AS (
+  SELECT pos, FLOOR((raw / nn.n) * 1000000 + 0.5) / 1000000 AS y6
+  FROM yraw2 CROSS JOIN nn
+),
+nr2 AS (
+  SELECT FLOOR(sqrt(CAST(SUM(CAST(FLOOR(y6 * y6 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000) * 1000000 + 0.5) / 1000000 AS norm6
+  FROM y2
+),
+x2 AS (
+  SELECT pos, FLOOR((y6 / nr2.norm6) * 1000000 + 0.5) / 1000000 AS xv
+  FROM y2 CROSS JOIN nr2
+),
+s3 AS (
+  SELECT c.vec_id,
+         FLOOR((CAST(SUM(CAST(FLOOR(c.x * x.xv * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1000000000000) * 1000000 + 0.5) / 1000000 AS s6
+  FROM comp c JOIN x2 x ON x.pos = c.pos
+  GROUP BY c.vec_id
+),
+yraw3 AS (
+  SELECT c.pos,
+         CAST(SUM(CAST(FLOOR(c.x * s.s6 * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000000 AS raw
+  FROM comp c JOIN s3 s ON s.vec_id = c.vec_id
+  GROUP BY c.pos
+),
+y3 AS (
+  SELECT pos, FLOOR((raw / nn.n) * 1000000 + 0.5) / 1000000 AS y6
+  FROM yraw3 CROSS JOIN nn
+),
+nr3 AS (
+  SELECT FLOOR(sqrt(CAST(SUM(CAST(FLOOR(y6 * y6 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000) * 1000000 + 0.5) / 1000000 AS norm6
+  FROM y3
+),
+x3 AS (
+  SELECT pos, FLOOR((y6 / nr3.norm6) * 1000000 + 0.5) / 1000000 AS xv
+  FROM y3 CROSS JOIN nr3
+)
+SELECT x3.pos, x3.xv AS component6, nr3.norm6 AS eig_mean_gram6
+FROM x3 CROSS JOIN nr3
+ORDER BY x3.pos
+""",
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via DISTRIBUTED
+    POWER ITERATION on the mean Gram matrix (operators/similarity
+    .power_iteration_top_component) — the second iterative numeric
+    fixpoint in the registry next to Lloyd k-means, proven the same
+    way: every dot is an order-free 1e12-quantized integer sum, every
+    iterate re-rounds at 6 dp, and the oracle unrolls the three rounds
+    as chained CTEs computing the bit-identical recurrence.
+
+    Σx is computed as (1/N)·Σᵢ vᵢ(vᵢᵀx) — two keyed partial-agg
+    aggregations per round over the exploded components — so the D×D
+    matrix never materializes and nothing depends on N beyond two
+    map-side-combinable shuffles. The eigenvalue estimate ‖Σx‖ (x
+    unit) rides along from the last round.
+    """
+    from etl_weather_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(emb, dim=64, iters=3)

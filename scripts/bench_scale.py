@@ -115,6 +115,7 @@ OPS = [
     "ccnet_ppl_buckets",
     "ctfidf_source_keywords",
     "int8_quant_audit",
+    "pca_power_iteration",
 ]
 
 

@@ -425,3 +425,62 @@ def test_kmeans_lloyd_separates_blobs_and_carries_empty(spark):
     # toward [5,5] — no NaN, no lost rows, correct Lloyd dynamics
     res = {r.vec_id: r.cluster for r in kmeans_lloyd(dup, k=2, iters=3).collect()}
     assert len(res) == 3 and res[0] == res[1] == 1 and res[2] == 0
+
+
+def test_power_iteration_replay_and_convergence(spark, sf_dir):
+    """power_iteration_top_component: (a) the distributed result equals
+    an independent numpy replay of the same 6-dp-quantized recurrence
+    on the real corpus; (b) on a corpus WITH a spectral gap, 3 rounds
+    align with numpy eigh's dominant eigenvector and the Rayleigh
+    estimate approaches (never exceeds, modulo 1e-6 rounding) the true
+    eigenvalue."""
+    import numpy as np
+
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    def replay(X, iters=3):
+        n = len(X)
+        x = np.full(X.shape[1], np.floor((1 / np.sqrt(X.shape[1])) * 1e6 + 0.5) / 1e6)
+        for _ in range(iters):
+            s = np.floor(
+                np.floor(X * x * 1e12 + 0.5).sum(axis=1) / 1e12 * 1e6 + 0.5
+            ) / 1e6
+            raw = np.floor(X * s[:, None] * 1e12 + 0.5).sum(axis=0) / 1e12
+            y = np.floor(raw / n * 1e6 + 0.5) / 1e6
+            nrm = np.floor(
+                np.sqrt(np.floor(y * y * 1e6 + 0.5).sum() / 1e6) * 1e6 + 0.5
+            ) / 1e6
+            x = np.floor(y / nrm * 1e6 + 0.5) / 1e6
+        return x, nrm
+
+    # (a) exact replay on the real corpus
+    emb = q.load(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r.embedding for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    want_x, want_eig = replay(X)
+    rows = power_iteration_top_component(emb, dim=64, iters=3).collect()
+    got = np.array([r.component6 for r in sorted(rows, key=lambda r: r.pos)])
+    assert np.array_equal(got, want_x)
+    assert rows[0].eig_mean_gram6 == want_eig
+
+    # (b) convergence where a dominant direction exists
+    rng = np.random.default_rng(42)
+    u = rng.standard_normal(16)
+    u /= np.linalg.norm(u)
+    A = np.outer(rng.standard_normal(300) * 3.0, u) + 0.1 * rng.standard_normal((300, 16))
+    df = spark.createDataFrame(
+        [(i, A[i].tolist()) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    rows = power_iteration_top_component(df, dim=16, iters=3).collect()
+    x = np.array([r.component6 for r in sorted(rows, key=lambda r: r.pos)])
+    G = A.T @ A / len(A)
+    w, V = np.linalg.eigh(G)
+    cos = abs(x @ V[:, -1]) / np.linalg.norm(x)
+    assert cos > 0.999, cos
+    assert rows[0].eig_mean_gram6 <= w[-1] + 1e-3
+    assert rows[0].eig_mean_gram6 >= 0.9 * w[-1]
