@@ -179,6 +179,11 @@ HEADLINE = [
     # histogram-median MAD outlier gate (no per-source sort)
     "semantic_decontaminate",
     "mad_outlier_docs",
+    # LSH approximation-quality audit (two oracled generators composed),
+    # code-vs-prose routing signal, batch-packing fill-rate audit
+    "lsh_recall_audit",
+    "code_detect_stats",
+    "packing_efficiency_audit",
 ]
 
 

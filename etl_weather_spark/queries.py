@@ -12400,3 +12400,258 @@ def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "lsh_recall_audit",
+    f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+),
+sig AS (
+  SELECT doc_id,
+{_MINHASH_SIG_SQL}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *, s0 || '#' || s1 AS b0, s2 || '#' || s3 AS b1,
+            s4 || '#' || s5 AS b2, s6 || '#' || s7 AS b3
+  FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ({_MINHASH_MATCH_SQL}) / 8.0 AS est_jaccard
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+),
+flagged AS (
+  SELECT c.est_jaccard,
+         CASE WHEN e.id_a IS NULL THEN 0 ELSE 1 END AS is_true
+  FROM cand c LEFT JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b
+),
+bands AS (
+  SELECT est_jaccard,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(is_true) AS BIGINT) AS n_true
+  FROM flagged GROUP BY est_jaccard
+),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact_total,
+         CAST(SUM(n_true) AS BIGINT) AS n_hits_total
+  FROM bands
+)
+SELECT b.est_jaccard, b.n_candidates, b.n_true,
+       FLOOR((b.n_true * 1.0 / b.n_candidates) * 10000 + 0.5) / 10000 AS precision4,
+       t.n_exact_total, t.n_hits_total,
+       FLOOR((t.n_hits_total * 1.0 / t.n_exact_total) * 10000 + 0.5) / 10000 AS recall4
+FROM bands b CROSS JOIN tot t
+ORDER BY b.est_jaccard
+""",
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIFIED approximation quality of the MinHash+LSH candidate
+    generator against the exact trigram-Jaccard≥0.5 ground truth — the
+    audit a dedup pipeline runs before trusting banding parameters at
+    scale: per estimated-Jaccard band (k/8 signature agreement), how
+    many candidates, how many are true near-dups, the band's precision,
+    and the generator's overall recall of the exact pair set.
+
+    Composes two independently-oracled generators (minhash_lsh's md5
+    signature family × prefix-filtered exact Jaccard); the oracle
+    recomputes both sides and the join, so the recall/precision numbers
+    themselves are cross-engine exact.
+
+    Scale: the exact side uses the prefix-filtered generator (never
+    all-pairs); the candidate side is the banding equi-join; the audit
+    join moves only (id, id) pairs and the rollup is band-keyed
+    (≤9 rows out).
+    """
+    from etl_weather_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        prefix_filter_candidates,
+        verify_candidates_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cand0 = prefix_filter_candidates(docs, shingle_n=3, min_jaccard=0.5)
+    exact = verify_candidates_jaccard(
+        docs, cand0, shingle_n=3, min_jaccard=0.5
+    ).select("id_a", "id_b")
+    approx = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, hash_family="md5"
+    )
+    flagged = approx.join(
+        exact.withColumn("is_true", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select(
+        "est_jaccard", F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true")
+    )
+    bands = flagged.groupBy("est_jaccard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("is_true").cast("long").alias("n_true"),
+    )
+    tot = bands.agg(F.sum("n_true").cast("long").alias("n_hits_total")).crossJoin(
+        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_total"))
+    )
+    return (
+        bands.crossJoin(F.broadcast(tot))
+        .select(
+            "est_jaccard",
+            "n_candidates",
+            "n_true",
+            rnd(F.col("n_true") * 1.0 / F.col("n_candidates"), 4).alias(
+                "precision4"
+            ),
+            "n_exact_total",
+            "n_hits_total",
+            rnd(F.col("n_hits_total") * 1.0 / F.col("n_exact_total"), 4).alias(
+                "recall4"
+            ),
+        )
+        .orderBy("est_jaccard")
+    )
+
+
+@query(
+    "code_detect_stats",
+    """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[{}();]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '(^|\\s)(def|class|import|return|function|var|const|if|else|for|while)(\\s|$)')) AS BIGINT) AS n_kw,
+         CAST(len(regexp_extract_all(text, '=')) AS BIGINT) AS n_assign,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z_][a-zA-Z0-9_]*\\([^)]*\\)')) AS BIGINT) AS n_calls,
+         CAST(length(text) AS BIGINT) AS n_chars_t
+  FROM documents
+)
+SELECT doc_id, n_punct, n_kw, n_assign, n_calls,
+       FLOOR(((n_punct * 3.0 + n_kw * 5.0 + n_assign * 2.0 + n_calls * 4.0)
+              / GREATEST(n_chars_t, 1)) * 1000000 + 0.5) / 1000000 AS code_score6,
+       (FLOOR(((n_punct * 3.0 + n_kw * 5.0 + n_assign * 2.0 + n_calls * 4.0)
+               / GREATEST(n_chars_t, 1)) * 1000000 + 0.5) / 1000000 > 0.05)
+         AS looks_like_code
+FROM f
+ORDER BY doc_id
+""",
+)
+def code_detect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal (the StarCoder/FineWeb-style
+    separation every mixed crawl needs before mixture weighting — code
+    wants different dedup grain, quality gates, and sampling
+    temperature than prose): per-doc counts of code-punctuation,
+    keyword hits, assignments, and call-shaped spans, folded into a
+    length-normalized score with a fixed routing threshold.
+
+    Determinism: pure counting regexes (no backrefs, no lookaround —
+    engine-portable), fixed written-order weight fold, one 6-dp
+    rounding; the flag compares the ROUNDED score so both engines
+    decide identically at the boundary.
+
+    Scale: projection-only (regexp_count in whole-stage codegen), no
+    shuffle but the final sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_punct = F.regexp_count("text", F.lit(r"[{}();]")).cast("long")
+    n_kw = F.regexp_count(
+        "text",
+        F.lit(r"(^|\s)(def|class|import|return|function|var|const|if|else|for|while)(\s|$)"),
+    ).cast("long")
+    n_assign = F.regexp_count("text", F.lit("=")).cast("long")
+    n_calls = F.regexp_count(
+        "text", F.lit(r"[a-zA-Z_][a-zA-Z0-9_]*\([^)]*\)")
+    ).cast("long")
+    n_chars_t = F.length("text").cast("long")
+    score = rnd(
+        (
+            F.col("n_punct") * 3.0
+            + F.col("n_kw") * 5.0
+            + F.col("n_assign") * 2.0
+            + F.col("n_calls") * 4.0
+        )
+        / F.greatest(F.col("n_chars_t"), F.lit(1)),
+        6,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_punct.alias("n_punct"),
+            n_kw.alias("n_kw"),
+            n_assign.alias("n_assign"),
+            n_calls.alias("n_calls"),
+            n_chars_t.alias("n_chars_t"),
+        )
+        .select(
+            "doc_id", "n_punct", "n_kw", "n_assign", "n_calls",
+            score.alias("code_score6"),
+            (score > 0.05).alias("looks_like_code"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "packing_efficiency_audit",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                   - length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '')) + 1
+              END AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) / 512.0) AS BIGINT) AS batch_id
+  FROM toks
+)
+SELECT batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
+       FLOOR((SUM(n_tok) / 512.0) * 10000 + 0.5) / 10000 AS fill_rate4,
+       (SUM(n_tok) > 512) AS over_budget
+FROM packed
+GROUP BY batch_id
+ORDER BY batch_id
+""",
+)
+def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader-layout audit over token_budget_batches' packing: per
+    batch, how many documents landed, the token load, the fill rate
+    against the 512 budget, and whether the batch overflows (greedy
+    prefix packing lets a batch run over when a document straddles the
+    boundary — the padding-vs-truncation tradeoff a training run needs
+    quantified before choosing sequence length).
+
+    Scale: composes the two-level prefix-sum packer (no global
+    single-reducer window) with one batch-keyed partial agg; output is
+    batch-count-sized.
+    """
+    from etl_weather_spark.operators.batching import pack_token_batches
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_token_batches(
+        docs, token_count(F.col("text")), budget=512, order_col="doc_id"
+    )
+    return (
+        packed.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("batch_tokens"),
+            rnd(F.sum("n_tok") / 512.0, 4).alias("fill_rate4"),
+            (F.sum("n_tok") > 512).alias("over_budget"),
+        )
+        .orderBy("batch_id")
+    )

@@ -118,6 +118,9 @@ OPS = [
     "pca_power_iteration",
     "semantic_decontaminate",
     "mad_outlier_docs",
+    "lsh_recall_audit",
+    "code_detect_stats",
+    "packing_efficiency_audit",
 ]
 
 
