@@ -234,3 +234,121 @@ def ewma_anomalies(
             timeMode="none",
         )
     )
+
+
+class TimerSessionProcessor:
+    """StatefulProcessor: per-user session windows driven by EVENT-TIME
+    TIMERS (transformWithState timeMode="eventTime") — the timer/expiry
+    half of the TWS API that EwmaAnomalyProcessor's timeMode="none"
+    path never exercises.
+
+    State: one (start, last, n, vsum) row per open session per user.
+    Input rows fold in event-time order; a gap ≥ ``gap_ms`` closes the
+    current session inline (emitted immediately). The OPEN session
+    registers a timer at ``last + gap_ms``; when the watermark passes
+    it, ``handleExpiredTimer`` emits the session and clears state — so
+    idle users' sessions close without waiting for their next event,
+    which is exactly what session_window's declarative eviction does
+    and what a hand-rolled applyInPandasWithState cannot do without
+    processing-time timeouts.
+
+    Emitted sessions match F.session_window semantics: end = last
+    event + gap. Scale: state is one narrow row + one timer per open
+    session, hash-sharded by user.
+    """
+
+    def __init__(self, gap_ms: int = 7_200_000):
+        self.gap_ms = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "sess", "start long, last long, n long, vsum double"
+        )
+
+    def _emit_df(self, user_id, st):
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(user_id),
+                    "session_start": pd.to_datetime(st[0], unit="ms"),
+                    "session_end": pd.to_datetime(st[1] + self.gap_ms, unit="ms"),
+                    "n_events": int(st[2]),
+                    "vsum": round(float(st[3]), 2),
+                }
+            ]
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        (user_id,) = key
+        st = list(self._sess.get()) if self._sess.exists() else None
+        events = []
+        for pdf in rows:
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                ms = int(pd.Timestamp(ts).value // 1_000_000)
+                events.append((ms, 0.0 if pd.isna(v) else float(v)))
+        events.sort()
+        closed = []
+        for ms, v in events:
+            if st is not None and ms - st[1] >= self.gap_ms:
+                closed.append(st)
+                st = None
+            if st is None:
+                st = [ms, ms, 0, 0.0]
+            st[1] = max(st[1], ms)
+            st[2] += 1
+            st[3] += v
+        # one live timer per key: re-arm at the open session's horizon
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(st[1] + self.gap_ms)
+        self._sess.update(tuple(st))
+        for s in closed:
+            yield self._emit_df(user_id, s)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803 - runtime calls by keyword
+        (user_id,) = key
+        if self._sess.exists():
+            st = list(self._sess.get())
+            # the timer may predate a session extended in the same
+            # batch; only close if the watermark truly passed the gap
+            if expiredTimerInfo.getExpiryTimeInMs() >= st[1] + self.gap_ms:
+                self._sess.clear()
+                yield self._emit_df(user_id, st)
+
+    def close(self) -> None:
+        pass
+
+
+#: output schema of :func:`timer_sessions`
+TIMER_SESSIONS_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, vsum double"
+)
+
+
+def timer_sessions(
+    events: DataFrame, *, gap: str = "2 hours", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Session windows as a CUSTOM transformWithState operator with
+    event-time timers — the imperative twin of :func:`session_user_agg`
+    (their outputs are asserted equal in tests), for the cases the
+    declarative form can't express: per-session side effects at close
+    time, custom emit payloads, or state machines richer than
+    merge-by-gap.
+
+    Requires a watermark (event-time timers fire off it) and the
+    RocksDB state store provider, like every TWS operator here.
+    """
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TimerSessionProcessor(gap_ms=gap_ms),
+            outputStructType=TIMER_SESSIONS_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

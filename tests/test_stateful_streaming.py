@@ -362,3 +362,65 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_pat
         .collect()
     }
     assert batch == settled
+
+
+def test_timer_sessions_match_declarative_session_window(spark, tmp_path):
+    """transformWithState with EVENT-TIME TIMERS reproduces the
+    declarative session_window aggregation exactly: inline closes (gap
+    seen within the data) and timer closes (watermark passes an idle
+    session's horizon via the no-data batch) together equal the batch
+    sessionization."""
+    from etl_weather_spark.streaming.stateful import timer_sessions
+
+    src = _write_batches(tmp_path)
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            timer_sessions(stream, gap="2 hours", watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName("t_timer_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    streamed = {
+        (r.user_id, r.session_start.isoformat()): (
+            r.session_end.isoformat(),
+            r.n_events,
+            r.vsum,
+        )
+        for r in spark.sql(
+            "SELECT * FROM t_timer_sessions WHERE user_id >= 0"
+        ).collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in BATCH1 + BATCH2[:-1]],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r.user_id, r.session_start.isoformat()): (
+            r.session_end.isoformat(),
+            r.n_events,
+            r.vsum,
+        )
+        for r in session_user_agg(batch_df, gap="2 hours").collect()
+    }
+    assert streamed == batch
+    # both close paths exercised: user 1's first session closed INLINE
+    # (the 06:00 event arrived >2h later), the 06:00 singleton and user
+    # 2's session closed via TIMER (no later event for those users)
+    assert (1, "2024-01-01T01:00:00") in streamed
+    assert (1, "2024-01-01T06:00:00") in streamed
+    assert (2, "2024-01-01T01:10:00") in streamed
