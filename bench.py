@@ -184,6 +184,8 @@ HEADLINE = [
     "lsh_recall_audit",
     "code_detect_stats",
     "packing_efficiency_audit",
+    # multilingual tokenizer-equity audit on the BPE encode path
+    "tokenizer_fertility_by_lang",
 ]
 
 

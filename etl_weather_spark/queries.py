@@ -12655,3 +12655,82 @@ def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+_BPE_FERTILITY_ORACLE = (
+    """
+WITH tok AS (
+  SELECT doc_id, lang, word FROM (
+    SELECT doc_id, lang,
+           UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+),
+words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+v0 AS (
+  SELECT array_to_string(string_split(word, ''), chr(31)) AS ws, freq, word FROM words
+),"""
+    + ",".join(_bpe_oracle_round(i, carry=", word") for i in (1, 2, 3))
+    + """,
+seg AS (SELECT word, len(string_split(ws, chr(31))) AS n_pieces FROM v3)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       CAST((10000 * SUM(n_pieces)) // COUNT(*) AS BIGINT) AS pieces_per_word_1e4,
+       CAST((10000 * SUM(length(word))) // SUM(n_pieces) AS BIGINT) AS chars_per_piece_1e4
+FROM tok JOIN seg USING (word)
+GROUP BY lang ORDER BY lang
+"""
+)
+
+
+@query("tokenizer_fertility_by_lang", _BPE_FERTILITY_ORACLE)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY equity audit: pieces-per-word and
+    chars-per-piece of the corpus-trained BPE segmentation, rolled up
+    per LANGUAGE — the fairness diagnostic every multilingual tokenizer
+    report leads with (a vocab trained on English-heavy data fragments
+    other languages into more, shorter pieces, silently taxing their
+    training budget and context window).
+
+    Same vocab-level segmentation as bpe_encode_stats (each distinct
+    word encoded once, token stream joined by word); the rollup keys on
+    the bounded language dimension. Integer 1e4 fixed-point ratios keep
+    both engines exact.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+    from etl_weather_spark.operators.textops import bpe_segment
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .persist()
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("syms"), "freq", "word")
+        .persist()
+    )
+    seg = bpe_segment(vocab, 3).select("word", F.size("syms").alias("n_pieces"))
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_chars", "n_pieces",
+            F.expr("(10000 * n_pieces) div n_words").alias("pieces_per_word_1e4"),
+            F.expr("(10000 * n_chars) div n_pieces").alias("chars_per_piece_1e4"),
+        )
+        .orderBy("lang")
+    )

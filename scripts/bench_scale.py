@@ -121,6 +121,7 @@ OPS = [
     "lsh_recall_audit",
     "code_detect_stats",
     "packing_efficiency_audit",
+    "tokenizer_fertility_by_lang",
 ]
 
 
