@@ -186,6 +186,9 @@ HEADLINE = [
     "packing_efficiency_audit",
     # multilingual tokenizer-equity audit on the BPE encode path
     "tokenizer_fertility_by_lang",
+    # governance + monitoring: k-anonymity classes, KS distribution drift
+    "k_anonymity_audit",
+    "ks_drift_audit",
 ]
 
 

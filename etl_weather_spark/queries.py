@@ -12734,3 +12734,155 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+WITH g AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         CAST(SUM(CASE WHEN n_docs < 5 THEN n_docs ELSE 0 END) AS BIGINT) AS risk_docs
+  FROM g
+)
+SELECT g.lang, g.source, g.n_docs,
+       (g.n_docs >= 5) AS k_ok,
+       t.risk_docs,
+       FLOOR((t.risk_docs * 1.0 / t.total_docs) * 10000 + 0.5) / 10000 AS risk_share4
+FROM g CROSS JOIN tot t
+ORDER BY g.lang, g.source
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (lang, source):
+    any group smaller than k=5 makes its documents re-identifiable by
+    those attributes alone — the governance check run before releasing
+    a training corpus with metadata attached (k-anonymity, Sweeney
+    2002). Reports every equivalence class, its k status, and the
+    corpus-wide share of at-risk documents.
+
+    Scale: one partial-agg groupBy over the (bounded) quasi-identifier
+    dimensions plus a broadcast 1-row total; output is
+    dimension-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.sum(F.when(F.col("n_docs") < 5, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("risk_docs"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (F.col("n_docs") >= 5).alias("k_ok"),
+            "risk_docs",
+            rnd(F.col("risk_docs") * 1.0 / F.col("total_docs"), 4).alias(
+                "risk_share4"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "ks_drift_audit",
+    """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS side
+  FROM documents
+),
+h AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM d GROUP BY x
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM h
+),
+cum AS (
+  SELECT h.x,
+         SUM(h.ca) OVER (ORDER BY h.x) AS cca,
+         SUM(h.cb) OVER (ORDER BY h.x) AS ccb,
+         t.na, t.nb
+  FROM h CROSS JOIN tot t
+),
+gaps AS (
+  SELECT x,
+         FLOOR(ABS(cca * 1.0 / na - ccb * 1.0 / nb) * 1000000 + 0.5) / 1000000
+           AS gap6
+  FROM cum
+)
+SELECT MAX(gap6) AS ks_stat6,
+       CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+       (MAX(gap6) > 0.2) AS drifted
+FROM gaps
+""",
+)
+def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: the two-sample Kolmogorov-Smirnov
+    statistic (max CDF gap) between one source's document-length
+    distribution and the rest of the corpus — the monitoring check a
+    continuously-ingesting pipeline runs per batch to catch a crawler
+    or upstream format change before it skews training mixtures.
+
+    D = max_x |F_a(x) − F_b(x)| computed from QUANTIZED HISTOGRAMS:
+    per-value counts for both sides in one pass, one cumulative window
+    over the distinct-VALUE relation (bounded by value cardinality,
+    never a row sort — the mad_outlier_docs trick), gaps rounded at
+    6 dp before the max so both engines agree exactly.
+
+    Scale: one (value)-keyed partial agg over the corpus + a window
+    over the tiny histogram; output is one row.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("source") == "src0", "a").otherwise("b").alias("side"),
+    )
+    h = d.groupBy("x").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = h.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.crossJoin(F.broadcast(tot)).select(
+        "x",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+        "na",
+        "nb",
+    )
+    gap6 = rnd(
+        F.abs(F.col("cca") * 1.0 / F.col("na") - F.col("ccb") * 1.0 / F.col("nb")),
+        6,
+    )
+    return (
+        cum.select(gap6.alias("gap6"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("gap6").alias("ks_stat6"),
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            (F.max("gap6") > 0.2).alias("drifted"),
+        )
+    )

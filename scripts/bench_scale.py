@@ -122,6 +122,8 @@ OPS = [
     "code_detect_stats",
     "packing_efficiency_audit",
     "tokenizer_fertility_by_lang",
+    "k_anonymity_audit",
+    "ks_drift_audit",
 ]
 
 
