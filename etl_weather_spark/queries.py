@@ -12048,6 +12048,10 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_logprob_quality(spark, sf_dir)
         .select("doc_id", "avg_nll2")
         .join(docs.select("doc_id", "lang"), "doc_id")
+        # two consumers (boundary sample + final bucket join) would
+        # otherwise each recompute the whole bigram-LM chain — fence
+        # the scored relation once (lazy: materializes on first use)
+        .localCheckpoint(eager=False)
     )
     samp = topk_per_group(
         scores.withColumn("negid", (-F.col("doc_id")).cast("long")),
