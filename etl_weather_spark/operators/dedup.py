@@ -1715,3 +1715,118 @@ def strip_boilerplate_sentences(
         )
         .orderBy("doc_id")
     )
+
+
+def containment_candidates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) for min-side set CONTAINMENT ≥ t —
+    complete, and pruned far below "shares any shingle".
+
+    Containment bounds overlap by the SMALLER side only:
+    α ≥ ⌈t·min(|A|,|B|)⌉, so any qualifying pair must share one of the
+    smaller doc's first ``n − ⌈t·n⌉ + 1`` shingles under the global
+    canonical order (ascending document frequency, shingle as
+    tie-break) — the asymmetric form of the SSJoin/PPJoin prefix
+    filter. The join is therefore PREFIX(probe side) ⋈ ALL(index
+    side), restricted to probe-smaller-than-index (ties on size break
+    by id), which covers every pair exactly once with the smaller doc
+    as the probe. No length filter exists — containment permits any
+    size ratio (a 100-shingle quote inside a 10k-shingle page is the
+    point).
+
+    Scale: the probe relation is (1−t)·corpus shingle rows skewed
+    toward RARE shingles (short posting lists); the index side is the
+    full shingle table, equi-joined on shingle. Frequent-shingle
+    blowup (f²/2) can only come through a doc whose PREFIX contains a
+    frequent shingle — i.e., docs that are mostly boilerplate, the
+    same boundary PPJoin has. Completeness is asserted by
+    queries.containment_pairs' oracle (the naive shares-any-shingle
+    SQL) matching at every SF.
+    """
+    sh = exploded_shingles(docs, text_col=text_col, keep_cols=[id_col], n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sized = sh.join(sizes, id_col)
+    dfreq = sized.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("df", "sh")
+    t = float(min_containment)
+    prefix = (
+        sized.join(dfreq, "sh")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(
+            F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+        )
+        .select(F.col(id_col).alias("id_p"), "sh", F.col("n_sh").alias("n_p"))
+    )
+    index = sized.select(
+        F.col(id_col).alias("id_f"), "sh", F.col("n_sh").alias("n_f")
+    )
+    return (
+        prefix.join(index, "sh")
+        .filter(
+            (F.col("n_p") < F.col("n_f"))
+            | ((F.col("n_p") == F.col("n_f")) & (F.col("id_p") < F.col("id_f")))
+        )
+        .select(
+            F.least("id_p", "id_f").alias("id_a"),
+            F.greatest("id_p", "id_f").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def verify_candidates_containment(
+    docs: DataFrame,
+    cand: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Exact min-side containment for the candidate pairs only:
+    (id_a, id_b, n_inter, n_a, n_b, containment) with containment =
+    |A∩B| / min(|A|,|B|) ≥ t. Same semi-join pruning discipline as
+    :func:`verify_candidates_jaccard`."""
+    pairs = cand.select("id_a", "id_b").persist()
+    pairs.count()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = exploded_shingles(
+        docs.join(cand_ids, id_col, "left_semi"),
+        text_col=text_col, keep_cols=[id_col], n=shingle_n,
+    ).persist()
+    sh.count()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+    return out

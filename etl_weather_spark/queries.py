@@ -12890,3 +12890,66 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("gap6") > 0.2).alias("drifted"),
         )
     )
+
+
+@query(
+    "containment_pairs",
+    f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(ni AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       FLOOR((ni * 1.0 / LEAST(sa.n, sb.n)) * 10000 + 0.5) / 10000 AS containment4,
+       CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / LEAST(sa.n, sb.n) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: pairs where the smaller document's
+    shingle set is ≥80% CONTAINED in the other — quotes, excerpts, and
+    expanded re-posts that symmetric Jaccard misses (a 100-shingle doc
+    fully inside a 1000-shingle doc scores Jaccard 0.1 but containment
+    1.0). RefinedWeb-style pipelines prune the contained side; the
+    ``contained_id`` column is that decision.
+
+    Scale: candidates come from the ASYMMETRIC prefix filter
+    (operators/dedup.containment_candidates — the smaller side's
+    ``n − ⌈t·n⌉ + 1`` rarest shingles probe the full index, the
+    SSJoin prefix bound applied to the min-side overlap), then exact
+    verify on the candidate pairs only. The oracle is the NAIVE
+    shares-any-shingle SQL, so the oracle match at every SF is the
+    pruned generator's completeness proof — the same contract as
+    prefix_filter_jaccard.
+    """
+    from etl_weather_spark.operators.dedup import (
+        containment_candidates,
+        verify_candidates_containment,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cand = containment_candidates(docs, shingle_n=3, min_containment=0.8)
+    out = verify_candidates_containment(
+        docs, cand, shingle_n=3, min_containment=0.8
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        rnd(F.col("containment"), 4).alias("containment4"),
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+    ).orderBy("id_a", "id_b")

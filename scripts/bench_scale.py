@@ -124,6 +124,7 @@ OPS = [
     "tokenizer_fertility_by_lang",
     "k_anonymity_audit",
     "ks_drift_audit",
+    "containment_pairs",
 ]
 
 
