@@ -189,6 +189,8 @@ HEADLINE = [
     # governance + monitoring: k-anonymity classes, KS distribution drift
     "k_anonymity_audit",
     "ks_drift_audit",
+    # asymmetric containment join (prefix-filtered probe x full index)
+    "containment_pairs",
 ]
 
 
