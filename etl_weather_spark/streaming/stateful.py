@@ -352,3 +352,60 @@ def timer_sessions(
             timeMode="eventTime",
         )
     )
+
+
+class TypeCountsProcessor:
+    """StatefulProcessor: per-user event-type counters in TWS MAP STATE
+    (getMapState/updateValue/iterator) — the keyed-substate API surface
+    ValueState processors never touch, and the natural fit when the
+    per-key state is itself a growing dictionary (per-user per-type
+    counters, per-session feature maps): the state store reads/writes
+    ONE map entry per update instead of rewriting a whole serialized
+    blob, which is what keeps hot keys cheap when the map is wide.
+
+    Each trigger folds the user's rows into the map and emits one row
+    per TOUCHED event type with the updated running count — an
+    update-mode changelog whose latest row per (user, type) equals the
+    batch groupBy count (asserted in tests).
+    """
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState("counts", "t string", "c long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        (user_id,) = key
+        delta: dict[str, int] = {}
+        for pdf in rows:
+            for t in pdf["event_type"]:
+                delta[str(t)] = delta.get(str(t), 0) + 1
+        out = []
+        for t, d in sorted(delta.items()):
+            cur = (
+                self._counts.getValue((t,))[0]
+                if self._counts.containsKey((t,))
+                else 0
+            )
+            self._counts.updateValue((t,), (cur + d,))
+            out.append((int(user_id), t, int(cur + d)))
+        yield pd.DataFrame(out, columns=["user_id", "event_type", "n_events"])
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_counts(events: DataFrame) -> DataFrame:
+    """Per-user per-event-type running counts via transformWithState
+    MAP state — one output row per touched (user, type) per trigger;
+    the latest row per pair is the exact running count (update-mode
+    changelog). Scale: state is one map entry per (user, type), and a
+    trigger touches only the entries its rows hit."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TypeCountsProcessor(),
+            outputStructType="user_id long, event_type string, n_events long",
+            outputMode="update",
+            timeMode="none",
+        )
+    )

@@ -424,3 +424,51 @@ def test_timer_sessions_match_declarative_session_window(spark, tmp_path):
     assert (1, "2024-01-01T01:00:00") in streamed
     assert (1, "2024-01-01T06:00:00") in streamed
     assert (2, "2024-01-01T01:10:00") in streamed
+
+
+def test_map_state_type_counts_match_batch(spark, tmp_path):
+    """TWS MAP STATE: the latest emitted row per (user, event_type)
+    equals the batch groupBy count over the same events, with counts
+    carried ACROSS micro-batches through map entries."""
+    from etl_weather_spark.streaming.stateful import user_type_counts
+
+    src = _write_batches(tmp_path)
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            user_type_counts(stream)
+            .writeStream.format("memory")
+            .queryName("t_type_counts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("SELECT * FROM t_type_counts").collect()
+    latest = {}
+    for r in rows:  # memory sink preserves emission order; last write wins
+        latest[(r.user_id, r.event_type)] = r.n_events
+
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in BATCH1 + BATCH2],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    batch = {
+        (r.user_id, r.event_type): r.n
+        for r in batch_df.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert latest == batch
+    # cross-batch carry: user 1 'view' appears in both batches -> 2
+    assert latest[(1, "view")] == 2
