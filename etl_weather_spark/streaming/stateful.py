@@ -409,3 +409,38 @@ def user_type_counts(events: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+class SeededTypeCountsProcessor(TypeCountsProcessor):
+    """TypeCountsProcessor bootstrapped from a BATCH BACKFILL via TWS
+    INITIAL STATE (handleInitialState): the migration path every
+    batch→streaming cutover needs — historical per-(user, type) counts
+    land in the state store before the first micro-batch, so streamed
+    counts continue the batch totals instead of restarting at zero."""
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        # initialState: the user's rows of the seed relation
+        # (event_type, n_events) — one map entry each
+        for _, r in initialState.iterrows():
+            self._counts.updateValue(
+                (str(r["event_type"]),), (int(r["n_events"]),)
+            )
+
+
+def user_type_counts_seeded(events: DataFrame, seed: DataFrame) -> DataFrame:
+    """Per-user per-type running counts CONTINUING a batch backfill:
+    ``seed`` is a batch relation (user_id, event_type, n_events) —
+    e.g. the output of the batch groupBy over the historical corpus —
+    loaded into TWS map state via initial-state handling before the
+    stream's first trigger."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SeededTypeCountsProcessor(),
+            outputStructType="user_id long, event_type string, n_events long",
+            outputMode="update",
+            timeMode="none",
+            initialState=seed.groupBy("user_id"),
+        )
+    )

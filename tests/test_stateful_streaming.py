@@ -472,3 +472,61 @@ def test_map_state_type_counts_match_batch(spark, tmp_path):
     assert latest == batch
     # cross-batch carry: user 1 'view' appears in both batches -> 2
     assert latest[(1, "view")] == 2
+
+
+def test_initial_state_seeds_map_counts(spark, tmp_path):
+    """TWS INITIAL STATE: a batch backfill (user, type, n) lands in map
+    state before the first trigger, so streamed counts CONTINUE the
+    historical totals — latest row per pair == backfill + stream."""
+    from etl_weather_spark.streaming.stateful import user_type_counts_seeded
+
+    seed = spark.createDataFrame(
+        [(1, "view", 10), (1, "click", 3), (2, "view", 7)],
+        "user_id long, event_type string, n_events long",
+    )
+    src = _write_batches(tmp_path)
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            user_type_counts_seeded(stream, seed)
+            .writeStream.format("memory")
+            .queryName("t_seeded_counts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_seeded_counts").collect():
+        latest[(r.user_id, r.event_type)] = r.n_events
+
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in BATCH1 + BATCH2],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    stream_counts = {
+        (r.user_id, r.event_type): r.n
+        for r in batch_df.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    seeds = {(1, "view"): 10, (1, "click"): 3, (2, "view"): 7}
+    expect = {
+        k: stream_counts.get(k, 0) + seeds.get(k, 0)
+        for k in set(stream_counts) | set(seeds)
+    }
+    # only pairs touched by the STREAM are re-emitted; seed-only pairs
+    # stay in state silently
+    touched = {k: v for k, v in expect.items() if k in stream_counts}
+    assert latest == touched
+    assert latest[(1, "view")] == 12  # 10 backfilled + 2 streamed
