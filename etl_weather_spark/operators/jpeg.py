@@ -142,6 +142,11 @@ class _BitReader:
                 self.pos += 1
             self.bitbuf = (self.bitbuf << 8) | b
             self.nbits += 8
+        # drop already-consumed high bits: without this mask the int
+        # grows by 8 bits per input byte and every read_bit shift is
+        # O(stream size) — decode goes quadratic (measured 46x on a
+        # 256x256 image)
+        self.bitbuf &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -206,15 +211,21 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
-        while payload[pos + 1] == 0xFF:  # FF fill bytes before a marker
-            pos += 1
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # FF fill bytes before a marker
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (fill bytes run to EOF)")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (marker segment header)")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if pos + seglen > len(payload):
+            raise ValueError("truncated JPEG (segment body)")
         body = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             b = body
@@ -383,6 +394,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # mask emitted bits out of the accumulator (same quadratic-
+        # bignum trap as the reader's bitbuf)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:

@@ -307,15 +307,11 @@ def decode_media(payload: bytes, mime: str):
     libraries absent from this container (MP3, MP4, progressive JPEG,
     …) raise ``NotImplementedError`` — the extract_features(decode=True)
     path degrades those to a per-row ``decode_error``."""
-    if payload[:8] == _PNG_SIG:
-        return {"modality": "image", "pixels": decode_png(payload)}
-    if payload[:3] == b"\xff\xd8\xff":
-        from etl_weather_spark.operators.jpeg import decode_jpeg
-
-        px = decode_jpeg(payload)
-        if px.ndim == 2:
-            px = px[:, :, None]  # grayscale → (h, w, 1), PNG gray parity
-        return {"modality": "image", "pixels": px}
+    if payload[:8] == _PNG_SIG or payload[:3] == b"\xff\xd8\xff":
+        # one image-dispatch rule for every caller (pixel_stats uses
+        # the same helper), so format routing and the grayscale
+        # (h, w, 1) convention can never diverge between paths
+        return {"modality": "image", "pixels": _decode_image(payload)}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, rate = decode_wav(payload)
         return {"modality": "audio", "samples": samples, "sample_rate": rate}

@@ -300,24 +300,19 @@ def embedding_near_dupes(
         )
     sim = rnd(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), sim_decimals)
     if block_col is not None and block_cap is not None:
-        cells = ivf_cells_seeded(
-            emb,
-            vec_col=vec_col,
-            id_col=id_col,
-            cells_per_sqrt_n=cells_per_sqrt_n,
-            sim_decimals=sim_decimals,
-        )
-        blk = emb.select(
-            F.col(id_col).alias("vec_id"), F.col(block_col).alias("__blk")
-        )
-        base = cells.join(blk, "vec_id")
-        # block-size gate: key space is the (bounded) block dimension,
-        # so the size relation broadcasts — no extra sort shuffle
+        base = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(block_col).alias("__blk"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        ).withColumn("nv", norm_safe(F.col("v")))
+        # block-size gate: computed from the CHEAP projection (key
+        # space is the bounded block dimension, so it broadcasts) —
+        # the N×K cell scoring below runs ONLY for rows of oversized
+        # blocks, so a corpus with no oversized block pays nothing
+        # beyond the count() that sizes the centroid set
         sizes = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bs"))
-        base = base.join(F.broadcast(sizes), "__blk")
-
-        small = base.filter(F.col("__bs") <= block_cap)
-        big = base.filter(F.col("__bs") > block_cap)
+        sized = base.join(F.broadcast(sizes), "__blk")
+        small = sized.filter(F.col("__bs") <= block_cap)
         pairs_small = (
             small.select("__blk", F.col("vec_id").alias("id_a"),
                          F.col("v").alias("va"), F.col("nv").alias("na"))
@@ -326,6 +321,38 @@ def embedding_near_dupes(
                              F.col("v").alias("vb"), F.col("nv").alias("nb")),
                 on="__blk",
             )
+        )
+        # oversized leg: deterministic IVF cells — centroids are the K
+        # lowest-id vectors of the FULL table (same geometry as
+        # ivf_cells_seeded, so the SQL oracle is unchanged), but the
+        # N×K scoring touches only oversized-block rows
+        n = emb.count()
+        k = max(1, int(cells_per_sqrt_n) * math.ceil(math.sqrt(max(n, 1))))
+        cent = (
+            base.orderBy("vec_id")
+            .limit(k)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("nv").alias("nc"),
+            )
+        )
+        csim = rnd(
+            dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")),
+            sim_decimals,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+        big = (
+            sized.filter(F.col("__bs") > block_cap)
+            .crossJoin(F.broadcast(cent))
+            .select("__blk", "vec_id", "v", "nv", "cid", csim.alias("csim"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__blk", F.col("cid").alias("cell"), "vec_id", "v", "nv")
+            # fenced: the a and b sides below would otherwise each
+            # recompute the scoring pipeline (the multi-consumer
+            # recompute trap verify_candidates_jaccard documents)
+            .localCheckpoint(eager=False)
         )
         pairs_big = (
             big.select("__blk", "cell", F.col("vec_id").alias("id_a"),

@@ -242,19 +242,22 @@ class TimerSessionProcessor:
     half of the TWS API that EwmaAnomalyProcessor's timeMode="none"
     path never exercises.
 
-    State: one (start, last, n, vsum) row per open session per user.
-    Input rows fold in event-time order; a gap ≥ ``gap_ms`` closes the
-    current session inline (emitted immediately). The OPEN session
-    registers a timer at ``last + gap_ms``; when the watermark passes
-    it, ``handleExpiredTimer`` emits the session and clears state — so
-    idle users' sessions close without waiting for their next event,
-    which is exactly what session_window's declarative eviction does
-    and what a hand-rolled applyInPandasWithState cannot do without
-    processing-time timeouts.
+    State: a LIST of open sessions (start, last, n, vsum) per user —
+    a list, not one row, because out-of-order arrival within the
+    watermark's allowed lateness can hold several disjoint open
+    sessions at once, and a late event may bridge two of them (Spark's
+    own streaming session_window keeps exactly this multi-session
+    state). Each batch merges the user's events into the open set by
+    the standard interval sweep (sorted by start; merge while
+    next.start − cur.last < gap). NOTHING is emitted inline: a session
+    only closes when the WATERMARK passes last + gap — one event-time
+    timer per open session, emitted in ``handleExpiredTimer`` — which
+    is precisely F.session_window's append-mode emission rule, so the
+    two operators agree even under reordering.
 
     Emitted sessions match F.session_window semantics: end = last
-    event + gap. Scale: state is one narrow row + one timer per open
-    session, hash-sharded by user.
+    event + gap. Scale: state is a handful of narrow rows + one timer
+    per open session, hash-sharded by user.
     """
 
     def __init__(self, gap_ms: int = 7_200_000):
@@ -262,59 +265,62 @@ class TimerSessionProcessor:
 
     def init(self, handle) -> None:
         self._handle = handle
-        self._sess = handle.getValueState(
-            "sess", "start long, last long, n long, vsum double"
+        self._sessions = handle.getListState(
+            "sessions", "start long, last long, n long, vsum double"
         )
 
-    def _emit_df(self, user_id, st):
+    def _emit_df(self, user_id, sessions):
         return pd.DataFrame(
             [
                 {
                     "user_id": int(user_id),
-                    "session_start": pd.to_datetime(st[0], unit="ms"),
-                    "session_end": pd.to_datetime(st[1] + self.gap_ms, unit="ms"),
-                    "n_events": int(st[2]),
-                    "vsum": round(float(st[3]), 2),
+                    "session_start": pd.to_datetime(s[0], unit="ms"),
+                    "session_end": pd.to_datetime(s[1] + self.gap_ms, unit="ms"),
+                    "n_events": int(s[2]),
+                    "vsum": round(float(s[3]), 2),
                 }
+                for s in sessions
             ]
         )
 
     def handleInputRows(self, key, rows, timer_values):
-        (user_id,) = key
-        st = list(self._sess.get()) if self._sess.exists() else None
-        events = []
+        open_sessions = [list(s) for s in self._sessions.get()]
         for pdf in rows:
             for ts, v in zip(pdf["ts"], pdf["value"]):
                 ms = int(pd.Timestamp(ts).value // 1_000_000)
-                events.append((ms, 0.0 if pd.isna(v) else float(v)))
-        events.sort()
-        closed = []
-        for ms, v in events:
-            if st is not None and ms - st[1] >= self.gap_ms:
-                closed.append(st)
-                st = None
-            if st is None:
-                st = [ms, ms, 0, 0.0]
-            st[1] = max(st[1], ms)
-            st[2] += 1
-            st[3] += v
-        # one live timer per key: re-arm at the open session's horizon
+                open_sessions.append(
+                    [ms, ms, 1, 0.0 if pd.isna(v) else float(v)]
+                )
+        open_sessions.sort()
+        merged = [open_sessions[0]]
+        for s in open_sessions[1:]:
+            cur = merged[-1]
+            if s[0] - cur[1] < self.gap_ms:  # gap not reached: same session
+                cur[1] = max(cur[1], s[1])
+                cur[2] += s[2]
+                cur[3] += s[3]
+            else:
+                merged.append(s)
+        self._sessions.put([tuple(s) for s in merged])
+        # one timer per open session at its close horizon
         for t in self._handle.listTimers():
             self._handle.deleteTimer(t)
-        self._handle.registerTimer(st[1] + self.gap_ms)
-        self._sess.update(tuple(st))
-        for s in closed:
-            yield self._emit_df(user_id, s)
+        for s in merged:
+            self._handle.registerTimer(s[1] + self.gap_ms)
+        yield from ()  # append-mode: emission happens only on timers
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803 - runtime calls by keyword
         (user_id,) = key
-        if self._sess.exists():
-            st = list(self._sess.get())
-            # the timer may predate a session extended in the same
-            # batch; only close if the watermark truly passed the gap
-            if expiredTimerInfo.getExpiryTimeInMs() >= st[1] + self.gap_ms:
-                self._sess.clear()
-                yield self._emit_df(user_id, st)
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        sessions = [list(s) for s in self._sessions.get()]
+        closed = [s for s in sessions if s[1] + self.gap_ms <= expiry]
+        kept = [s for s in sessions if s[1] + self.gap_ms > expiry]
+        if kept:
+            self._sessions.put([tuple(s) for s in kept])
+        else:
+            self._sessions.clear()
+        if closed:
+            yield self._emit_df(user_id, sorted(closed))
 
     def close(self) -> None:
         pass

@@ -174,3 +174,31 @@ def test_pixel_stats_magic_dispatch_matches_formula(spark):
         r = out[did]
         assert (r.px_sum, r.px_sqsum, r.px_min, r.px_max) == (s, ss, mn, mx)
         assert r.channels == 1
+
+
+def test_bit_io_linear_on_large_image():
+    """Bit reader/writer must mask consumed bits out of their Python
+    ints — unmasked they grow per byte and codec time goes quadratic
+    (round-6 review: 8.8 s to decode 256x256; linear is ~0.2 s)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(256, 256), dtype=np.uint8)
+    t0 = time.perf_counter()
+    data = encode_jpeg_baseline(img, quant=1)
+    out = decode_jpeg(data)
+    elapsed = time.perf_counter() - t0
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    assert elapsed < 3.0, f"codec went superlinear: {elapsed:.2f}s"
+
+
+def test_truncated_streams_raise_value_error():
+    """Every truncation point raises the documented ValueError, never
+    IndexError/struct.error (decode_media's contract)."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = encode_jpeg_baseline(img)
+    for cut in (3, 4, 5, 10, len(data) // 2):
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xff")  # fill bytes to EOF

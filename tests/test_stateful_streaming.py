@@ -530,3 +530,79 @@ def test_initial_state_seeds_map_counts(spark, tmp_path):
     touched = {k: v for k, v in expect.items() if k in stream_counts}
     assert latest == touched
     assert latest[(1, "view")] == 12  # 10 backfilled + 2 streamed
+
+
+def test_timer_sessions_out_of_order_within_lateness(spark, tmp_path):
+    """Out-of-order arrivals inside the watermark's allowed lateness:
+    a later batch may LOWER a session's start, and a distant earlier
+    event forms its own session — the multi-session ListState merge
+    (a single-row state cannot represent this; the round-6 review
+    caught exactly that)."""
+    from etl_weather_spark.streaming.stateful import (
+        session_user_agg,
+        timer_sessions,
+    )
+
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+    ]
+    # watermark after b1 = 10:00 - 1h = 09:00; both b2 events are on
+    # time (>= 09:00) yet EARLIER than the open session
+    b2 = [
+        {"event_id": 2, "ts": "2024-01-01T09:55:00", "user_id": 7,
+         "event_type": "view", "value": 2.0, "props": "{}"},  # merges, lowers start
+        {"event_id": 3, "ts": "2024-01-01T09:10:00", "user_id": 7,
+         "event_type": "view", "value": 4.0, "props": "{}"},  # own session
+        {"event_id": 99, "ts": "2024-02-01T00:00:00", "user_id": -1,
+         "event_type": "view", "value": 0.0, "props": "{}"},  # wm sentinel
+    ]
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(e) for e in b2))
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            timer_sessions(stream, gap="10 minutes", watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("t_ooo_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        (r.user_id, r.session_start.isoformat()): (
+            r.session_end.isoformat(), r.n_events, r.vsum,
+        )
+        for r in spark.sql(
+            "SELECT * FROM t_ooo_sessions WHERE user_id >= 0"
+        ).collect()
+    }
+    assert got == {
+        (7, "2024-01-01T09:10:00"): ("2024-01-01T09:20:00", 1, 4.0),
+        (7, "2024-01-01T09:55:00"): ("2024-01-01T10:10:00", 2, 3.0),
+    }
+    # and the declarative batch sessionization agrees
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in b1 + b2[:-1]],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r.user_id, r.session_start.isoformat()): (
+            r.session_end.isoformat(), r.n_events, r.vsum,
+        )
+        for r in session_user_agg(batch_df, gap="10 minutes").collect()
+    }
+    assert got == batch

@@ -239,3 +239,26 @@ def test_oneof_set_clears_siblings():
     back.ParseFromString(req.SerializeToString())
     assert back.WhichOneof("method") == "implicitGroupingKeyRequest"
     assert not back.HasField("statefulProcessorCall")
+
+
+def test_repeated_read_aliases_are_stable():
+    """Two pre-mutation reads of a repeated field must alias ONE list
+    (real-protobuf semantics): appends through either reference land in
+    the same container, and serialization sees both."""
+    c_cls, m_cls = _build_nested_repeated_classes()
+    msg = c_cls()
+    a = msg.xs
+    b = msg.xs
+    a.append(1)
+    b.append(2)
+    assert list(msg.xs) == [1, 2]
+    back = c_cls()
+    back.ParseFromString(msg.SerializeToString())
+    assert list(back.xs) == [1, 2]
+    # nested: aliased reads through an auto-vivified child
+    m = m_cls()
+    x1 = m.child.xs  # NOTE: each `.child` read vivifies a fresh child
+    x1.append(7)
+    assert m.HasField("child") and list(m.child.xs) == [7]
+    m.child.xs.append(8)
+    assert list(m.child.xs) == [7, 8]
