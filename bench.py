@@ -191,6 +191,9 @@ HEADLINE = [
     "ks_drift_audit",
     # asymmetric containment join (prefix-filtered probe x full index)
     "containment_pairs",
+    # the modern curation funnel: six round-5/6 gates composed, per-stage
+    # survivor checksums verified end to end
+    "corpus_prep_funnel_v2",
 ]
 
 

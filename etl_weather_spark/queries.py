@@ -12953,3 +12953,127 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("id_b"))
         .alias("contained_id"),
     ).orderBy("id_a", "id_b")
+
+
+def _funnel_v2_oracle() -> str:
+    """Assemble the v2 funnel oracle from the REGISTERED gate oracles
+    verbatim (each embedded as a nested-WITH derived table), so the
+    funnel's stage logic can never drift from the standalone queries'."""
+    gates = [
+        ("lang_confident", _ORACLES["lang_id_confidence"], "tier = 'high'"),
+        ("not_code", _ORACLES["code_detect_stats"], "NOT looks_like_code"),
+        ("quality_keep", _ORACLES["quality_logistic_filter"], "keep"),
+        ("length_sane", _ORACLES["mad_outlier_docs"], "NOT is_outlier"),
+        ("fluent", _ORACLES["ccnet_ppl_buckets"], "bucket <> 'tail'"),
+        ("dsir_keep", _ORACLES["dsir_importance_weights"], "kept"),
+    ]
+    ctes = ["s0 AS (SELECT doc_id FROM documents)"]
+    rows = [
+        "SELECT 0 AS stage, 'all_docs' AS stage_name,"
+        " CAST(COUNT(*) AS BIGINT) AS n_kept,"
+        " CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM s0"
+    ]
+    for i, (name, oracle, cond) in enumerate(gates, start=1):
+        ctes.append(
+            f"g{i} AS (SELECT doc_id FROM ({oracle}\n) WHERE {cond})"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT s.doc_id FROM s{i-1} s JOIN g{i} g ON g.doc_id = s.doc_id)"
+        )
+        rows.append(
+            f"SELECT {i} AS stage, '{name}' AS stage_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_kept,"
+            f" CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM s{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY stage"
+    )
+
+
+@query("corpus_prep_funnel_v2", _funnel_v2_oracle())
+def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERN corpus-curation funnel: the round-5/6 model-based and
+    statistical gates composed sequentially, the way a FineWeb/CCNet
+    -generation pipeline actually stacks them — language confidence
+    (keep only high-margin lang-ID) → code routing (prose lane) →
+    logistic quality classifier → robust length-outlier removal
+    (median+MAD) → per-language perplexity tercile (drop the tail
+    third) → DSIR importance keep. Emits per-stage survivor counts AND
+    an id checksum, so the oracle verifies the surviving SET at every
+    stage (corpus_prep_funnel's contract, on the new gate family).
+
+    Every gate is the independently-oracled registry query, reused
+    verbatim — Spark side calls the registered functions, and the
+    oracle EMBEDS the registered oracle strings (built
+    programmatically, so stage logic cannot drift).
+
+    Scale: every gate's keep set reduces to a narrow (doc_id) relation
+    fenced once (localCheckpoint) and intersected by semi-joins;
+    per-stage work is the gate's own documented plan, paid once.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    gates = [
+        (
+            "lang_confident",
+            lang_id_confidence(spark, sf_dir)
+            .filter(F.col("tier") == "high")
+            .select("doc_id"),
+        ),
+        (
+            "not_code",
+            code_detect_stats(spark, sf_dir)
+            .filter(~F.col("looks_like_code"))
+            .select("doc_id"),
+        ),
+        (
+            "quality_keep",
+            quality_logistic_filter(spark, sf_dir)
+            .filter(F.col("keep"))
+            .select("doc_id"),
+        ),
+        (
+            "length_sane",
+            mad_outlier_docs(spark, sf_dir)
+            .filter(~F.col("is_outlier"))
+            .select("doc_id"),
+        ),
+        (
+            "fluent",
+            ccnet_ppl_buckets(spark, sf_dir)
+            .filter(F.col("bucket") != "tail")
+            .select("doc_id"),
+        ),
+        (
+            "dsir_keep",
+            dsir_importance_weights(spark, sf_dir)
+            .filter(F.col("kept"))
+            .select("doc_id"),
+        ),
+    ]
+    survivors = docs.localCheckpoint(eager=False)
+    stages = [
+        survivors.agg(
+            F.lit(0).cast("long").alias("stage"),
+            F.lit("all_docs").alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    ]
+    for i, (name, keep) in enumerate(gates, start=1):
+        survivors = survivors.join(
+            keep.localCheckpoint(eager=False), "doc_id", "left_semi"
+        ).localCheckpoint(eager=False)
+        stages.append(
+            survivors.agg(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+        )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("stage")

@@ -125,6 +125,7 @@ OPS = [
     "k_anonymity_audit",
     "ks_drift_audit",
     "containment_pairs",
+    "corpus_prep_funnel_v2",
 ]
 
 
