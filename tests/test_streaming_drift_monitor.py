@@ -1,0 +1,87 @@
+"""Streaming KS drift monitor: per-batch statistic equals the batch
+audit's algebra, a planted drifted batch alarms, and foreachBatch
+replays rewrite identical stats bytes (streaming/drift_monitor)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_spark.streaming.drift_monitor import (
+    batch_ks_stat,
+    process_drift_batch,
+    reference_histogram,
+    stream_drift_monitor,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+def test_batch_ks_matches_audit_algebra(spark, sf_dir):
+    """batch_ks_stat on the src0-vs-rest split reproduces
+    queries.ks_drift_audit exactly (same quantized-histogram algebra)."""
+    from etl_weather_spark import queries as q
+
+    docs = q.load(spark, sf_dir, "documents")
+    ref = reference_histogram(docs.filter(F.col("source") == "src0"))
+    batch = docs.filter(F.col("source") != "src0")
+    got = batch_ks_stat(batch, ref).collect()[0]
+    want = q.ks_drift_audit(spark, sf_dir).collect()[0]
+    assert got.ks_stat6 == want.ks_stat6
+    assert got.drifted == want.drifted
+    assert got.n_rows == want.n_b
+
+
+def test_identical_distribution_scores_zero(spark):
+    rows = [(i, 100 + i % 7) for i in range(200)]
+    ref = reference_histogram(_docs(spark, rows))
+    got = batch_ks_stat(_docs(spark, rows), ref).collect()[0]
+    assert got.ks_stat6 == 0.0 and not got.drifted
+
+
+def test_stream_flags_the_drifted_batch(spark, tmp_path):
+    """Two micro-batches: one drawn from the reference distribution,
+    one shifted far right — only the shifted batch alarms; a replayed
+    run rewrites byte-identical stats."""
+    import json
+
+    ref_rows = [(i, 100 + i % 10) for i in range(300)]
+    ref = reference_histogram(_docs(spark, ref_rows))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    same = [{"doc_id": i, "n_chars": 100 + i % 10} for i in range(50)]
+    shifted = [{"doc_id": 1000 + i, "n_chars": 5000 + i % 10} for i in range(50)]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in same))
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in shifted))
+
+    stats = str(tmp_path / "stats")
+    feed = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = stream_drift_monitor(
+        feed,
+        ref_hist=ref,
+        stats_dir=stats,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    out = {r.batch_id: r for r in spark.read.parquet(stats).collect()}
+    assert len(out) == 2
+    flags = sorted((r.ks_stat6, r.drifted) for r in out.values())
+    # the in-distribution batch sits under the 0.2 cut; the shifted
+    # batch's CDF gap is ~1.0 (disjoint supports)
+    assert flags[0][0] < 0.2 and flags[0][1] is False
+    assert flags[1][0] > 0.9 and flags[1][1] is True
+
+    # replay idempotence: re-running a batch body rewrites same bytes
+    before = {r.batch_id: (r.n_rows, r.ks_stat6, r.drifted) for r in spark.read.parquet(stats).collect()}
+    replay_df = spark.read.json(str(src / "b1.json"), schema="doc_id long, n_chars long")
+    drifted_id = max(out, key=lambda b: out[b].ks_stat6)
+    process_drift_batch(replay_df, drifted_id, ref_hist=ref, stats_dir=stats)
+    after = {r.batch_id: (r.n_rows, r.ks_stat6, r.drifted) for r in spark.read.parquet(stats).collect()}
+    assert after == before
