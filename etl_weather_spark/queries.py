@@ -12851,44 +12851,22 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (value)-keyed partial agg over the corpus + a window
     over the tiny histogram; output is one row.
     """
+    from etl_weather_spark.operators.ks import ks_from_histograms
+
     docs = load(spark, sf_dir, "documents")
-    d = docs.select(
-        F.col("n_chars").cast("long").alias("x"),
-        F.when(F.col("source") == "src0", "a").otherwise("b").alias("side"),
-    )
-    h = d.groupBy("x").agg(
-        F.sum(F.when(F.col("side") == "a", 1).otherwise(0))
-        .cast("long")
-        .alias("ca"),
-        F.sum(F.when(F.col("side") == "b", 1).otherwise(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    tot = h.agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
-    )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = h.crossJoin(F.broadcast(tot)).select(
-        "x",
-        F.sum("ca").over(w).alias("cca"),
-        F.sum("cb").over(w).alias("ccb"),
-        "na",
-        "nb",
-    )
-    gap6 = rnd(
-        F.abs(F.col("cca") * 1.0 / F.col("na") - F.col("ccb") * 1.0 / F.col("nb")),
-        6,
-    )
-    return (
-        cum.select(gap6.alias("gap6"))
-        .crossJoin(F.broadcast(tot))
-        .agg(
-            F.max("gap6").alias("ks_stat6"),
-            F.max("na").cast("long").alias("n_a"),
-            F.max("nb").cast("long").alias("n_b"),
-            (F.max("gap6") > 0.2).alias("drifted"),
+
+    def hist(side_filter):
+        return (
+            docs.filter(side_filter)
+            .select(F.col("n_chars").cast("long").alias("x"))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
+
+    return ks_from_histograms(
+        hist(F.col("source") == "src0"),
+        hist(F.col("source") != "src0"),
+        threshold=0.2,
     )
 
 
@@ -12995,14 +12973,25 @@ def _funnel_v2_oracle() -> str:
 @query("corpus_prep_funnel_v2", _funnel_v2_oracle())
 def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MODERN corpus-curation funnel: the round-5/6 model-based and
-    statistical gates composed sequentially, the way a FineWeb/CCNet
-    -generation pipeline actually stacks them — language confidence
-    (keep only high-margin lang-ID) → code routing (prose lane) →
-    logistic quality classifier → robust length-outlier removal
-    (median+MAD) → per-language perplexity tercile (drop the tail
-    third) → DSIR importance keep. Emits per-stage survivor counts AND
-    an id checksum, so the oracle verifies the surviving SET at every
-    stage (corpus_prep_funnel's contract, on the new gate family).
+    statistical gates intersected in pipeline order — language
+    confidence (keep only high-margin lang-ID) → code routing (prose
+    lane) → logistic quality classifier → robust length-outlier
+    removal (median+MAD) → per-language perplexity tercile (drop the
+    tail third) → DSIR importance keep. Emits per-stage survivor
+    counts AND an id checksum, so the oracle verifies the surviving
+    SET at every stage (corpus_prep_funnel's contract, on the new
+    gate family).
+
+    Semantics note (deliberate): every gate's population statistics
+    (MAD medians, perplexity tercile boundaries, the DSIR bucket
+    models) are fit on the FULL corpus, exactly as each standalone
+    query computes them — the stages here measure the attrition of
+    GLOBALLY-fit gates applied in order. A pipeline that re-fits each
+    gate on the previous stage's survivors (as some production stacks
+    do) would produce different boundaries; that variant is a
+    parameterization of the same operators, not a different engine
+    capability, and global fitting is what keeps every stage
+    independently oracled.
 
     Every gate is the independently-oracled registry query, reused
     verbatim — Spark side calls the registered functions, and the
@@ -13052,6 +13041,9 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id"),
         ),
     ]
+    # only the SURVIVORS chain is fenced: each level has two consumers
+    # (its stage agg + the next semi-join); each gate keep-set is
+    # consumed exactly once and needs no checkpoint
     survivors = docs.localCheckpoint(eager=False)
     stages = [
         survivors.agg(
@@ -13063,7 +13055,7 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for i, (name, keep) in enumerate(gates, start=1):
         survivors = survivors.join(
-            keep.localCheckpoint(eager=False), "doc_id", "left_semi"
+            keep, "doc_id", "left_semi"
         ).localCheckpoint(eager=False)
         stages.append(
             survivors.agg(

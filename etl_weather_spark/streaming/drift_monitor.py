@@ -6,16 +6,20 @@ lands, not at the next nightly audit.
 
 Design: the reference distribution is captured ONCE as a quantized
 (value, count) histogram (a tiny relation — bounded by value
-cardinality, not rows) and broadcast against each batch's histogram;
-D = max_x |F_ref(x) − F_batch(x)| over the union of values, gaps
-rounded at 6 dp (the exact algebra of the batch audit, asserted equal
-in tests). Each trigger appends one (batch_id, n_rows, ks_stat6,
-drifted) row under ``batch_id=N`` with overwrite, so foreachBatch's
-at-least-once replays rewrite the same bytes (the stats-row idempotence
-contract of streaming/corpus_ingest).
+cardinality, not rows) and joined against each batch's equally tiny
+histogram; D = max_x |F_ref(x) − F_batch(x)| over the union of values,
+gaps rounded at 6 dp — the SAME ``ks_from_histograms`` helper the
+batch audit query runs, so the algebra literally cannot diverge
+(asserted equal in tests). NULL values carry no histogram mass (both
+sides drop them — engines order NULLs differently in cumulative
+windows, so including them would break cross-engine parity). Each
+trigger overwrites one (batch_id, n_rows, ks_stat6, drifted) row under
+``batch_id=N``, so foreachBatch's at-least-once replays rewrite
+content-identical stats (the idempotence contract of
+streaming/corpus_ingest).
 
 Scale: per trigger the work is one value-keyed partial agg over the
-BATCH plus a join against the broadcast reference histogram; the
+BATCH plus a tiny histogram-union join against the reference; the
 reference never rescans. State lives in the reference artifact, not
 the stream — restarts need no state-store recovery.
 """
@@ -24,10 +28,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from etl_weather_spark.functions.rounding import rnd
 
 __all__ = ["reference_histogram", "batch_ks_stat", "stream_drift_monitor"]
 
@@ -38,6 +40,7 @@ def reference_histogram(docs: DataFrame, *, value_col: str = "n_chars") -> DataF
     the lakehouse in production; it is value-cardinality-sized)."""
     return (
         docs.select(F.col(value_col).cast("long").alias("x"))
+        .filter(F.col("x").isNotNull())
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -56,46 +59,22 @@ def batch_ks_stat(
     The cumulative window runs over the union of DISTINCT values of
     both histograms (never a row sort); missing values on either side
     contribute zero mass at that point, which is exactly the step-CDF
-    semantics."""
+    semantics. An EMPTY batch yields n_rows=0, ks_stat6=NULL,
+    drifted=false — a visible degenerate case, never a false alarm.
+    """
+    from etl_weather_spark.operators.ks import ks_from_histograms
+
     bh = (
         batch.select(F.col(value_col).cast("long").alias("x"))
+        .filter(F.col("x").isNotNull())
         .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    joined = (
-        ref_hist.withColumnRenamed("c", "ca")
-        .join(bh, "x", "full_outer")
-        .select(
-            "x",
-            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
-            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
-        )
-    )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    tot = joined.agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
-    )
-    cum = joined.crossJoin(F.broadcast(tot)).select(
-        F.sum("ca").over(w).alias("cca"),
-        F.sum("cb").over(w).alias("ccb"),
-        "na",
-        "nb",
-    )
-    gap6 = rnd(
-        F.abs(
-            F.col("cca") * 1.0 / F.greatest(F.col("na"), F.lit(1))
-            - F.col("ccb") * 1.0 / F.greatest(F.col("nb"), F.lit(1))
-        ),
-        6,
-    )
-    return (
-        cum.select(gap6.alias("gap6"), "nb")
-        .agg(
-            F.max("nb").cast("long").alias("n_rows"),
-            F.max("gap6").alias("ks_stat6"),
-            (F.max("gap6") > threshold).alias("drifted"),
-        )
+    ks = ks_from_histograms(ref_hist, bh, threshold=threshold)
+    return ks.select(
+        F.col("n_b").alias("n_rows"),
+        F.when(F.col("n_b") > 0, F.col("ks_stat6")).alias("ks_stat6"),
+        (F.col("drifted") & (F.col("n_b") > 0)).alias("drifted"),
     )
 
 

@@ -85,3 +85,27 @@ def test_stream_flags_the_drifted_batch(spark, tmp_path):
     process_drift_batch(replay_df, drifted_id, ref_hist=ref, stats_dir=stats)
     after = {r.batch_id: (r.n_rows, r.ks_stat6, r.drifted) for r in spark.read.parquet(stats).collect()}
     assert after == before
+
+
+def test_empty_batch_is_degenerate_not_alarm(spark):
+    """An empty batch must surface as n_rows=0 / NULL statistic /
+    drifted=false — never a false alarm (review finding: the guarded
+    division used to read an empty CDF as a 1.0 gap)."""
+    ref = reference_histogram(_docs(spark, [(i, 100) for i in range(10)]))
+    empty = _docs(spark, []).filter(F.lit(False))
+    got = batch_ks_stat(empty, ref).collect()[0]
+    assert got.n_rows == 0
+    assert got.ks_stat6 is None
+    assert got.drifted is False
+
+
+def test_null_values_carry_no_mass(spark):
+    """NULL n_chars rows are dropped from both histograms: identical
+    distributions with NULLs sprinkled in still score 0.0 (a NULL-keyed
+    full-outer join would split the NULL mass and false-alarm)."""
+    rows = [(i, 100 + i % 5) for i in range(100)] + [(900 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    ref = reference_histogram(df)
+    got = batch_ks_stat(df, ref).collect()[0]
+    assert got.ks_stat6 == 0.0 and not got.drifted
+    assert got.n_rows == 100  # null rows carry no histogram mass
