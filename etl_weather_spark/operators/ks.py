@@ -20,8 +20,25 @@ from etl_weather_spark.functions.rounding import rnd
 __all__ = ["ks_from_histograms"]
 
 
+def _rebucket(h: DataFrame, width: float) -> DataFrame:
+    """Collapse an (x, c) histogram onto floor(x/width) bucket ids —
+    a value-keyed partial agg, output bounded by range/width."""
+    return (
+        h.select(
+            F.floor(F.col("x") / F.lit(float(width))).cast("long").alias("x"),
+            "c",
+        )
+        .groupBy("x")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
 def ks_from_histograms(
-    ha: DataFrame, hb: DataFrame, *, threshold: float = 0.2
+    ha: DataFrame,
+    hb: DataFrame,
+    *,
+    threshold: float = 0.2,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """One row (ks_stat6, n_a, n_b, drifted) from two (x, c) histograms.
 
@@ -30,7 +47,21 @@ def ks_from_histograms(
     guards ``greatest(n, 1)`` keep an empty side finite; callers decide
     how to present the degenerate case (the streaming monitor nulls the
     statistic when the batch is empty).
+
+    ``bucket_width`` bounds the distinct-value relation BY CONSTRUCTION:
+    both histograms are re-bucketed to ``floor(x / width)`` before the
+    union join, so the global cumulative window runs over at most
+    range/width rows no matter how wide-ranging or floating-point the
+    value column was. The bucket id is a monotone transform of x, so
+    the statistic is the KS of the bucketed distributions (exact when
+    every raw value maps to its own bucket; a deterministic
+    quantization otherwise). With the default ``None`` the caller's
+    quantization is trusted — the documented contract that histogram
+    cardinality stays bounded.
     """
+    if bucket_width is not None:
+        ha = _rebucket(ha, bucket_width)
+        hb = _rebucket(hb, bucket_width)
     joined = (
         ha.select("x", F.col("c").alias("ca"))
         .join(hb.select("x", F.col("c").alias("cb")), "x", "full_outer")

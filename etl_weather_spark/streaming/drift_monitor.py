@@ -95,9 +95,22 @@ def process_drift_batch(
         batch_df, ref_hist, value_col=value_col, threshold=threshold
     ).collect()[0]
     spark = batch_df.sparkSession
+    # A NON-empty batch whose value_col is entirely NULL has zero
+    # histogram mass (n_rows=0, ks_stat6=NULL) — exactly the
+    # upstream-schema-break drift this monitor exists to catch, so it
+    # must surface as an explicit all_null alarm row, never a
+    # float(None) crash that kills the streaming query.
+    all_null = int(row.n_rows) == 0
     out = spark.createDataFrame(
-        [(int(batch_id), row.n_rows, float(row.ks_stat6), bool(row.drifted))],
-        "batch_id long, n_rows long, ks_stat6 double, drifted boolean",
+        [(
+            int(batch_id),
+            int(row.n_rows),
+            None if all_null else float(row.ks_stat6),
+            bool(row.drifted),
+            all_null,
+        )],
+        "batch_id long, n_rows long, ks_stat6 double, drifted boolean, "
+        "all_null boolean",
     )
     out.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stats_dir, f"batch_id={batch_id}")

@@ -287,10 +287,21 @@ class TimerSessionProcessor:
         open_sessions = [list(s) for s in self._sessions.get()]
         for pdf in rows:
             for ts, v in zip(pdf["ts"], pdf["value"]):
+                if pd.isna(ts):
+                    # NaT.value is -2^63: a null ts would mint a bogus
+                    # session with a huge negative start and an
+                    # instantly-expired timer. NULL event times carry
+                    # no session mass (matches the KS paths' NULL rule).
+                    continue
                 ms = int(pd.Timestamp(ts).value // 1_000_000)
                 open_sessions.append(
                     [ms, ms, 1, 0.0 if pd.isna(v) else float(v)]
                 )
+        if not open_sessions:
+            # a key can arrive with only zero-row Arrow chunks (or all
+            # null-ts rows) and no stored state — nothing to merge, no
+            # timers to (re)register
+            return
         open_sessions.sort()
         merged = [open_sessions[0]]
         for s in open_sessions[1:]:

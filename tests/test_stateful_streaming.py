@@ -606,3 +606,64 @@ def test_timer_sessions_out_of_order_within_lateness(spark, tmp_path):
         for r in session_user_agg(batch_df, gap="10 minutes").collect()
     }
     assert got == batch
+
+
+def test_timer_sessions_null_ts_rows_carry_no_session_mass(spark, tmp_path):
+    """ADVICE r6: (a) a null-ts event must NOT mint a bogus session at
+    pd.Timestamp(NaT).value = -2^63 with an instantly-expired timer;
+    (b) a key delivered with ONLY null-ts rows and no stored state must
+    not IndexError on the empty merge list — it simply stays silent."""
+    from etl_weather_spark.streaming.stateful import timer_sessions
+
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        # null ts on an OPEN-session key
+        {"event_id": 2, "ts": None, "user_id": 7,
+         "event_type": "view", "value": 50.0, "props": "{}"},
+        # a key whose ONLY rows are null-ts (no state): empty merge set
+        {"event_id": 3, "ts": None, "user_id": 8,
+         "event_type": "view", "value": 9.0, "props": "{}"},
+    ]
+    b2 = [
+        {"event_id": 99, "ts": "2024-02-01T00:00:00", "user_id": -1,
+         "event_type": "view", "value": 0.0, "props": "{}"},  # wm sentinel
+    ]
+    src = tmp_path / "nullts_src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(e) for e in b2))
+    stream = read_event_stream(spark, str(src), fmt="json", max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            timer_sessions(stream, gap="10 minutes", watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName("t_nullts_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        (r.user_id, r.session_start.isoformat()): (
+            r.session_end.isoformat(), r.n_events, r.vsum,
+        )
+        for r in spark.sql(
+            "SELECT * FROM t_nullts_sessions WHERE user_id >= 0"
+        ).collect()
+    }
+    # user 7: exactly one session from the one real event (the null-ts
+    # row contributed nothing); user 8: no sessions at all
+    assert got == {
+        (7, "2024-01-01T10:00:00"): ("2024-01-01T10:10:00", 1, 1.0),
+    }

@@ -109,3 +109,59 @@ def test_null_values_carry_no_mass(spark):
     got = batch_ks_stat(df, ref).collect()[0]
     assert got.ks_stat6 == 0.0 and not got.drifted
     assert got.n_rows == 100  # null rows carry no histogram mass
+
+
+def test_all_null_batch_alarms_instead_of_crashing(spark, tmp_path):
+    """A NON-empty batch whose value_col is entirely NULL (an upstream
+    schema break — exactly the drift this monitor exists to catch) must
+    write an explicit all_null=true row, not die on float(None)
+    (VERDICT r6 #2)."""
+    ref = reference_histogram(_docs(spark, [(i, 100) for i in range(10)]))
+    batch = _docs(spark, [(i, None) for i in range(25)])
+    stats = str(tmp_path / "stats")
+    process_drift_batch(batch, 7, ref_hist=ref, stats_dir=stats)
+    rows = spark.read.parquet(stats).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.batch_id == 7
+    assert r.n_rows == 0
+    assert r.ks_stat6 is None
+    assert r.drifted is False
+    assert r.all_null is True
+
+
+def test_normal_batch_writes_all_null_false(spark, tmp_path):
+    ref = reference_histogram(_docs(spark, [(i, 100 + i % 5) for i in range(50)]))
+    batch = _docs(spark, [(i, 100 + i % 5) for i in range(20)])
+    stats = str(tmp_path / "stats")
+    process_drift_batch(batch, 3, ref_hist=ref, stats_dir=stats)
+    r = spark.read.parquet(stats).collect()[0]
+    assert r.all_null is False and r.n_rows == 20 and r.ks_stat6 == 0.0
+
+
+def test_bucket_width_bounds_high_cardinality_doubles(spark):
+    """ks_from_histograms(bucket_width=...) re-buckets BOTH histograms
+    so a near-per-row-cardinality value column (e.g. raw doubles cast
+    long, or nanosecond timestamps) cannot produce an unbounded
+    distinct-value relation under the global cumulative window
+    (VERDICT r6 #7)."""
+    from etl_weather_spark.operators.ks import ks_from_histograms
+
+    # every value distinct: histogram cardinality == row count
+    ha = spark.createDataFrame(
+        [(float(i) + 0.25, 1) for i in range(2000)], "x double, c long"
+    )
+    hb = spark.createDataFrame(
+        [(float(i) + 5000.25, 1) for i in range(2000)], "x double, c long"
+    )
+    got = ks_from_histograms(ha, hb, bucket_width=100.0).collect()[0]
+    # disjoint supports -> KS = 1.0 regardless of bucketing
+    assert got.ks_stat6 == 1.0 and got.drifted is True
+    assert got.n_a == 2000 and got.n_b == 2000
+    # identical distributions stay 0 after bucketing
+    same = ks_from_histograms(ha, ha, bucket_width=100.0).collect()[0]
+    assert same.ks_stat6 == 0.0 and same.drifted is False
+    # bucketed relation is bounded: 2000 distinct values -> <= 21 buckets
+    from etl_weather_spark.operators.ks import _rebucket
+
+    assert _rebucket(ha, 100.0).count() == 20
