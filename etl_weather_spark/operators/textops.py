@@ -853,3 +853,146 @@ def bpe_segment(vocab: DataFrame, n_merges: int, **round_opts) -> DataFrame:
         return v
     _, v = _bpe_rounds(vocab, n_merges, **round_opts)
     return v.localCheckpoint(eager=True)
+
+
+#: Rae et al. 2021 ("Scaling Language Models: ... Gopher"), Table A1 —
+#: the published stop-word presence list for the document-quality rules.
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality_profile(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_pct: int = 10,
+    max_bullet_line_pct: int = 90,
+    max_ellipsis_line_pct: int = 30,
+    min_alpha_word_pct: int = 80,
+    stopwords: list[str] | None = None,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The FULL Gopher document-quality composite (Rae et al. 2021,
+    Table A1 — the rule half not covered by
+    :func:`ngram_repetition_profile`): per document —
+
+    - word count within ``[min_words, max_words]`` (published 50..100k)
+    - mean word length within ``[3, 10]`` characters
+    - symbol-to-word ratio (``#`` and ``...``) ≤ 10%
+    - lines starting with a bullet (``-``/``*``/``•``) ≤ 90%
+    - lines ending with an ellipsis ≤ 30%
+    - words containing ≥1 alphabetic character ≥ 80%
+    - ≥ 2 distinct stop words from the published 8-word list present
+
+    Every threshold comparison is INTEGER arithmetic (``chars ≥ 3·n``,
+    ``symbols·100 ≤ pct·n`` …) so the keep decision has no float
+    boundary in either engine; the ratio columns are 6-dp display
+    values only. ``fail_mask`` is a bitmask (bit i = rule i failed,
+    in the order above); ``keep ⇔ fail_mask = 0``.
+
+    Defaults are the PUBLISHED constants. Thresholds and the stop list
+    are parameters because production always re-tunes them per corpus
+    (and the synthetic test vocabulary contains exactly one of the
+    published stop words, making the ≥2 rule unsatisfiable there by
+    construction — see queries.gopher_quality_gate_tuned).
+
+    Scale: two doc-keyed explode→partial-agg passes (words, lines) and
+    one scan projection (symbols), joined on doc_id — the shuffles are
+    all on the same key and bounded by document length; everything is
+    whole-stage codegen, no Python.
+    """
+    stoplist = GOPHER_STOPWORDS if stopwords is None else stopwords
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(text_col, r"\s+")).alias("tok0")
+        )
+        .filter(F.col("tok0") != "")
+        .select("doc_id", F.lower(F.col("tok0")).alias("tok"))
+    )
+    words = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("tok")).cast("long").alias("word_chars"),
+        F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0))
+        .cast("long")
+        .alias("alpha_words"),
+        F.count_distinct(
+            F.when(F.col("tok").isin(stoplist), F.col("tok"))
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    lines = docs.select(
+        "doc_id", F.explode(F.split(text_col, "\n")).alias("line")
+    )
+    linestats = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("line").rlike(r"^\s*[-*•]"), 1).otherwise(0))
+        .cast("long")
+        .alias("bullet_lines"),
+        F.sum(
+            F.when(F.col("line").rlike(r"(\.\.\.|…)\s*$"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("ellipsis_lines"),
+    )
+    sym = docs.select(
+        "doc_id",
+        (
+            F.regexp_count(text_col, F.lit("#"))
+            + F.regexp_count(text_col, F.lit(r"\.\.\."))
+        )
+        .cast("long")
+        .alias("n_symbols"),
+    )
+    base = (
+        docs.select("doc_id")
+        .join(words, "doc_id", "left")
+        .join(linestats, "doc_id", "left")
+        .join(sym, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("word_chars", F.lit(0)).alias("word_chars"),
+            F.coalesce("alpha_words", F.lit(0)).alias("alpha_words"),
+            F.coalesce("n_stopwords", F.lit(0)).alias("n_stopwords"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("bullet_lines", F.lit(0)).alias("bullet_lines"),
+            F.coalesce("ellipsis_lines", F.lit(0)).alias("ellipsis_lines"),
+            F.coalesce("n_symbols", F.lit(0)).alias("n_symbols"),
+        )
+    )
+    n, wc = F.col("n_words"), F.col("word_chars")
+    fails = [
+        (n < min_words) | (n > max_words),
+        ~((wc >= min_mean_word_len * n) & (wc <= max_mean_word_len * n)),
+        F.col("n_symbols") * 100 > max_symbol_word_pct * n,
+        F.col("bullet_lines") * 100 > max_bullet_line_pct * F.col("n_lines"),
+        F.col("ellipsis_lines") * 100
+        > max_ellipsis_line_pct * F.col("n_lines"),
+        F.col("alpha_words") * 100 < min_alpha_word_pct * n,
+        F.col("n_stopwords") < min_stopwords,
+    ]
+    mask = sum(
+        (F.when(cond, F.lit(1 << i)).otherwise(0) for i, cond in enumerate(fails)),
+        start=F.lit(0),
+    ).cast("long")
+    nz = F.greatest(n, F.lit(1)).cast("double")
+    lz = F.greatest(F.col("n_lines"), F.lit(1)).cast("double")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        rnd(wc / nz, 6).alias("mean_word_len6"),
+        rnd(F.col("n_symbols") / nz, 6).alias("symbol_ratio6"),
+        rnd(F.col("bullet_lines") / lz, 6).alias("bullet_line_frac6"),
+        rnd(F.col("ellipsis_lines") / lz, 6).alias("ellipsis_line_frac6"),
+        rnd(F.col("alpha_words") / nz, 6).alias("alpha_word_frac6"),
+        "n_stopwords",
+        mask.alias("fail_mask"),
+        (mask == 0).alias("keep"),
+    ).orderBy("doc_id")

@@ -12933,6 +12933,139 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _gopher_oracle(min_stopwords: int) -> str:
+    """SQL twin of operators/textops.gopher_quality_profile — every
+    keep rule is integer arithmetic; ratio columns are 6-dp display."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lower(t.tok) AS tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+words AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(LENGTH(tok)) AS BIGINT) AS word_chars,
+         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+         CAST(COUNT(DISTINCT CASE WHEN tok IN
+                ('the','be','to','of','and','that','have','with')
+              THEN tok END) AS BIGINT) AS n_stopwords
+  FROM toks GROUP BY doc_id
+),
+lns AS (
+  SELECT doc_id, l.line AS line
+  FROM documents, UNNEST(string_split(text, chr(10))) AS l(line)
+),
+linestats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN regexp_matches(line, '^\s*[-*•]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bullet_lines,
+         CAST(SUM(CASE WHEN regexp_matches(line, '(\.\.\.|…)\s*$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ellipsis_lines
+  FROM lns GROUP BY doc_id
+),
+sym AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+           AS n_symbols
+  FROM documents
+),
+base AS (
+  SELECT d.doc_id,
+         COALESCE(w.n_words, 0) AS n_words,
+         COALESCE(w.word_chars, 0) AS word_chars,
+         COALESCE(w.alpha_words, 0) AS alpha_words,
+         COALESCE(w.n_stopwords, 0) AS n_stopwords,
+         COALESCE(ls.n_lines, 0) AS n_lines,
+         COALESCE(ls.bullet_lines, 0) AS bullet_lines,
+         COALESCE(ls.ellipsis_lines, 0) AS ellipsis_lines,
+         COALESCE(s.n_symbols, 0) AS n_symbols
+  FROM documents d
+  LEFT JOIN words w ON w.doc_id = d.doc_id
+  LEFT JOIN linestats ls ON ls.doc_id = d.doc_id
+  LEFT JOIN sym s ON s.doc_id = d.doc_id
+),
+m AS (
+  SELECT *,
+         CAST(CASE WHEN n_words < 50 OR n_words > 100000
+                   THEN 1 ELSE 0 END
+              + CASE WHEN NOT (word_chars >= 3 * n_words
+                               AND word_chars <= 10 * n_words)
+                     THEN 2 ELSE 0 END
+              + CASE WHEN n_symbols * 100 > 10 * n_words
+                     THEN 4 ELSE 0 END
+              + CASE WHEN bullet_lines * 100 > 90 * n_lines
+                     THEN 8 ELSE 0 END
+              + CASE WHEN ellipsis_lines * 100 > 30 * n_lines
+                     THEN 16 ELSE 0 END
+              + CASE WHEN alpha_words * 100 < 80 * n_words
+                     THEN 32 ELSE 0 END
+              + CASE WHEN n_stopwords < {min_stopwords}
+                     THEN 64 ELSE 0 END AS BIGINT) AS fail_mask
+  FROM base
+)
+SELECT doc_id, n_words, n_lines,
+       FLOOR(CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1)
+             * 1000000 + 0.5) / 1000000 AS mean_word_len6,
+       FLOOR(CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1)
+             * 1000000 + 0.5) / 1000000 AS symbol_ratio6,
+       FLOOR(CAST(bullet_lines AS DOUBLE) / GREATEST(n_lines, 1)
+             * 1000000 + 0.5) / 1000000 AS bullet_line_frac6,
+       FLOOR(CAST(ellipsis_lines AS DOUBLE) / GREATEST(n_lines, 1)
+             * 1000000 + 0.5) / 1000000 AS ellipsis_line_frac6,
+       FLOOR(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1)
+             * 1000000 + 0.5) / 1000000 AS alpha_word_frac6,
+       n_stopwords, fail_mask, fail_mask = 0 AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+@query("gopher_quality_gate", _gopher_oracle(2))
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full GOPHER document-quality composite at the PUBLISHED
+    constants (Rae et al. 2021, Table A1): word-count bounds, mean
+    word-length window, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, and the ≥2-of-8 stop-word
+    presence check — the rule half that ngram_repetition doesn't cover.
+    Emits per-rule evidence (counts + 6-dp ratios), a fail bitmask, and
+    the composite keep flag.
+
+    On the synthetic corpus the published stop-word rule is
+    unsatisfiable by construction (the vocabulary contains exactly one
+    of the eight published words), so ``keep`` is uniformly false here
+    — the per-rule columns and fail_mask carry the signal; see
+    gopher_quality_gate_tuned for the corpus-tuned variant a production
+    pipeline would run (thresholds are always re-tuned per corpus).
+
+    Scale: two doc-keyed explode→partial-agg passes plus a scan
+    projection, all joined on doc_id; integer-exact keep logic, no
+    Python anywhere.
+    """
+    from etl_weather_spark.operators.textops import gopher_quality_profile
+
+    return gopher_quality_profile(load(spark, sf_dir, "documents"))
+
+
+@query("gopher_quality_gate_tuned", _gopher_oracle(1))
+def gopher_quality_gate_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_quality_gate with the ONE corpus adaptation production
+    always makes — the stop-word floor tuned to the corpus vocabulary
+    (here ``min_stopwords=1``: the synthetic vocabulary contains
+    exactly one of the published eight, so the published ≥2 floor
+    rejects every document regardless of quality). All other rules stay
+    at the published constants; this is the variant the corpus-prep
+    funnel runs.
+    """
+    from etl_weather_spark.operators.textops import gopher_quality_profile
+
+    return gopher_quality_profile(
+        load(spark, sf_dir, "documents"), min_stopwords=1
+    )
+
+
 def _funnel_v2_oracle() -> str:
     """Assemble the v2 funnel oracle from the REGISTERED gate oracles
     verbatim (each embedded as a nested-WITH derived table), so the
@@ -12940,6 +13073,7 @@ def _funnel_v2_oracle() -> str:
     gates = [
         ("lang_confident", _ORACLES["lang_id_confidence"], "tier = 'high'"),
         ("not_code", _ORACLES["code_detect_stats"], "NOT looks_like_code"),
+        ("gopher_keep", _ORACLES["gopher_quality_gate_tuned"], "keep"),
         ("quality_keep", _ORACLES["quality_logistic_filter"], "keep"),
         ("length_sane", _ORACLES["mad_outlier_docs"], "NOT is_outlier"),
         ("fluent", _ORACLES["ccnet_ppl_buckets"], "bucket <> 'tail'"),
@@ -12972,10 +13106,11 @@ def _funnel_v2_oracle() -> str:
 
 @query("corpus_prep_funnel_v2", _funnel_v2_oracle())
 def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MODERN corpus-curation funnel: the round-5/6 model-based and
-    statistical gates intersected in pipeline order — language
+    """The MODERN corpus-curation funnel: the rule-based, model-based
+    and statistical gates intersected in pipeline order — language
     confidence (keep only high-margin lang-ID) → code routing (prose
-    lane) → logistic quality classifier → robust length-outlier
+    lane) → Gopher rule composite (corpus-tuned stop-word floor) →
+    logistic quality classifier → robust length-outlier
     removal (median+MAD) → per-language perplexity tercile (drop the
     tail third) → DSIR importance keep. Emits per-stage survivor
     counts AND an id checksum, so the oracle verifies the surviving
@@ -13014,6 +13149,12 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "not_code",
             code_detect_stats(spark, sf_dir)
             .filter(~F.col("looks_like_code"))
+            .select("doc_id"),
+        ),
+        (
+            "gopher_keep",
+            gopher_quality_gate_tuned(spark, sf_dir)
+            .filter(F.col("keep"))
             .select("doc_id"),
         ),
         (

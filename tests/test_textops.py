@@ -466,3 +466,55 @@ def test_bpe_segment_matches_python_reference(spark):
     ).select(F.split("word", "").alias("syms"), "freq", "word")
     got = {r.word: list(r.syms) for r in bpe_segment(vdf, 4).collect()}
     assert got == segs
+
+
+def test_gopher_quality_profile_rules(spark):
+    """Each published Gopher Table-A1 rule fires on a crafted document
+    (the synthetic corpus never exercises bullets/ellipses/symbols);
+    fail_mask bit order: wc, mwl, symbol, bullet, ellipsis, alpha,
+    stopwords."""
+    from etl_weather_spark.operators.textops import gopher_quality_profile
+
+    good = "the cat sat and that dog ran off with one hat " * 6  # 60 words
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the of short doc"),                     # wc fail (4 words)
+        (3, " ".join(["a"] * 60) + " the of"),       # mean word len < 3
+        (4, good + "### # ## " + "#" * 10),          # symbol ratio > 10%
+        (5, "\n".join(["- bullet item the of"] * 20)),  # bullet lines
+        (6, "\n".join(["trailing words the of..."] * 20)),  # ellipsis ends
+        (7, " ".join(["123"] * 60) + " the of"),     # alpha frac < 80%
+        (8, " ".join(["cats"] * 60)),                # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_quality_profile(df).collect()}
+
+    assert got[1]["keep"] is True and got[1]["fail_mask"] == 0
+    assert got[2]["fail_mask"] & 1           # word count
+    assert got[3]["fail_mask"] & 2           # mean word length
+    assert got[4]["fail_mask"] & 4           # symbol-to-word
+    assert got[5]["fail_mask"] & 8           # bullet lines
+    assert got[5]["n_lines"] == 20
+    assert got[6]["fail_mask"] & 16          # ellipsis line ends
+    assert got[7]["fail_mask"] & 32          # alphabetic-word fraction
+    assert got[8]["fail_mask"] & 64          # stop-word presence
+    # doc 5 has 100% bullet lines -> frac6 == 1.0; doc 1 is one line
+    assert got[5]["bullet_line_frac6"] == 1.0
+    assert got[1]["n_lines"] == 1
+    # tuned floor: one stopword suffices
+    tuned = {
+        r.doc_id: r.keep
+        for r in gopher_quality_profile(df, min_stopwords=1).collect()
+    }
+    assert tuned[1] is True and tuned[8] is False
+
+
+def test_gopher_stopword_rule_distinct_not_total(spark):
+    """The published rule counts DISTINCT stop words present, not
+    occurrences: 60 repeats of 'the' is still only one stop word."""
+    from etl_weather_spark.operators.textops import gopher_quality_profile
+
+    rows = [(1, " ".join(["the"] * 60))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = gopher_quality_profile(df).collect()[0]
+    assert r.n_stopwords == 1 and (r.fail_mask & 64)
