@@ -10124,8 +10124,12 @@ def quality_logistic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same token-count relation (no second pass over text); pure
     whole-stage codegen after the aggs.
     """
+    return _quality_logistic_core(load(spark, sf_dir, "documents"))
+
+
+def _quality_logistic_core(docs: DataFrame) -> DataFrame:
+    """quality_logistic_filter on an arbitrary documents relation."""
     stoplist = ["the", "and", "of", "to", "in"]
-    docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -11069,7 +11073,12 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram VOCABULARY (bounded dimensions); the corpus vocab size
     rides as a broadcast 1-row cross join.
     """
-    docs = load(spark, sf_dir, "documents")
+    return _bigram_logprob_core(load(spark, sf_dir, "documents"))
+
+
+def _bigram_logprob_core(docs: DataFrame) -> DataFrame:
+    """bigram_logprob_quality on an arbitrary documents relation — the
+    bigram LM itself re-fits on whatever corpus is passed in."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -11592,9 +11601,13 @@ def lang_id_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_count columns and integer algebra in whole-stage codegen, no
     shuffle but the final sort.
     """
+    return _lang_id_confidence_core(load(spark, sf_dir, "documents"))
+
+
+def _lang_id_confidence_core(docs: DataFrame) -> DataFrame:
+    """lang_id_confidence on an arbitrary documents relation."""
     from etl_weather_spark.operators.textops import LANG_STOPWORDS, lang_id
 
-    docs = load(spark, sf_dir, "documents")
     scores = {
         lng: F.regexp_count(
             F.lower(F.col("text")),
@@ -11705,7 +11718,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one (doc, bucket) partial-agg groupBy. This is DSIR's whole
     point: importance weights at 100 TB without training a model.
     """
-    docs = load(spark, sf_dir, "documents")
+    return _dsir_core(load(spark, sf_dir, "documents"))
+
+
+def _dsir_core(docs: DataFrame) -> DataFrame:
+    """dsir_importance_weights on an arbitrary documents relation —
+    both the raw and target (lang='en') bucket models re-fit on
+    whatever corpus is passed in."""
     tk = F.split(
         F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
     )
@@ -12041,11 +12060,16 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted two-level top-k; boundaries are a broadcast dimension; the
     final bucket is a map-side CASE.
     """
+    return _ccnet_ppl_core(load(spark, sf_dir, "documents"))
+
+
+def _ccnet_ppl_core(docs: DataFrame) -> DataFrame:
+    """ccnet_ppl_buckets on an arbitrary documents relation — LM AND
+    tercile boundaries both re-fit on whatever corpus is passed in."""
     from etl_weather_spark.operators.similarity import topk_per_group
 
-    docs = load(spark, sf_dir, "documents")
     scores = (
-        bigram_logprob_quality(spark, sf_dir)
+        _bigram_logprob_core(docs)
         .select("doc_id", "avg_nll2")
         .join(docs.select("doc_id", "lang"), "doc_id")
         # two consumers (boundary sample + final bucket join) would
@@ -12359,7 +12383,12 @@ def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trick that makes exact medians tractable at 100 TB where
     percentile aggs buffer whole groups.
     """
-    docs = load(spark, sf_dir, "documents")
+    return _mad_outlier_core(load(spark, sf_dir, "documents"))
+
+
+def _mad_outlier_core(docs: DataFrame) -> DataFrame:
+    """mad_outlier_docs on an arbitrary documents relation — the
+    median/MAD statistics re-fit on whatever corpus is passed in."""
     d = docs.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("x")
     )
@@ -12564,7 +12593,12 @@ def code_detect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: projection-only (regexp_count in whole-stage codegen), no
     shuffle but the final sort.
     """
-    docs = load(spark, sf_dir, "documents")
+    return _code_detect_core(load(spark, sf_dir, "documents"))
+
+
+def _code_detect_core(docs: DataFrame) -> DataFrame:
+    """code_detect_stats on an arbitrary documents relation (funnel v3
+    re-runs gates on survivor-restricted corpora)."""
     n_punct = F.regexp_count("text", F.lit(r"[{}();]")).cast("long")
     n_kw = F.regexp_count(
         "text",
@@ -13206,6 +13240,133 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("doc_id").cast("long").alias("id_checksum"),
             )
         )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("stage")
+
+
+#: funnel gate list shared by v3's Spark side and its oracle builder:
+#: (stage_name, registered-oracle key, SQL keep-condition)
+_FUNNEL_V3_GATES = [
+    ("lang_confident", "lang_id_confidence", "tier = 'high'"),
+    ("not_code", "code_detect_stats", "NOT looks_like_code"),
+    ("gopher_keep", "gopher_quality_gate_tuned", "keep"),
+    ("quality_keep", "quality_logistic_filter", "keep"),
+    ("length_sane", "mad_outlier_docs", "NOT is_outlier"),
+    ("fluent", "ccnet_ppl_buckets", "bucket <> 'tail'"),
+    ("dsir_keep", "dsir_importance_weights", "kept"),
+]
+
+
+def _funnel_v3_oracle() -> str:
+    """v3 oracle: the SAME registered gate oracles, but each one's
+    ``documents`` references are mechanically rewritten to the previous
+    stage's survivor-restricted corpus (``docs_s{i-1}``), so every
+    gate's statistics — MAD medians, the bigram LM and its tercile
+    boundaries, the DSIR bucket models — are re-fit on the survivors,
+    the CCNet/RefinedWeb production shape. The rewrite is a word-
+    boundary substitution on a table name that appears only in
+    FROM/JOIN position in every gate oracle, so gate logic still
+    cannot drift from the standalone queries'."""
+    import re
+
+    ctes = ["s0 AS (SELECT doc_id FROM documents)"]
+    rows = [
+        "SELECT 0 AS stage, 'all_docs' AS stage_name,"
+        " CAST(COUNT(*) AS BIGINT) AS n_kept,"
+        " CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM s0"
+    ]
+    for i, (name, key, cond) in enumerate(_FUNNEL_V3_GATES, start=1):
+        refit = re.sub(r"\bdocuments\b", f"docs_s{i - 1}", _ORACLES[key])
+        # MATERIALIZED fences: every gate oracle references its
+        # restricted corpus several times, and each survivor set feeds
+        # both its stage row and the next restriction — inlined CTEs
+        # would re-expand the whole prior chain multiplicatively
+        # (the SQL twin of the Spark side's localCheckpoint fences)
+        ctes.append(
+            f"docs_s{i - 1} AS MATERIALIZED (SELECT d.* FROM documents d"
+            f" JOIN s{i - 1} ON s{i - 1}.doc_id = d.doc_id)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED"
+            f" (SELECT doc_id FROM ({refit}\n) WHERE {cond})"
+        )
+        rows.append(
+            f"SELECT {i} AS stage, '{name}' AS stage_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_kept,"
+            f" CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM s{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY stage"
+    )
+
+
+@query("corpus_prep_funnel_v3", _funnel_v3_oracle())
+def corpus_prep_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_prep_funnel_v2 with RE-FIT-PER-STAGE statistics — the
+    CCNet/RefinedWeb production parameterization: each gate's
+    population statistics (MAD medians, the bigram LM and its
+    per-language perplexity terciles, the DSIR raw/target bucket
+    models) are fit on the PREVIOUS stage's survivors instead of the
+    full corpus. Per-document gates (lang-ID, code routing, Gopher
+    rules, the fixed-weight logistic) decide identically either way;
+    the fitted gates diverge from v2 exactly where refitting matters
+    — a tighter survivor distribution moves the boundaries.
+
+    The oracle rewrites each registered gate oracle's ``documents``
+    table references to the survivor-restricted corpus, so v3's stage
+    logic is still the registered queries', verbatim, applied to a
+    different population.
+
+    Scale: inherently sequential (stage i's fit needs stage i-1's
+    survivors — the price of refitting), but each stage is the gate's
+    own documented bounded plan over a shrinking corpus; the restricted
+    corpus is fenced once per stage (lazy localCheckpoint) because
+    every gate scans it several times.
+    """
+    from etl_weather_spark.operators.textops import gopher_quality_profile
+
+    cores = {
+        "lang_confident": lambda d: _lang_id_confidence_core(d).filter(
+            F.col("tier") == "high"
+        ),
+        "not_code": lambda d: _code_detect_core(d).filter(
+            ~F.col("looks_like_code")
+        ),
+        "gopher_keep": lambda d: gopher_quality_profile(
+            d, min_stopwords=1
+        ).filter(F.col("keep")),
+        "quality_keep": lambda d: _quality_logistic_core(d).filter(
+            F.col("keep")
+        ),
+        "length_sane": lambda d: _mad_outlier_core(d).filter(
+            ~F.col("is_outlier")
+        ),
+        "fluent": lambda d: _ccnet_ppl_core(d).filter(
+            F.col("bucket") != "tail"
+        ),
+        "dsir_keep": lambda d: _dsir_core(d).filter(F.col("kept")),
+    }
+    cur = load(spark, sf_dir, "documents").localCheckpoint(eager=False)
+
+    def stage_row(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+
+    stages = [stage_row(cur, 0, "all_docs")]
+    for i, (name, _key, _cond) in enumerate(_FUNNEL_V3_GATES, start=1):
+        keep = cores[name](cur).select("doc_id")
+        cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
+        stages.append(stage_row(cur, i, name))
     out = stages[0]
     for s in stages[1:]:
         out = out.unionByName(s)

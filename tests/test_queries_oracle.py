@@ -77,3 +77,24 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     if ms_s != ms_d:
         diff = [(a, b) for a, b in zip(ms_s, ms_d) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_funnel_v3_refits_diverge_from_v2_exactly_at_fitted_gates(spark, sf_dir):
+    """v3 re-fits each gate's statistics on the prior stage's
+    survivors. Per-document gates (stages 1-4: lang-ID, code routing,
+    Gopher rules, fixed-weight logistic) must decide identically to
+    v2; the fitted gates (stage 5 MAD, 6 perplexity terciles, 7 DSIR)
+    must diverge — the refit moving boundaries is the whole point of
+    the CCNet/RefinedWeb parameterization."""
+    from etl_weather_spark import queries as q
+
+    v2 = {r.stage: (r.n_kept, r.id_checksum)
+          for r in q.corpus_prep_funnel_v2(spark, sf_dir).collect()}
+    v3 = {r.stage: (r.n_kept, r.id_checksum)
+          for r in q.corpus_prep_funnel_v3(spark, sf_dir).collect()}
+    assert set(v2) == set(v3) == set(range(8))
+    for s in range(5):  # all_docs + the four per-doc gates
+        assert v2[s] == v3[s], f"per-doc stage {s} must not move"
+    assert any(v2[s] != v3[s] for s in (5, 6, 7)), (
+        "refitting must move at least one fitted-gate boundary"
+    )
