@@ -192,17 +192,47 @@ _PRIORITY = [
     # integer-exact constant-block oracle), swapped in for
     # png_meta_probe (r5-green; the metadata-probe shape stays checked
     # via the full-decode media rows that parse the same headers).
+    # round-7 rotations (out, every out-row is r06-driver-green AND
+    # keeps a checked family sibling staying in):
+    # corpus_prep_funnel (v1; the funnel family is now checked by the
+    # TWO incoming flagships v2/v3, supersets of the same chain),
+    # hybrid_search_rrf (retrieval family keeps bm25_topk),
+    # bpe_merge_rounds (BPE family keeps bpe_encode_stats, the
+    # train+encode superset), image_dhash_dedup (media/perceptual
+    # family keeps media_jpeg_stats + media_area_resize_stats),
+    # media_resample_stats (media-conform family keeps
+    # media_area_resize_stats + media_jpeg_stats),
+    # exact_substring_spans (span-dedup family keeps
+    # sentence_dedup_global + dedup_exact), winnow_candidates
+    # (fingerprint-candidate family keeps minhash_lsh_fast +
+    # prefix_filter_jaccard, both composed by incoming
+    # lsh_recall_audit), bloom_screen_new_docs (incremental family
+    # keeps incremental_index_dedup), session_funnel_conversion
+    # (event-sequence family keeps user_sessions), html_extract_stats
+    # (extraction family keeps boilerplate_strip),
+    # kmeans_embedding_clusters (clustering shape stays via
+    # semantic_dedup's IVF-cell block + incoming pca_power_iteration),
+    # quality_logistic_filter (quality family keeps lang_quality +
+    # incoming gopher_quality_gate; its full oracle is ALSO embedded
+    # verbatim inside both incoming funnel rows).
+    # In: TWELVE never-driver-checked rows — the ten VERDICT r6 named
+    # (corpus_prep_funnel_v2, containment_pairs,
+    # dsir_importance_weights, ccnet_ppl_buckets,
+    # ctfidf_source_keywords, mad_outlier_docs, pca_power_iteration,
+    # semantic_decontaminate, ks_drift_audit, lsh_recall_audit) plus
+    # the two round-7 flagships corpus_prep_funnel_v3 and
+    # gopher_quality_gate.
     "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
-    "exact_substring_spans", "minmax_norm",
-    "rank_pct_diff", "hybrid_search_rrf", "asof_join",
+    "corpus_prep_funnel_v2", "minmax_norm",
+    "rank_pct_diff", "corpus_prep_funnel_v3", "asof_join",
     "weather_code_decode",
-    "media_area_resize_stats", "media_resample_stats",
+    "media_area_resize_stats", "containment_pairs",
     "media_jpeg_stats", "simhash_near_dupes",
-    "bpe_encode_stats", "session_funnel_conversion",
-    "bm25_topk", "kmeans_embedding_clusters", "sentence_dedup_global",
-    "boilerplate_strip", "ngram_repetition", "html_extract_stats",
+    "bpe_encode_stats", "dsir_importance_weights",
+    "bm25_topk", "ccnet_ppl_buckets", "sentence_dedup_global",
+    "boilerplate_strip", "ngram_repetition", "ctfidf_source_keywords",
     "pii_scrub_stats", "knn_label_spread", "ann_pq_index_roundtrip",
-    "quality_logistic_filter",
+    "mad_outlier_docs",
     # round-3 rotations: today_lookup (J4 — J family keeps asof_join/
     # nearest_event/daily_left_join), format_dates (C7 — C family keeps
     # slugify_parts/weather_code_decode/split_part_types),
@@ -215,13 +245,13 @@ _PRIORITY = [
     # keeps the tolerant-JSON shape checked) and sorted_nations (O4 —
     # every ORDER BY row covers lexicographic sorts) out for the Q21
     # semi/anti flagship and the unigram-LM quality scorer
-    "corpus_prep_funnel", "split_part_types",
-    "image_dhash_dedup",
-    "bpe_merge_rounds", "kll_rollup_value_quantiles",
+    "pca_power_iteration", "split_part_types",
+    "semantic_decontaminate",
+    "ks_drift_audit", "kll_rollup_value_quantiles",
     # round-2/3 flagships, wave 2: embedding-graph semantic dedup (now
     # defaulting to the bounded IVF-cell block), Bloom-screen
     # incremental dedup
-    "semantic_dedup", "bloom_screen_new_docs",
+    "semantic_dedup", "gopher_quality_gate",
     # round-2 flagships (status_rollup/distinct_daily_users rotated out:
     # their shapes are covered by other checked rows, and the local
     # replica still verifies them; hour_labels likewise rotated out for
@@ -233,7 +263,7 @@ _PRIORITY = [
     # training-data pipeline: text analysis + dedup + similarity
     "doc_stats", "dedup_exact", "prefix_filter_jaccard",
     "ann_cosine_topk", "lang_quality",
-    "winnow_candidates", "minhash_lsh_fast",
+    "lsh_recall_audit", "minhash_lsh_fast",
     # training-pipeline + streaming-analog flagships
     "dedup_clusters", "user_sessions", "train_test_split",
     "weighted_sample_topk", "decontaminate_overlap",
