@@ -194,6 +194,14 @@ HEADLINE = [
     # the modern curation funnel: six round-5/6 gates composed, per-stage
     # survivor checksums verified end to end
     "corpus_prep_funnel_v2",
+    # round-7 wave: the full Gopher rule composite (published Table-A1
+    # constants, integer-exact keep logic), the bounded-sample banding
+    # audit (the priciest row's production shape — 25% hash-sample,
+    # ~6% of the pair work), and the re-fit-per-stage funnel (each
+    # gate's statistics fit on the prior stage's survivors)
+    "gopher_quality_gate",
+    "lsh_recall_audit_sampled",
+    "corpus_prep_funnel_v3",
 ]
 
 

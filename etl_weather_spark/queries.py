@@ -12540,13 +12540,18 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join moves only (id, id) pairs and the rollup is band-keyed
     (≤9 rows out).
     """
+    return _lsh_recall_core(load(spark, sf_dir, "documents"))
+
+
+def _lsh_recall_core(docs: DataFrame) -> DataFrame:
+    """lsh_recall_audit on an arbitrary documents relation (the
+    sampled variant passes a deterministic hash-sample)."""
     from etl_weather_spark.operators.dedup import (
         minhash_lsh_pairs,
         prefix_filter_candidates,
         verify_candidates_jaccard,
     )
 
-    docs = load(spark, sf_dir, "documents")
     cand0 = prefix_filter_candidates(docs, shingle_n=3, min_jaccard=0.5)
     exact = verify_candidates_jaccard(
         docs, cand0, shingle_n=3, min_jaccard=0.5
@@ -12583,6 +12588,47 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_jaccard")
     )
+
+
+#: engine-portable deterministic 25% doc sample: first md5 hex nibble
+#: of the STRINGIFIED doc_id in 0..3 — identical strings, identical
+#: md5, identical sample membership in Spark SQL and DuckDB
+_DOC_SAMPLE_SQL = (
+    "(instr('0123456789abcdef',"
+    " substr(md5(cast(doc_id as string)), 1, 1)) - 1) < 4"
+)
+
+
+def _lsh_sampled_oracle() -> str:
+    """Sampled-audit oracle: the registered full-audit oracle verbatim,
+    run over the deterministic hash-sample CTE."""
+    import re
+
+    inner = re.sub(r"\bdocuments\b", "sdocs", _ORACLES["lsh_recall_audit"])
+    return (
+        "WITH sdocs AS MATERIALIZED"
+        f" (SELECT * FROM documents WHERE {_DOC_SAMPLE_SQL})\n"
+        f"SELECT * FROM ({inner}\n) ORDER BY est_jaccard"
+    )
+
+
+@query("lsh_recall_audit_sampled", _lsh_sampled_oracle())
+def lsh_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_recall_audit on a DETERMINISTIC 25% hash-sample of the
+    corpus — the shape production actually runs when tuning banding
+    parameters: the recall/precision surface is estimated on a bounded
+    sample (pair work scales with the SQUARE of the doc count, so a
+    25% sample costs ~6% of the full audit), and the full audit stays
+    available as ground truth. The sample is membership-stable across
+    engines and scale factors (first md5 nibble of the stringified
+    doc_id), never a rand() — so the oracle replays it exactly.
+
+    Scale: identical plan family to lsh_recall_audit (both generators
+    bucketed, audit join on (id, id) pairs, band-keyed rollup) over a
+    corpus whose size the operator controls.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.expr(_DOC_SAMPLE_SQL))
+    return _lsh_recall_core(docs)
 
 
 @query(
