@@ -13447,3 +13447,618 @@ def corpus_prep_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave: mixture weighting, embedding compression audit,
+# governance, retrieval, and ensemble quality
+# ---------------------------------------------------------------------------
+
+@query(
+    "lang_temperature_sampling",
+    f"""
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM g),
+p AS (
+  SELECT g.lang, g.n_docs,
+         FLOOR((g.n_docs * 1.0 / t.n_all) * 1000000 + 0.5) / 1000000 AS p6,
+         t.n_all
+  FROM g CROSS JOIN tot t
+),
+s AS (
+  SELECT lang, n_docs, p6, n_all,
+         FLOOR(sqrt(p6) * 1000000 + 0.5) / 1000000 AS s6
+  FROM p
+),
+z AS (SELECT {sql_dsum('s6', 6)} AS zs FROM s)
+SELECT s.lang, s.n_docs, s.p6,
+       FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 AS q6,
+       CAST(FLOOR(FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 * s.n_all + 0.5)
+            AS BIGINT) AS expected_docs,
+       FLOOR((FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 / s.p6)
+             * 10000 + 0.5) / 10000 AS boost4
+FROM s CROSS JOIN z
+ORDER BY s.lang
+""",
+)
+def lang_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED language rebalancing (the multilingual-
+    pretraining move of mBERT/XLM-R: sample languages ∝ p^α with α<1
+    so head languages shrink and tail languages grow): per language,
+    the natural share p, the α=0.5 temperature weight q ∝ √p, the
+    expected document count under q, and the boost factor q/p.
+
+    α is fixed at 1/2 deliberately: √x is CORRECTLY ROUNDED in
+    IEEE-754 (both engines produce identical bits), while pow(x, 0.3)
+    is not — the published α=0.3 would put a libm parity risk inside
+    the oracle. p is quantized to 6 dp BEFORE the sqrt so both engines
+    feed it identical inputs; the normalizer is a decimal sum.
+
+    Scale: one partial-agg groupBy over the language dimension plus
+    broadcast 1-row totals — dimension-sized everything.
+    """
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = g.agg(F.sum("n_docs").cast("long").alias("n_all"))
+    p = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        rnd(F.col("n_docs") * 1.0 / F.col("n_all"), 6).alias("p6"),
+        "n_all",
+    )
+    s = p.select(
+        "lang", "n_docs", "p6", "n_all", rnd(F.sqrt("p6"), 6).alias("s6")
+    )
+    z = s.agg(dsum("s6", 6).alias("zs"))
+    q6 = rnd(F.col("s6") / F.col("zs"), 6)
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "p6",
+            q6.alias("q6"),
+            F.floor(q6 * F.col("n_all") + F.lit(0.5))
+            .cast("long")
+            .alias("expected_docs"),
+            rnd(q6 / F.col("p6"), 4).alias("boost4"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _domain_reweight_oracle() -> str:
+    """Embed the registered bigram-LM oracle verbatim as the per-doc
+    proxy-loss relation (the funnel-v2 embedding discipline)."""
+    inner = _ORACLES["bigram_logprob_quality"]
+    return f"""
+WITH scores AS (
+  SELECT d.doc_id, d.source, b.avg_nll2
+  FROM documents d JOIN ({inner}
+  ) b ON b.doc_id = d.doc_id
+),
+per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         FLOOR(({sql_dsum('avg_nll2', 6)} / COUNT(*)) * 1000000 + 0.5)
+           / 1000000 AS loss6
+  FROM scores GROUP BY source
+),
+gtot AS (
+  SELECT FLOOR(({sql_dsum('avg_nll2', 6)} / COUNT(*)) * 1000000 + 0.5)
+           / 1000000 AS gloss6,
+         CAST(COUNT(*) AS BIGINT) AS n_all
+  FROM scores
+),
+e AS (
+  SELECT p.source, p.n_docs,
+         FLOOR((p.n_docs * 1.0 / g.n_all) * 1000000 + 0.5) / 1000000 AS w_ref6,
+         p.loss6, g.gloss6,
+         FLOOR((p.loss6 - g.gloss6) * 1000000 + 0.5) / 1000000 AS excess6
+  FROM per p CROSS JOIN gtot g
+),
+u AS (
+  SELECT *,
+         FLOOR((w_ref6 * GREATEST(1.0 + 0.5 * excess6, 0.0)) * 1000000 + 0.5)
+           / 1000000 AS raw6
+  FROM e
+),
+z AS (SELECT {sql_dsum('raw6', 6)} AS zs FROM u)
+SELECT u.source, u.n_docs, u.loss6, u.excess6, u.w_ref6,
+       FLOOR((u.raw6 / z.zs) * 1000000 + 0.5) / 1000000 AS w_new6,
+       FLOOR((FLOOR((u.raw6 / z.zs) * 1000000 + 0.5) / 1000000 / u.w_ref6)
+             * 10000 + 0.5) / 10000 AS boost4
+FROM u CROSS JOIN z
+ORDER BY u.source
+"""
+
+
+@query("domain_mixture_reweight", _domain_reweight_oracle())
+def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures"): per source domain, the mean proxy loss
+    (the corpus bigram-LM perplexity proxy, reused from the registered
+    bigram_logprob_quality), its EXCESS over the corpus mean, and one
+    multiplicative-weights update step — domains the proxy model finds
+    hard gain mixture weight, easy domains shrink.
+
+    The published update is exponentiated-gradient w ∝ w_ref ·
+    exp(η·excess); this implements its first-order form w ∝ w_ref ·
+    max(1 + η·excess, 0) (η=0.5) DELIBERATELY: exp() is not correctly
+    rounded in IEEE-754 and the repo keeps libm transcendentals out of
+    oracle arithmetic beyond the proven LN family — the Taylor form is
+    rational in quantized inputs, so both engines agree bit-for-bit,
+    and for |η·excess| ≪ 1 (always, here) it is the same update to
+    first order.
+
+    Scale: the per-doc loss relation is the bigram LM's documented
+    bounded plan; everything after is a source-dimension agg with
+    broadcast 1-row totals.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scores = _bigram_logprob_core(docs).select("doc_id", "avg_nll2").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per = scores.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        rnd(dsum("avg_nll2", 6) / F.count(F.lit(1)), 6).alias("loss6"),
+    )
+    glob = scores.agg(
+        rnd(dsum("avg_nll2", 6) / F.count(F.lit(1)), 6).alias("gloss6"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    e = per.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_docs",
+        rnd(F.col("n_docs") * 1.0 / F.col("n_all"), 6).alias("w_ref6"),
+        "loss6",
+        rnd(F.col("loss6") - F.col("gloss6"), 6).alias("excess6"),
+    )
+    u = e.withColumn(
+        "raw6",
+        rnd(
+            F.col("w_ref6")
+            * F.greatest(F.lit(1.0) + F.lit(0.5) * F.col("excess6"), F.lit(0.0)),
+            6,
+        ),
+    )
+    z = u.agg(dsum("raw6", 6).alias("zs"))
+    w_new6 = rnd(F.col("raw6") / F.col("zs"), 6)
+    return (
+        u.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "loss6",
+            "excess6",
+            "w_ref6",
+            w_new6.alias("w_new6"),
+            rnd(w_new6 / F.col("w_ref6"), 4).alias("boost4"),
+        )
+        .orderBy("source")
+    )
+
+
+def _matryoshka_oracle(dims=(64, 32, 16, 8), k: int = 10) -> str:
+    """Per truncation dim: brute-force cosine top-k on the PREFIX of
+    each embedding, then overlap vs the full-dim (64) ground truth."""
+    parts = []
+    for d in dims:
+        parts.append(
+            f"""t{d} AS (
+  SELECT query_id, neighbor_id, CAST({d} AS BIGINT) AS dim FROM (
+    SELECT q.query_id, c.neighbor_id,
+           FLOOR((list_dot_product(list_slice(q.qv, 1, {d}), list_slice(c.cv, 1, {d}))
+                  / (GREATEST(sqrt(list_dot_product(list_slice(q.qv, 1, {d}), list_slice(q.qv, 1, {d}))), 1e-12)
+                     * GREATEST(sqrt(list_dot_product(list_slice(c.cv, 1, {d}), list_slice(c.cv, 1, {d}))), 1e-12)))
+                 * 1000000 + 0.5) / 1000000 AS sim
+    FROM q CROSS JOIN c
+    WHERE q.query_id <> c.neighbor_id
+  ) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= {k}
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM t{d}" for d in dims)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+{",".join(parts)},
+alltk AS ({union}),
+full64 AS (SELECT query_id, neighbor_id FROM t64)
+SELECT a.query_id, a.dim,
+       CAST(SUM(CASE WHEN f.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_overlap,
+       FLOOR((SUM(CASE WHEN f.neighbor_id IS NULL THEN 0 ELSE 1 END) * 1.0 / {k})
+             * 10000 + 0.5) / 10000 AS recall4
+FROM alltk a
+LEFT JOIN full64 f
+  ON f.query_id = a.query_id AND f.neighbor_id = a.neighbor_id
+GROUP BY a.query_id, a.dim
+ORDER BY a.query_id, a.dim DESC
+"""
+
+
+@query("matryoshka_truncation_audit", _matryoshka_oracle())
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA embedding-truncation audit (Kusupati et al. 2022:
+    MRL trains embeddings whose PREFIXES are usable at lower cost —
+    serving stacks truncate 64→16 dims for 4× cheaper ANN): for each
+    truncation dim (64/32/16/8), run exact cosine top-10 retrieval on
+    the prefix and report its overlap/recall against the full-dim
+    ground truth — the measurement that decides how far an index can
+    truncate before retrieval quality collapses.
+
+    Exactness: each leg is the ann_cosine_topk convention (6-dp
+    quantized cosine, rank by sim desc then neighbor id) on sliced
+    arrays; the audit join moves only (query, neighbor, dim) triples.
+
+    Scale: probes broadcast (≤5), corpus scanned once per dim with the
+    salted two-level top-k; the overlap join is (5·k·dims) rows.
+    """
+    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    dims = [64, 32, 16, 8]
+    legs = []
+    for d in dims:
+        ce = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        qe = qs.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        legs.append(
+            cosine_topk_bruteforce(ce, qe, k=10)
+            .select("query_id", "neighbor_id")
+            .withColumn("dim", F.lit(d).cast("long"))
+        )
+    alltk = legs[0]
+    for leg in legs[1:]:
+        alltk = alltk.unionByName(leg)
+    full64 = legs[0].select(
+        F.col("query_id").alias("gt_query_id"),
+        F.col("neighbor_id").alias("hit_id"),
+    )
+    hit = F.when(F.col("hit_id").isNull(), 0).otherwise(1)
+    return (
+        alltk.join(
+            full64,
+            (F.col("query_id") == F.col("gt_query_id"))
+            & (F.col("neighbor_id") == F.col("hit_id")),
+            "left",
+        )
+        .groupBy("query_id", "dim")
+        .agg(
+            F.sum(hit).cast("long").alias("n_overlap"),
+            rnd(F.sum(hit) * 1.0 / 10, 4).alias("recall4"),
+        )
+        .orderBy("query_id", F.col("dim").desc())
+    )
+
+
+@query(
+    "l_diversity_audit",
+    """
+WITH cls AS (
+  SELECT source, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_band,
+         lang, doc_id
+  FROM documents
+),
+g AS (
+  SELECT source, len_band,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_distinct
+  FROM cls GROUP BY source, len_band
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         CAST(SUM(CASE WHEN l_distinct < 2 THEN n_docs ELSE 0 END) AS BIGINT)
+           AS risk_docs
+  FROM g
+)
+SELECT g.source, g.len_band, g.n_docs, g.l_distinct,
+       (g.l_distinct >= 2) AS l_ok,
+       t.risk_docs,
+       FLOOR((t.risk_docs * 1.0 / t.total_docs) * 10000 + 0.5) / 10000
+         AS risk_share4
+FROM g CROSS JOIN tot t
+ORDER BY g.source, g.len_band
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007 — the successor
+    governance check to k-anonymity): within each quasi-identifier
+    equivalence class (source × 100-char length band), how many
+    DISTINCT values of the sensitive attribute (language) appear — a
+    class can satisfy k-anonymity yet leak the sensitive value exactly
+    when every member shares it (the homogeneity attack l-diversity
+    exists to catch). Reports every class, its l, the l ≥ 2 status,
+    and the corpus share of documents in failing classes.
+
+    Scale: one partial-agg groupBy over the bounded QI dimensions
+    (count-distinct over the tiny language domain) plus a broadcast
+    1-row total; output is dimension-sized. Pairs with
+    k_anonymity_audit (same QI discipline, orthogonal attack model).
+    """
+    docs = load(spark, sf_dir, "documents")
+    cls = docs.select(
+        "source",
+        F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("len_band"),
+        "lang",
+    )
+    g = cls.groupBy("source", "len_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("l_distinct"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.sum(F.when(F.col("l_distinct") < 2, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("risk_docs"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "len_band",
+            "n_docs",
+            "l_distinct",
+            (F.col("l_distinct") >= 2).alias("l_ok"),
+            "risk_docs",
+            rnd(F.col("risk_docs") * 1.0 / F.col("total_docs"), 4).alias(
+                "risk_share4"
+            ),
+        )
+        .orderBy("source", "len_band")
+    )
+
+
+@query(
+    "proximity_search_topk",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, pos, tok FROM toks WHERE tok IN ('table', 'scan', 'merge')
+),
+pairs AS (
+  SELECT a.doc_id,
+         MIN(ABS(a.pos - b.pos)) AS min_gap
+  FROM hits a JOIN hits b
+    ON b.doc_id = a.doc_id AND a.tok < b.tok
+  GROUP BY a.doc_id
+),
+present AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms
+  FROM hits GROUP BY doc_id
+),
+scored AS (
+  SELECT p.doc_id, pr.n_terms, CAST(p.min_gap AS BIGINT) AS min_gap,
+         FLOOR((1.0 / (1 + p.min_gap)) * 1000000 + 0.5) / 1000000
+           AS proximity6
+  FROM pairs p JOIN present pr ON pr.doc_id = p.doc_id
+  WHERE pr.n_terms >= 2
+)
+SELECT doc_id, n_terms, min_gap, proximity6, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY proximity6 DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 20
+ORDER BY rank
+""",
+)
+def proximity_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM-PROXIMITY retrieval (the classic BM25 companion signal —
+    Büttcher/Clarke-style: documents where distinct query terms occur
+    CLOSE together outrank bag-of-words matches): for the fixed query
+    terms, the minimum token distance between occurrences of two
+    DIFFERENT terms per document, scored 1/(1+gap), top-20.
+
+    Determinism: positions are integers, the score is a 6-dp-quantized
+    rational of an integer gap, ties break on doc_id.
+
+    Scale: the hits relation is IN-list-pruned at the scan (tiny
+    posting subset); the pair join is doc-keyed with per-doc
+    occurrence counts bounded by document length; the final top-20
+    runs the salted two-level top-k, never a global sort.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    terms = ["table", "scan", "merge"]
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    hits = toks.filter(F.col("tok").isin(terms)).localCheckpoint(eager=False)
+    b = hits.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("pos").alias("b_pos"),
+        F.col("tok").alias("b_tok"),
+    )
+    pairs = (
+        hits.join(
+            b,
+            (F.col("b_doc_id") == F.col("doc_id"))
+            & (F.col("tok") < F.col("b_tok")),
+        )
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("pos") - F.col("b_pos"))).cast("long").alias("min_gap"))
+    )
+    present = hits.groupBy("doc_id").agg(
+        F.count_distinct("tok").cast("long").alias("n_terms")
+    )
+    scored = (
+        pairs.join(present, "doc_id")
+        .filter(F.col("n_terms") >= 2)
+        .select(
+            "doc_id",
+            "n_terms",
+            "min_gap",
+            rnd(F.lit(1.0) / (F.lit(1) + F.col("min_gap")), 6).alias(
+                "proximity6"
+            ),
+        )
+    )
+    return (
+        topk_per_group(
+            scored.withColumn("__g", F.lit(1)),
+            group_col="__g",
+            k=20,
+            sim_col="proximity6",
+            tie_col="doc_id",
+        )
+        .select(
+            "doc_id", "n_terms", "min_gap", "proximity6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _ensemble_rank_block(tag: str, inner: str, score_expr: str, desc: bool) -> str:
+    """CTE block computing an exact global rank WITHOUT a global row
+    sort: histogram over the 3-dp-quantized score (bounded distinct-
+    value relation), cumulative count over the value relation, then
+    rank = better-valued count + row_number within the tied value
+    (partitioned by value — bounded partitions). The ks/mad histogram
+    discipline applied to ranking."""
+    d = "DESC" if desc else "ASC"
+    return f"""sv{tag} AS (
+  SELECT doc_id, FLOOR(({score_expr}) * 1000 + 0.5) / 1000 AS s
+  FROM ({inner}
+  )
+),
+h{tag} AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sv{tag} GROUP BY s),
+cb{tag} AS (SELECT s, SUM(c) OVER (ORDER BY s {d}) - c AS cum_before FROM h{tag}),
+r{tag} AS (
+  SELECT sv.doc_id,
+         CAST(cb.cum_before
+              + ROW_NUMBER() OVER (PARTITION BY sv.s ORDER BY sv.doc_id)
+              AS BIGINT) AS rnk
+  FROM sv{tag} sv JOIN cb{tag} cb ON cb.s = sv.s
+)"""
+
+
+def _ensemble_oracle() -> str:
+    rrf = (
+        "FLOOR(1.0 / (60 + r1.rnk) * 1000000 + 0.5) / 1000000"
+        " + FLOOR(1.0 / (60 + r2.rnk) * 1000000 + 0.5) / 1000000"
+        " + FLOOR(1.0 / (60 + r3.rnk) * 1000000 + 0.5) / 1000000"
+    )
+    return f"""
+WITH {_ensemble_rank_block("1", _ORACLES["quality_logistic_filter"], "z", True)},
+{_ensemble_rank_block("2", _ORACLES["bigram_logprob_quality"], "avg_nll2", False)},
+{_ensemble_rank_block("3", _ORACLES["token_entropy_quality"], "token_entropy", True)},
+f AS (
+  SELECT r1.doc_id, r1.rnk AS r_quality, r2.rnk AS r_fluency,
+         r3.rnk AS r_entropy,
+         FLOOR(({rrf}) * 1000000 + 0.5) / 1000000 AS rrf6
+  FROM r1
+  JOIN r2 ON r2.doc_id = r1.doc_id
+  JOIN r3 ON r3.doc_id = r1.doc_id
+)
+SELECT doc_id, r_quality, r_fluency, r_entropy, rrf6, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf6 DESC, doc_id) AS rank FROM f
+) WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+def _scalable_rank(sv: DataFrame, *, desc: bool) -> DataFrame:
+    """(doc_id, s) -> (doc_id, rnk): exact global rank via the
+    histogram cumulative trick — every window runs over the bounded
+    distinct-VALUE relation or within one tied value, never a global
+    per-row sort."""
+    h = sv.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.col("s").desc() if desc else F.col("s").asc())
+    cb = h.select("s", (F.sum("c").over(w) - F.col("c")).alias("cum_before"))
+    wn = Window.partitionBy("s").orderBy("doc_id")
+    return sv.join(cb, "s").select(
+        "doc_id",
+        (F.col("cum_before") + F.row_number().over(wn))
+        .cast("long")
+        .alias("rnk"),
+    )
+
+
+@query("quality_ensemble_rank", _ensemble_oracle())
+def quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE quality ranking by reciprocal-rank fusion of three
+    independently-oracled signals — the FineWeb-style move of trusting
+    AGREEMENT between heterogeneous quality models over any single
+    score: the fixed-weight logistic classifier (higher better), the
+    bigram-LM perplexity proxy (lower better), and token entropy
+    (higher better), fused as Σ 1/(60+rank) and reported as the
+    corpus top-20 with each signal's rank as evidence.
+
+    The global ranks are EXACT but never globally sorted: each score
+    is quantized to 3 dp (ties broken by doc_id), ranked via a
+    histogram over the bounded distinct-value relation — cumulative
+    better-count plus within-value row_number — so every window runs
+    over value cardinality or within one tie group. RRF terms quantize
+    at 6 dp before the written-order sum; both engines fold identical
+    doubles.
+
+    Scale: three signal relations (each its documented bounded plan),
+    three value-histogram rank joins, one broadcast-sized fusion join
+    keyed doc_id, salted two-level final top-20.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    r1 = _scalable_rank(
+        _quality_logistic_core(docs).select(
+            "doc_id", rnd("z", 3).alias("s")
+        ),
+        desc=True,
+    ).withColumnRenamed("rnk", "r_quality")
+    r2 = _scalable_rank(
+        _bigram_logprob_core(docs).select(
+            "doc_id", rnd("avg_nll2", 3).alias("s")
+        ),
+        desc=False,
+    ).withColumnRenamed("rnk", "r_fluency")
+    r3 = _scalable_rank(
+        token_entropy_quality(spark, sf_dir).select(
+            "doc_id", rnd("token_entropy", 3).alias("s")
+        ),
+        desc=True,
+    ).withColumnRenamed("rnk", "r_entropy")
+    term = lambda c: rnd(F.lit(1.0) / (F.lit(60) + F.col(c)), 6)  # noqa: E731
+    f = (
+        r1.join(r2, "doc_id")
+        .join(r3, "doc_id")
+        .select(
+            "doc_id",
+            "r_quality",
+            "r_fluency",
+            "r_entropy",
+            rnd(
+                term("r_quality") + term("r_fluency") + term("r_entropy"), 6
+            ).alias("rrf6"),
+        )
+    )
+    return (
+        topk_per_group(
+            f.withColumn("__g", F.lit(1)),
+            group_col="__g",
+            k=20,
+            sim_col="rrf6",
+            tie_col="doc_id",
+        )
+        .select(
+            "doc_id", "r_quality", "r_fluency", "r_entropy", "rrf6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )
