@@ -126,6 +126,23 @@ OPS = [
     "ks_drift_audit",
     "containment_pairs",
     "corpus_prep_funnel_v2",
+    # round-7 wave: Gopher rule composite (projection+doc-keyed aggs),
+    # sampled banding audit (25% hash-sample of both generators),
+    # re-fit-per-stage funnel (sequential refits over shrinking
+    # corpora), temperature/domain reweighting (dimension-sized aggs
+    # over corpus-sized score relations), matryoshka truncation audit
+    # (probes broadcast x 4 dims), l-diversity (QI-dimension agg),
+    # proximity top-k (posting-pruned doc-keyed pair join), RRF
+    # ensemble (three signal chains + histogram ranks)
+    "gopher_quality_gate",
+    "lsh_recall_audit_sampled",
+    "corpus_prep_funnel_v3",
+    "lang_temperature_sampling",
+    "domain_mixture_reweight",
+    "matryoshka_truncation_audit",
+    "l_diversity_audit",
+    "proximity_search_topk",
+    "quality_ensemble_rank",
 ]
 
 
