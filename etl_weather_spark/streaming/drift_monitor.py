@@ -34,12 +34,28 @@ from pyspark.sql import functions as F
 __all__ = ["reference_histogram", "batch_ks_stat", "stream_drift_monitor"]
 
 
-def reference_histogram(docs: DataFrame, *, value_col: str = "n_chars") -> DataFrame:
+def reference_histogram(
+    docs: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    bucket_width: float | None = None,
+) -> DataFrame:
     """Quantized (x, c) histogram of the reference corpus — the standing
     artifact the monitor compares every batch against (persist it to
-    the lakehouse in production; it is value-cardinality-sized)."""
+    the lakehouse in production; it is value-cardinality-sized).
+
+    ``bucket_width`` buckets x to ``floor(x / width)`` so a
+    wide-ranging or floating-point value column stays bounded BY
+    CONSTRUCTION (the ks_from_histograms discipline); pass the same
+    width to the monitor so both sides bucket identically.
+    """
+    x = F.col(value_col).cast("long")
+    if bucket_width is not None:
+        x = F.floor(
+            F.col(value_col).cast("double") / F.lit(float(bucket_width))
+        ).cast("long")
     return (
-        docs.select(F.col(value_col).cast("long").alias("x"))
+        docs.select(x.alias("x"))
         .filter(F.col("x").isNotNull())
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -52,6 +68,7 @@ def batch_ks_stat(
     *,
     value_col: str = "n_chars",
     threshold: float = 0.2,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """One-row (n_rows, ks_stat6, drifted): the exact KS algebra of
     queries.ks_drift_audit with the reference side precomputed.
@@ -64,11 +81,8 @@ def batch_ks_stat(
     """
     from etl_weather_spark.operators.ks import ks_from_histograms
 
-    bh = (
-        batch.select(F.col(value_col).cast("long").alias("x"))
-        .filter(F.col("x").isNotNull())
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bh = reference_histogram(
+        batch, value_col=value_col, bucket_width=bucket_width
     )
     ks = ks_from_histograms(ref_hist, bh, threshold=threshold)
     return ks.select(
@@ -86,13 +100,18 @@ def process_drift_batch(
     stats_dir: str,
     value_col: str = "n_chars",
     threshold: float = 0.2,
+    bucket_width: float | None = None,
 ) -> None:
     """foreachBatch body — idempotent: ``batch_id=N`` overwrites with
     identical bytes on replay."""
     if batch_df.isEmpty():
         return
     row = batch_ks_stat(
-        batch_df, ref_hist, value_col=value_col, threshold=threshold
+        batch_df,
+        ref_hist,
+        value_col=value_col,
+        threshold=threshold,
+        bucket_width=bucket_width,
     ).collect()[0]
     spark = batch_df.sparkSession
     # A NON-empty batch whose value_col is entirely NULL has zero
@@ -125,6 +144,7 @@ def stream_drift_monitor(
     checkpoint_dir: str,
     value_col: str = "n_chars",
     threshold: float = 0.2,
+    bucket_width: float | None = None,
 ):
     """Wire the monitor onto a document stream: one KS row per
     micro-batch under ``stats_dir``."""
@@ -138,6 +158,7 @@ def stream_drift_monitor(
             stats_dir=stats_dir,
             value_col=value_col,
             threshold=threshold,
+            bucket_width=bucket_width,
         )
 
     return (

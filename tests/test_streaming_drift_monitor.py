@@ -165,3 +165,21 @@ def test_bucket_width_bounds_high_cardinality_doubles(spark):
     from etl_weather_spark.operators.ks import _rebucket
 
     assert _rebucket(ha, 100.0).count() == 20
+
+
+def test_monitor_bucket_width_end_to_end(spark):
+    """bucket_width threads through reference_histogram and
+    batch_ks_stat: a near-per-row-cardinality double column stays
+    bounded on BOTH sides and identical distributions still score 0."""
+    rows = [(i, 1_000_000 + i * 7) for i in range(500)]  # 500 distinct values
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    ref = reference_histogram(df, bucket_width=500.0)
+    assert ref.count() <= 8  # 3500-wide range / 500 per bucket
+    got = batch_ks_stat(df, ref, bucket_width=500.0).collect()[0]
+    assert got.ks_stat6 == 0.0 and got.drifted is False
+    # a shifted batch still alarms through the bucketed path
+    shifted = spark.createDataFrame(
+        [(i, 9_000_000 + i * 7) for i in range(500)], "doc_id long, n_chars long"
+    )
+    bad = batch_ks_stat(shifted, ref, bucket_width=500.0).collect()[0]
+    assert bad.ks_stat6 == 1.0 and bad.drifted is True
