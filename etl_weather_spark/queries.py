@@ -12517,7 +12517,9 @@ tot AS (
 SELECT b.est_jaccard, b.n_candidates, b.n_true,
        FLOOR((b.n_true * 1.0 / b.n_candidates) * 10000 + 0.5) / 10000 AS precision4,
        t.n_exact_total, t.n_hits_total,
-       FLOOR((t.n_hits_total * 1.0 / t.n_exact_total) * 10000 + 0.5) / 10000 AS recall4
+       CASE WHEN t.n_exact_total > 0
+            THEN FLOOR((t.n_hits_total * 1.0 / t.n_exact_total) * 10000 + 0.5) / 10000
+       END AS recall4
 FROM bands b CROSS JOIN tot t
 ORDER BY b.est_jaccard
 """,
@@ -12582,9 +12584,13 @@ def _lsh_recall_core(docs: DataFrame) -> DataFrame:
             ),
             "n_exact_total",
             "n_hits_total",
-            rnd(F.col("n_hits_total") * 1.0 / F.col("n_exact_total"), 4).alias(
-                "recall4"
-            ),
+            # the 25% sampled variant can surface LSH candidates with
+            # ZERO exact pairs (true pairs decimate quadratically):
+            # 0/0 must be NULL on both engines, never Spark NaN
+            F.when(
+                F.col("n_exact_total") > 0,
+                rnd(F.col("n_hits_total") * 1.0 / F.col("n_exact_total"), 4),
+            ).alias("recall4"),
         )
         .orderBy("est_jaccard")
     )
@@ -13176,19 +13182,49 @@ def gopher_quality_gate_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_tuned_core(docs: DataFrame) -> DataFrame:
+    from etl_weather_spark.operators.textops import gopher_quality_profile
+
+    return gopher_quality_profile(docs, min_stopwords=1)
+
+
+#: THE funnel gate chain, defined exactly once and consumed by all four
+#: funnel surfaces — v2's oracle + Spark body (full-corpus fits via the
+#: registered queries) and v3's oracle + Spark body (survivor refits
+#: via the cores). Adding/reordering a gate here updates every surface
+#: in lockstep; a per-surface copy once desynchronized silently.
+#: Tuples: (stage_name, registered query/oracle key, SQL keep
+#: condition, Spark keep filter, docs-parameterized core).
+_FUNNEL_GATES = [
+    ("lang_confident", "lang_id_confidence", "tier = 'high'",
+     lambda df: df.filter(F.col("tier") == "high"),
+     _lang_id_confidence_core),
+    ("not_code", "code_detect_stats", "NOT looks_like_code",
+     lambda df: df.filter(~F.col("looks_like_code")),
+     _code_detect_core),
+    ("gopher_keep", "gopher_quality_gate_tuned", "keep",
+     lambda df: df.filter(F.col("keep")),
+     _gopher_tuned_core),
+    ("quality_keep", "quality_logistic_filter", "keep",
+     lambda df: df.filter(F.col("keep")),
+     _quality_logistic_core),
+    ("length_sane", "mad_outlier_docs", "NOT is_outlier",
+     lambda df: df.filter(~F.col("is_outlier")),
+     _mad_outlier_core),
+    ("fluent", "ccnet_ppl_buckets", "bucket <> 'tail'",
+     lambda df: df.filter(F.col("bucket") != "tail"),
+     _ccnet_ppl_core),
+    ("dsir_keep", "dsir_importance_weights", "kept",
+     lambda df: df.filter(F.col("kept")),
+     _dsir_core),
+]
+
+
 def _funnel_v2_oracle() -> str:
     """Assemble the v2 funnel oracle from the REGISTERED gate oracles
     verbatim (each embedded as a nested-WITH derived table), so the
     funnel's stage logic can never drift from the standalone queries'."""
-    gates = [
-        ("lang_confident", _ORACLES["lang_id_confidence"], "tier = 'high'"),
-        ("not_code", _ORACLES["code_detect_stats"], "NOT looks_like_code"),
-        ("gopher_keep", _ORACLES["gopher_quality_gate_tuned"], "keep"),
-        ("quality_keep", _ORACLES["quality_logistic_filter"], "keep"),
-        ("length_sane", _ORACLES["mad_outlier_docs"], "NOT is_outlier"),
-        ("fluent", _ORACLES["ccnet_ppl_buckets"], "bucket <> 'tail'"),
-        ("dsir_keep", _ORACLES["dsir_importance_weights"], "kept"),
-    ]
+    gates = [(n, _ORACLES[k], c) for n, k, c, _f, _core in _FUNNEL_GATES]
     ctes = ["s0 AS (SELECT doc_id FROM documents)"]
     rows = [
         "SELECT 0 AS stage, 'all_docs' AS stage_name,"
@@ -13248,49 +13284,11 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage work is the gate's own documented plan, paid once.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    # full-corpus fits: each gate is the REGISTERED query, filtered by
+    # the shared keep condition from the one gate table
     gates = [
-        (
-            "lang_confident",
-            lang_id_confidence(spark, sf_dir)
-            .filter(F.col("tier") == "high")
-            .select("doc_id"),
-        ),
-        (
-            "not_code",
-            code_detect_stats(spark, sf_dir)
-            .filter(~F.col("looks_like_code"))
-            .select("doc_id"),
-        ),
-        (
-            "gopher_keep",
-            gopher_quality_gate_tuned(spark, sf_dir)
-            .filter(F.col("keep"))
-            .select("doc_id"),
-        ),
-        (
-            "quality_keep",
-            quality_logistic_filter(spark, sf_dir)
-            .filter(F.col("keep"))
-            .select("doc_id"),
-        ),
-        (
-            "length_sane",
-            mad_outlier_docs(spark, sf_dir)
-            .filter(~F.col("is_outlier"))
-            .select("doc_id"),
-        ),
-        (
-            "fluent",
-            ccnet_ppl_buckets(spark, sf_dir)
-            .filter(F.col("bucket") != "tail")
-            .select("doc_id"),
-        ),
-        (
-            "dsir_keep",
-            dsir_importance_weights(spark, sf_dir)
-            .filter(F.col("kept"))
-            .select("doc_id"),
-        ),
+        (name, flt(_QUERIES[key](spark, sf_dir)).select("doc_id"))
+        for name, key, _cond, flt, _core in _FUNNEL_GATES
     ]
     # only the SURVIVORS chain is fenced: each level has two consumers
     # (its stage agg + the next semi-join); each gate keep-set is
@@ -13324,17 +13322,6 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: funnel gate list shared by v3's Spark side and its oracle builder:
 #: (stage_name, registered-oracle key, SQL keep-condition)
-_FUNNEL_V3_GATES = [
-    ("lang_confident", "lang_id_confidence", "tier = 'high'"),
-    ("not_code", "code_detect_stats", "NOT looks_like_code"),
-    ("gopher_keep", "gopher_quality_gate_tuned", "keep"),
-    ("quality_keep", "quality_logistic_filter", "keep"),
-    ("length_sane", "mad_outlier_docs", "NOT is_outlier"),
-    ("fluent", "ccnet_ppl_buckets", "bucket <> 'tail'"),
-    ("dsir_keep", "dsir_importance_weights", "kept"),
-]
-
-
 def _funnel_v3_oracle() -> str:
     """v3 oracle: the SAME registered gate oracles, but each one's
     ``documents`` references are mechanically rewritten to the previous
@@ -13353,7 +13340,9 @@ def _funnel_v3_oracle() -> str:
         " CAST(COUNT(*) AS BIGINT) AS n_kept,"
         " CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM s0"
     ]
-    for i, (name, key, cond) in enumerate(_FUNNEL_V3_GATES, start=1):
+    for i, (name, key, cond, _flt, _core) in enumerate(
+        _FUNNEL_GATES, start=1
+    ):
         refit = re.sub(r"\bdocuments\b", f"docs_s{i - 1}", _ORACLES[key])
         # MATERIALIZED fences: every gate oracle references its
         # restricted corpus several times, and each survivor set feeds
@@ -13403,29 +13392,6 @@ def corpus_prep_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is fenced once per stage (lazy localCheckpoint) because
     every gate scans it several times.
     """
-    from etl_weather_spark.operators.textops import gopher_quality_profile
-
-    cores = {
-        "lang_confident": lambda d: _lang_id_confidence_core(d).filter(
-            F.col("tier") == "high"
-        ),
-        "not_code": lambda d: _code_detect_core(d).filter(
-            ~F.col("looks_like_code")
-        ),
-        "gopher_keep": lambda d: gopher_quality_profile(
-            d, min_stopwords=1
-        ).filter(F.col("keep")),
-        "quality_keep": lambda d: _quality_logistic_core(d).filter(
-            F.col("keep")
-        ),
-        "length_sane": lambda d: _mad_outlier_core(d).filter(
-            ~F.col("is_outlier")
-        ),
-        "fluent": lambda d: _ccnet_ppl_core(d).filter(
-            F.col("bucket") != "tail"
-        ),
-        "dsir_keep": lambda d: _dsir_core(d).filter(F.col("kept")),
-    }
     cur = load(spark, sf_dir, "documents").localCheckpoint(eager=False)
 
     def stage_row(df: DataFrame, i: int, name: str) -> DataFrame:
@@ -13437,8 +13403,10 @@ def corpus_prep_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stages = [stage_row(cur, 0, "all_docs")]
-    for i, (name, _key, _cond) in enumerate(_FUNNEL_V3_GATES, start=1):
-        keep = cores[name](cur).select("doc_id")
+    for i, (name, _key, _cond, flt, core) in enumerate(
+        _FUNNEL_GATES, start=1
+    ):
+        keep = flt(core(cur)).select("doc_id")
         cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint(
             eager=False
         )
@@ -13477,8 +13445,10 @@ SELECT s.lang, s.n_docs, s.p6,
        FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 AS q6,
        CAST(FLOOR(FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 * s.n_all + 0.5)
             AS BIGINT) AS expected_docs,
-       FLOOR((FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 / s.p6)
-             * 10000 + 0.5) / 10000 AS boost4
+       CASE WHEN s.p6 > 0
+            THEN FLOOR((FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 / s.p6)
+                       * 10000 + 0.5) / 10000
+       END AS boost4
 FROM s CROSS JOIN z
 ORDER BY s.lang
 """,
@@ -13525,7 +13495,12 @@ def lang_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(q6 * F.col("n_all") + F.lit(0.5))
             .cast("long")
             .alias("expected_docs"),
-            rnd(q6 / F.col("p6"), 4).alias("boost4"),
+            # p6 quantizes to 0 for a <5e-7 share (plausible for a rare
+            # language at 100 TB): 0/0 must be NULL on both engines,
+            # never Spark NaN vs DuckDB NULL
+            F.when(F.col("p6") > 0, rnd(q6 / F.col("p6"), 4)).alias(
+                "boost4"
+            ),
         )
         .orderBy("lang")
     )
@@ -13570,8 +13545,10 @@ u AS (
 z AS (SELECT {sql_dsum('raw6', 6)} AS zs FROM u)
 SELECT u.source, u.n_docs, u.loss6, u.excess6, u.w_ref6,
        FLOOR((u.raw6 / z.zs) * 1000000 + 0.5) / 1000000 AS w_new6,
-       FLOOR((FLOOR((u.raw6 / z.zs) * 1000000 + 0.5) / 1000000 / u.w_ref6)
-             * 10000 + 0.5) / 10000 AS boost4
+       CASE WHEN u.w_ref6 > 0
+            THEN FLOOR((FLOOR((u.raw6 / z.zs) * 1000000 + 0.5) / 1000000
+                        / u.w_ref6) * 10000 + 0.5) / 10000
+       END AS boost4
 FROM u CROSS JOIN z
 ORDER BY u.source
 """
@@ -13637,7 +13614,11 @@ def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess6",
             "w_ref6",
             w_new6.alias("w_new6"),
-            rnd(w_new6 / F.col("w_ref6"), 4).alias("boost4"),
+            # w_ref6 quantizes to 0 for a <5e-7 domain share: 0/0 must
+            # be NULL on both engines, never Spark NaN vs DuckDB NULL
+            F.when(
+                F.col("w_ref6") > 0, rnd(w_new6 / F.col("w_ref6"), 4)
+            ).alias("boost4"),
         )
         .orderBy("source")
     )

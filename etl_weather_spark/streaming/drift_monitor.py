@@ -31,7 +31,28 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["reference_histogram", "batch_ks_stat", "stream_drift_monitor"]
+__all__ = [
+    "reference_histogram",
+    "batch_ks_stat",
+    "read_drift_stats",
+    "stream_drift_monitor",
+]
+
+
+def read_drift_stats(spark, stats_dir: str) -> DataFrame:
+    """Read a (long-lived) stats directory tolerant of the round-7
+    schema addition: pre-upgrade ``batch_id=N`` partitions lack the
+    ``all_null`` column, so a plain read would either miss it or fail
+    depending on which footer wins schema inference — mergeSchema
+    unions the schemas and old rows surface as all_null=false (a
+    written row always had a real statistic before the column
+    existed)."""
+    df = spark.read.option("mergeSchema", "true").parquet(stats_dir)
+    if "all_null" not in df.columns:
+        df = df.withColumn("all_null", F.lit(False))
+    return df.withColumn(
+        "all_null", F.coalesce(F.col("all_null"), F.lit(False))
+    )
 
 
 def reference_histogram(
@@ -54,12 +75,19 @@ def reference_histogram(
         x = F.floor(
             F.col(value_col).cast("double") / F.lit(float(bucket_width))
         ).cast("long")
-    return (
+    h = (
         docs.select(x.alias("x"))
         .filter(F.col("x").isNotNull())
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    if bucket_width is not None:
+        # bind the width INTO the artifact: a persisted reference built
+        # at one width compared against batches bucketed at another
+        # would silently match nothing (raw values vs bucket ids) —
+        # batch_ks_stat reads the column and refuses a mismatch
+        h = h.withColumn("bucket_width", F.lit(float(bucket_width)))
+    return h
 
 
 def batch_ks_stat(
@@ -81,9 +109,27 @@ def batch_ks_stat(
     """
     from etl_weather_spark.operators.ks import ks_from_histograms
 
+    if "bucket_width" in ref_hist.columns:
+        widths = [
+            r.bucket_width
+            for r in ref_hist.select("bucket_width").distinct().collect()
+        ]
+        ref_width = widths[0] if widths else None
+        if (
+            bucket_width is not None
+            and ref_width is not None
+            and float(bucket_width) != float(ref_width)
+        ):
+            raise ValueError(
+                f"reference histogram was built with bucket_width="
+                f"{ref_width}, monitor configured with {bucket_width} — "
+                "the comparison would silently match nothing"
+            )
+        bucket_width = ref_width if ref_width is not None else bucket_width
+        ref_hist = ref_hist.drop("bucket_width")
     bh = reference_histogram(
         batch, value_col=value_col, bucket_width=bucket_width
-    )
+    ).drop("bucket_width")
     ks = ks_from_histograms(ref_hist, bh, threshold=threshold)
     return ks.select(
         F.col("n_b").alias("n_rows"),
@@ -118,12 +164,16 @@ def process_drift_batch(
     # histogram mass (n_rows=0, ks_stat6=NULL) — exactly the
     # upstream-schema-break drift this monitor exists to catch, so it
     # must surface as an explicit all_null alarm row, never a
-    # float(None) crash that kills the streaming query.
-    all_null = int(row.n_rows) == 0
+    # float(None) crash that kills the streaming query. n_rows itself
+    # is NULL (not 0) when BOTH histograms are empty — an all-NULL
+    # reference corpus meeting an all-NULL batch gives ks_from_
+    # histograms an empty join, whose group-less agg max() returns one
+    # all-NULL row — so the guard must tolerate None too.
+    all_null = int(row.n_rows or 0) == 0
     out = spark.createDataFrame(
         [(
             int(batch_id),
-            int(row.n_rows),
+            int(row.n_rows or 0),
             None if all_null else float(row.ks_stat6),
             bool(row.drifted),
             all_null,

@@ -98,3 +98,45 @@ def test_funnel_v3_refits_diverge_from_v2_exactly_at_fitted_gates(spark, sf_dir)
     assert any(v2[s] != v3[s] for s in (5, 6, 7)), (
         "refitting must move at least one fitted-gate boundary"
     )
+
+
+def test_lsh_recall_core_zero_exact_pairs_yields_null_recall(spark):
+    """Round-7 review repro: a corpus where banding produces a
+    candidate but NO pair reaches exact Jaccard >= 0.5 (reachable in
+    the 25% sampled audit, where true pairs decimate quadratically).
+    recall4 must be NULL — not a Spark NaN (or ANSI divide-by-zero)
+    diverging from DuckDB's 0/0 -> NULL."""
+    import math
+
+    from etl_weather_spark import queries as q
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    mod = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+           "juliet kilo lima mike z0w0 z0w1 z0w2 z0w3 z0w4 z0w5 z0w6")
+    df = spark.createDataFrame(
+        [(1, base), (2, mod)], "doc_id long, text string"
+    )
+    rows = q._lsh_recall_core(df).collect()
+    assert rows, "the pinned pair must band-collide"
+    for r in rows:
+        assert r.n_exact_total == 0
+        assert r.recall4 is None or not math.isnan(r.recall4)
+        assert r.recall4 is None  # NULL, matching DuckDB 0/0
+
+
+def test_funnel_gate_table_is_single_source(spark):
+    """Round-7 review: the gate chain lives in ONE table consumed by
+    all four funnel surfaces; the v2 and v3 oracles must list the same
+    stages in the same order."""
+    import re
+
+    from etl_weather_spark import queries as q
+
+    names = [n for n, *_ in q._FUNNEL_GATES]
+    v2 = q._ORACLES["corpus_prep_funnel_v2"]
+    v3 = q._ORACLES["corpus_prep_funnel_v3"]
+    for oracle in (v2, v3):
+        stages = re.findall(r"'(\w+)' AS stage_name", oracle)
+        assert stages == ["all_docs"] + names

@@ -183,3 +183,55 @@ def test_monitor_bucket_width_end_to_end(spark):
     )
     bad = batch_ks_stat(shifted, ref, bucket_width=500.0).collect()[0]
     assert bad.ks_stat6 == 1.0 and bad.drifted is True
+
+
+def test_all_null_reference_meets_all_null_batch_no_crash(spark, tmp_path):
+    """Round-7 review: an all-NULL reference corpus yields an EMPTY
+    reference histogram; an all-NULL batch then makes the KS join
+    empty and n_rows comes back NULL (not 0) — int(None) must not
+    kill the stream."""
+    ref = reference_histogram(_docs(spark, [(i, None) for i in range(5)]))
+    batch = _docs(spark, [(i, None) for i in range(5)])
+    stats = str(tmp_path / "stats")
+    process_drift_batch(batch, 2, ref_hist=ref, stats_dir=stats)
+    r = spark.read.parquet(stats).collect()[0]
+    assert r.n_rows == 0 and r.ks_stat6 is None and r.all_null is True
+
+
+def test_bucket_width_is_bound_to_the_reference_artifact(spark):
+    """Round-7 review: the width rides IN the histogram artifact; a
+    monitor configured with a different width must refuse instead of
+    silently comparing raw values against bucket ids."""
+    import pytest
+
+    df = _docs(spark, [(i, 1000 + i) for i in range(50)])
+    ref = reference_histogram(df, bucket_width=100.0)
+    assert "bucket_width" in ref.columns
+    # adopted automatically when the monitor passes no width
+    ok = batch_ks_stat(df, ref).collect()[0]
+    assert ok.ks_stat6 == 0.0 and ok.drifted is False
+    # explicit mismatch refuses loudly
+    with pytest.raises(ValueError, match="bucket_width"):
+        batch_ks_stat(df, ref, bucket_width=500.0).collect()
+
+
+def test_read_drift_stats_merges_pre_upgrade_schema(spark, tmp_path):
+    """Round-7 review: pre-upgrade batch partitions lack all_null; the
+    reader must union schemas and surface old rows as all_null=false."""
+    from etl_weather_spark.streaming.drift_monitor import read_drift_stats
+
+    stats = tmp_path / "stats"
+    # old-schema partition (pre-round-7: four columns)
+    spark.createDataFrame(
+        [(0, 10, 0.05, False)],
+        "batch_id long, n_rows long, ks_stat6 double, drifted boolean",
+    ).coalesce(1).write.parquet(str(stats / "batch_id=0"))
+    # new-schema partition via the current writer
+    ref = reference_histogram(_docs(spark, [(i, 100) for i in range(10)]))
+    process_drift_batch(
+        _docs(spark, [(i, 100) for i in range(10)]), 1,
+        ref_hist=ref, stats_dir=str(stats),
+    )
+    out = {r.batch_id: r for r in read_drift_stats(spark, str(stats)).collect()}
+    assert out[0].all_null is False  # old row, column backfilled
+    assert out[1].all_null is False and out[1].ks_stat6 == 0.0
