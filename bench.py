@@ -202,6 +202,17 @@ HEADLINE = [
     "gopher_quality_gate",
     "lsh_recall_audit_sampled",
     "corpus_prep_funnel_v3",
+    # round-7 wave 2: temperature/domain reweighting, truncation and
+    # governance audits, proximity retrieval, RRF ensemble, banding
+    # s-curve calibration, exact histogram percentiles
+    "lang_temperature_sampling",
+    "domain_mixture_reweight",
+    "matryoshka_truncation_audit",
+    "l_diversity_audit",
+    "proximity_search_topk",
+    "quality_ensemble_rank",
+    "lsh_scurve_calibration",
+    "length_percentiles_by_source",
 ]
 
 

@@ -14078,3 +14078,183 @@ def quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def _scurve_oracle() -> str:
+    """Sampled-corpus s-curve calibration oracle: naive exact pairs
+    (completeness proof for the prefix-filtered Spark generator, the
+    containment_pairs discipline) + md5 banding capture + the
+    closed-form capture probability, bucket-rolled."""
+    shingles = _SHINGLE_SQL.replace("FROM documents", "FROM sdocs")
+    return f"""
+WITH sdocs AS MATERIALIZED
+  (SELECT * FROM documents WHERE {_DOC_SAMPLE_SQL}),
+{shingles},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b,
+         FLOOR((ni * 1.0 / (sa.n + sb.n - ni)) * 10000 + 0.5) / 10000 AS s4
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.3
+),
+sig AS (
+  SELECT doc_id,
+{_MINHASH_SIG_SQL}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *, s0 || '#' || s1 AS b0, s2 || '#' || s3 AS b1,
+            s4 || '#' || s5 AS b2, s6 || '#' || s7 AS b3
+  FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+),
+flag AS (
+  SELECT e.s4, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS cap
+  FROM exact e LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+),
+py AS (
+  SELECT CAST(FLOOR(s4 * 20) AS BIGINT) AS bucket, cap,
+         FLOOR((1 - (1 - s4 * s4) * (1 - s4 * s4) * (1 - s4 * s4)
+                    * (1 - s4 * s4)) * 1000000 + 0.5) / 1000000 AS p6
+  FROM flag
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(cap) AS BIGINT) AS n_captured,
+       FLOOR((SUM(cap) * 1.0 / COUNT(*)) * 10000 + 0.5) / 10000
+         AS capture_rate4,
+       FLOOR(({sql_dsum('p6', 6)} / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS p_theory6
+FROM py GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("lsh_scurve_calibration", _scurve_oracle())
+def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDING S-CURVE calibration (the Mining-of-Massive-Datasets
+    capture-probability curve, measured): for every exact pair with
+    trigram Jaccard ≥ 0.3 on the deterministic 25% sample, whether the
+    b=4, r=2 MinHash banding actually produced it as a candidate,
+    rolled up per 0.05 similarity bucket against the closed-form
+    capture probability P(s) = 1 − (1 − s²)⁴ — the table that decides
+    whether the banding parameters match the dedup threshold before a
+    full-corpus run trusts them (the analytical companion to
+    lsh_recall_audit's empirical recall).
+
+    Determinism: s quantizes to 4 dp before the polynomial, the
+    polynomial is a fixed left-associated multiplication chain (no
+    pow() — integer exponents only), bucket ids are integers, and the
+    per-bucket mean uses decimal accumulation.
+
+    Scale: both generators are the bucketed/prefix-filtered paths over
+    the bounded sample; the capture join moves (id, id) pairs; output
+    is ≤ 20 buckets.
+    """
+    from etl_weather_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        prefix_filter_candidates,
+        verify_candidates_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.expr(_DOC_SAMPLE_SQL))
+    cand0 = prefix_filter_candidates(docs, shingle_n=3, min_jaccard=0.3)
+    exact = verify_candidates_jaccard(
+        docs, cand0, shingle_n=3, min_jaccard=0.3
+    ).select("id_a", "id_b", rnd("jaccard", 4).alias("s4"))
+    appr = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, hash_family="md5"
+    ).select("id_a", "id_b", F.lit(1).alias("cap"))
+    flag = exact.join(appr, ["id_a", "id_b"], "left").select(
+        "s4", F.coalesce(F.col("cap"), F.lit(0)).alias("cap")
+    )
+    s4 = F.col("s4")
+    y = F.lit(1) - s4 * s4
+    p6 = rnd(F.lit(1) - y * y * y * y, 6)
+    py = flag.select(
+        F.floor(s4 * 20).cast("long").alias("bucket"),
+        "cap",
+        p6.alias("p6"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        py.groupBy("bucket")
+        .agg(
+            n.cast("long").alias("n_pairs"),
+            F.sum("cap").cast("long").alias("n_captured"),
+            rnd(F.sum("cap") * 1.0 / n, 4).alias("capture_rate4"),
+            rnd(dsum("p6", 6) / n, 6).alias("p_theory6"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "length_percentiles_by_source",
+    """
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+h AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT source, x, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY x) AS cc,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM h
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MIN(CASE WHEN cc * 100 >= 50 * n THEN x END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN cc * 100 >= 90 * n THEN x END) AS BIGINT) AS p90,
+       CAST(MIN(CASE WHEN cc * 100 >= 99 * n THEN x END) AS BIGINT) AS p99
+FROM cum GROUP BY source ORDER BY source
+""",
+)
+def length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source length percentiles (p50/p90/p99, nearest-rank:
+    smallest x with cum·100 ≥ q·n — pure integer comparison) computed
+    from quantized histograms, generalizing mad_outlier_docs' median
+    trick: cumulative windows run over the distinct-VALUE relation per
+    source, never a per-source row sort — exact percentiles at 100 TB
+    where percentile_approx trades accuracy and exact percentile aggs
+    buffer whole groups.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("source", F.col("n_chars").cast("long").alias("x"))
+    h = d.groupBy("source", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wc = Window.partitionBy("source").orderBy("x")
+    wn = Window.partitionBy("source")
+    cum = h.select(
+        "source",
+        "x",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+
+    def pct(q: int) -> Column:
+        return (
+            F.min(F.when(F.col("cc") * 100 >= q * F.col("n"), F.col("x")))
+            .cast("long")
+            .alias(f"p{q}")
+        )
+
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            pct(50),
+            pct(90),
+            pct(99),
+        )
+        .orderBy("source")
+    )

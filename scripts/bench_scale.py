@@ -143,6 +143,8 @@ OPS = [
     "l_diversity_audit",
     "proximity_search_topk",
     "quality_ensemble_rank",
+    "lsh_scurve_calibration",
+    "length_percentiles_by_source",
 ]
 
 
