@@ -213,6 +213,10 @@ HEADLINE = [
     "quality_ensemble_rank",
     "lsh_scurve_calibration",
     "length_percentiles_by_source",
+    # decontamination screens cross-tabulated (both registered legs
+    # reused verbatim; the semantic-only cell quantifies paraphrase
+    # leakage the shingle screen structurally misses)
+    "decontamination_method_agreement",
 ]
 
 

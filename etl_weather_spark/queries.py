@@ -14258,3 +14258,85 @@ def length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _decon_agreement_oracle() -> str:
+    """Embed BOTH registered decontamination oracles verbatim (the
+    funnel embedding discipline) and cross-tabulate their verdicts."""
+    return f"""
+WITH shingle_hits AS (
+  SELECT doc_id FROM ({_ORACLES["decontaminate_overlap"]}
+  )
+),
+semantic AS (
+  SELECT vec_id AS doc_id, contaminated FROM ({_ORACLES["semantic_decontaminate"]}
+  )
+),
+base AS (
+  SELECT d.doc_id,
+         (sh.doc_id IS NOT NULL) AS shingle_hit,
+         s.contaminated AS semantic_hit
+  FROM documents d
+  JOIN semantic s ON s.doc_id = d.doc_id
+  LEFT JOIN shingle_hits sh ON sh.doc_id = d.doc_id
+  WHERE d.doc_id % 50 <> 0
+)
+SELECT shingle_hit, semantic_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_ids,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM base GROUP BY shingle_hit, semantic_hit
+ORDER BY shingle_hit, semantic_hit
+"""
+
+
+@query("decontamination_method_agreement", _decon_agreement_oracle())
+def decontamination_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """METHOD-AGREEMENT audit for the two decontamination screens —
+    the report a release review actually reads: the 2×2 cross-tab of
+    the verbatim 5-gram shingle screen against the embedding-cosine
+    screen over the training ids both can judge (ids with a vector;
+    the synthetic tables share one id space). shingle-only = verbatim
+    overlap whose embedding drifted; semantic-only = the paraphrased
+    leakage the shingle screen structurally misses — the cell whose
+    size justifies running both, quantified instead of asserted.
+    An id checksum per cell verifies the SETS, not just their sizes.
+
+    Both legs are the REGISTERED queries, reused verbatim; the oracle
+    embeds both registered oracles, so the cross-tab cannot drift from
+    the standalone screens.
+
+    Scale: each leg is its own documented bounded plan (broadcast
+    benchmark shingles; capped eval-vector broadcast); the cross-tab
+    moves only (id, flag) rows and outputs ≤4 cells.
+    """
+    sh = (
+        decontaminate_overlap(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("shingle_hit", F.lit(True))
+    )
+    se = semantic_decontaminate(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("contaminated").alias("semantic_hit"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 50 != 0
+    )
+    base = (
+        docs.join(se, "doc_id")
+        .join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("shingle_hit", F.lit(False)).alias("shingle_hit"),
+            "semantic_hit",
+        )
+    )
+    return (
+        base.groupBy("shingle_hit", "semantic_hit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ids"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("shingle_hit", "semantic_hit")
+    )

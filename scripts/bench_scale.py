@@ -145,6 +145,7 @@ OPS = [
     "quality_ensemble_rank",
     "lsh_scurve_calibration",
     "length_percentiles_by_source",
+    "decontamination_method_agreement",
 ]
 
 
