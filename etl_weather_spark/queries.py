@@ -1075,6 +1075,20 @@ _MINHASH_MATCH_SQL = " + ".join(
     f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(8)
 )
 
+#: the b=4, r=2 band layout and its bucket-collision predicate — ONE
+#: definition shared by every oracle that replays the md5 banding
+#: generator (minhash_lsh, lsh_recall_audit and, via embedding, the
+#: sampled audit, plus lsh_scurve_calibration), so a band-layout change
+#: cannot desynchronize an oracle from the generator it proves
+_MINHASH_BANDED_SQL = """banded AS (
+  SELECT *, s0 || '#' || s1 AS b0, s2 || '#' || s3 AS b1,
+            s4 || '#' || s5 AS b2, s6 || '#' || s7 AS b3
+  FROM sig
+)"""
+_MINHASH_BAND_JOIN_SQL = (
+    "(a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)"
+)
+
 
 @query(
     "minhash_lsh",
@@ -1085,16 +1099,12 @@ sig AS (
 {_MINHASH_SIG_SQL}
   FROM sh GROUP BY doc_id
 ),
-banded AS (
-  SELECT *, s0 || '#' || s1 AS b0, s2 || '#' || s3 AS b1,
-            s4 || '#' || s5 AS b2, s6 || '#' || s7 AS b3
-  FROM sig
-)
+{_MINHASH_BANDED_SQL}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ({_MINHASH_MATCH_SQL}) / 8.0 AS est_jaccard
 FROM banded a JOIN banded b
   ON a.doc_id < b.doc_id
- AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+ AND {_MINHASH_BAND_JOIN_SQL}
 """,
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12368,7 +12378,8 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mad_outlier_docs",
     """
-WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+           FROM documents WHERE n_chars IS NOT NULL),
 hist AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
 cum AS (
   SELECT source, x, c,
@@ -12416,27 +12427,43 @@ def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mad_outlier_core(load(spark, sf_dir, "documents"))
 
 
+def _source_value_cum(df: DataFrame, val: str) -> DataFrame:
+    """(source, val, cc, n): per-source cumulative value histogram —
+    the ONE median/percentile machinery shared by mad_outlier_docs and
+    length_percentiles_by_source. Windows run over the distinct-VALUE
+    relation only. NULL values carry no mass (filtered here and by
+    IS NOT NULL in the SQL twins): Spark's window orderBy sorts NULLs
+    FIRST while DuckDB's ORDER BY sorts them LAST, so an unfiltered
+    NULL would shift every cumulative count by one rank cross-engine.
+    """
+    hist = (
+        df.filter(F.col(val).isNotNull())
+        .groupBy("source", val)
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wc = Window.partitionBy("source").orderBy(val)
+    wn = Window.partitionBy("source")
+    return hist.select(
+        "source",
+        F.col(val),
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+
+
 def _mad_outlier_core(docs: DataFrame) -> DataFrame:
     """mad_outlier_docs on an arbitrary documents relation — the
     median/MAD statistics re-fit on whatever corpus is passed in."""
+    # a doc without a length cannot be length-gated: NULL x rows are
+    # excluded entirely (both engines), not passed through as NULL z
     d = docs.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("x")
-    )
+    ).filter(F.col("x").isNotNull())
 
     def hist_median(df: DataFrame, val: str, out: str) -> DataFrame:
-        hist = df.groupBy("source", val).agg(
-            F.count(F.lit(1)).cast("long").alias("c")
-        )
-        wc = Window.partitionBy("source").orderBy(val)
-        wn = Window.partitionBy("source")
-        cum = hist.select(
-            "source",
-            F.col(val),
-            F.sum("c").over(wc).alias("cc"),
-            F.sum("c").over(wn).alias("n"),
-        )
         return (
-            cum.filter(2 * F.col("cc") >= F.col("n"))
+            _source_value_cum(df, val)
+            .filter(2 * F.col("cc") >= F.col("n"))
             .groupBy("source")
             .agg(F.min(val).alias(out))
         )
@@ -12486,17 +12513,13 @@ sig AS (
 {_MINHASH_SIG_SQL}
   FROM sh GROUP BY doc_id
 ),
-banded AS (
-  SELECT *, s0 || '#' || s1 AS b0, s2 || '#' || s3 AS b1,
-            s4 || '#' || s5 AS b2, s6 || '#' || s7 AS b3
-  FROM sig
-),
+{_MINHASH_BANDED_SQL},
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          ({_MINHASH_MATCH_SQL}) / 8.0 AS est_jaccard
   FROM banded a JOIN banded b
     ON a.doc_id < b.doc_id
-   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+   AND {_MINHASH_BAND_JOIN_SQL}
 ),
 flagged AS (
   SELECT c.est_jaccard,
@@ -14109,16 +14132,12 @@ sig AS (
 {_MINHASH_SIG_SQL}
   FROM sh GROUP BY doc_id
 ),
-banded AS (
-  SELECT *, s0 || '#' || s1 AS b0, s2 || '#' || s3 AS b1,
-            s4 || '#' || s5 AS b2, s6 || '#' || s7 AS b3
-  FROM sig
-),
+{_MINHASH_BANDED_SQL},
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.doc_id < b.doc_id
-   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+   AND {_MINHASH_BAND_JOIN_SQL}
 ),
 flag AS (
   SELECT e.s4, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS cap
@@ -14203,7 +14222,8 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "length_percentiles_by_source",
     """
-WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+           FROM documents WHERE n_chars IS NOT NULL),
 h AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
 cum AS (
   SELECT source, x, c,
@@ -14229,17 +14249,7 @@ def length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     d = docs.select("source", F.col("n_chars").cast("long").alias("x"))
-    h = d.groupBy("source", "x").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    wc = Window.partitionBy("source").orderBy("x")
-    wn = Window.partitionBy("source")
-    cum = h.select(
-        "source",
-        "x",
-        F.sum("c").over(wc).alias("cc"),
-        F.sum("c").over(wn).alias("n"),
-    )
+    cum = _source_value_cum(d, "x")
 
     def pct(q: int) -> Column:
         return (
