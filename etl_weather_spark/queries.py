@@ -14350,3 +14350,343 @@ def decontamination_method_agreement(
         )
         .orderBy("shingle_hit", "semantic_hit")
     )
+
+
+@query(
+    "psi_drift_audit",
+    """
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) // 50 AS b
+  FROM documents WHERE n_chars IS NOT NULL
+),
+hb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+tb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM hb GROUP BY b),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM hb GROUP BY source),
+dims AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tb) AS nb,
+         (SELECT CAST(SUM(ct) AS BIGINT) FROM tb) AS n_all
+),
+grid AS (
+  SELECT s.source, s.n_src, dm.nb, dm.n_all,
+         COALESCE(h.c, 0) AS c, t.ct - COALESCE(h.c, 0) AS r
+  FROM srcs s CROSS JOIN tb t CROSS JOIN dims dm
+  LEFT JOIN hb h ON h.source = s.source AND h.b = t.b
+),
+terms AS (
+  SELECT source, n_src, nb,
+         ((c + 1.0) / (n_src + nb) - (r + 1.0) / ((n_all - n_src) + nb))
+         * (FLOOR(LN(((c + 1.0) / (n_src + nb))
+                     / ((r + 1.0) / ((n_all - n_src) + nb)))
+                  * 1000000000 + 0.5) / 1000000000) AS term
+  FROM grid
+),
+psi AS (
+  SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_docs,
+         CAST(MAX(nb) AS BIGINT) AS n_buckets,
+         FLOOR((CAST(SUM(CAST(FLOOR(term * 1000000000 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 1000000000) * 1000000 + 0.5) / 1000000
+           AS psi6
+  FROM terms GROUP BY source
+)
+SELECT source, n_docs, n_buckets, psi6,
+       CASE WHEN psi6 < 0.1 THEN 'stable'
+            WHEN psi6 < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS psi_level
+FROM psi ORDER BY source
+""",
+)
+def psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX per source vs the rest of the corpus
+    over the document-length distribution — the second standard drift
+    statistic next to ks_drift_audit (KS reacts to the single worst
+    CDF gap; PSI integrates the whole distribution shift, the metric
+    model-risk teams gate on: <0.1 stable, 0.1–0.25 moderate, >0.25
+    shifted).
+
+    PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i) with p = the source's
+    bucket share and q = the rest-of-corpus share, over fixed-width
+    50-char buckets (bounded BY CONSTRUCTION, the
+    ks_from_histograms(bucket_width) lesson). Laplace smoothing
+    (c+1)/(n+B) keeps empty buckets finite on both sides — exact
+    rational inputs, so both engines divide identical doubles; each
+    ln is 1e9-quantized (the zipf_fit_stats discipline), each term is
+    1e9-quantized into an exact-integer sum, and PSI rounds at 6 dp.
+
+    Scale: one (source, bucket)-keyed partial agg over the corpus;
+    the grid relation is |sources| × |buckets| — both bounded
+    dimensions; no window touches row-grain data.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.filter(F.col("n_chars").isNotNull()).select(
+        "source", F.expr("CAST(n_chars AS BIGINT) div 50").alias("b")
+    )
+    hb = d.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tb = hb.groupBy("b").agg(F.sum("c").cast("long").alias("ct"))
+    srcs = hb.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    dims = tb.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("ct").cast("long").alias("n_all"),
+    )
+    grid = (
+        srcs.crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(dims))
+        .join(hb, ["source", "b"], "left")
+        .select(
+            "source",
+            "n_src",
+            "nb",
+            "n_all",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            (F.col("ct") - F.coalesce("c", F.lit(0))).alias("r"),
+        )
+    )
+    p = (F.col("c") + F.lit(1.0)) / (F.col("n_src") + F.col("nb"))
+    q = (F.col("r") + F.lit(1.0)) / (
+        (F.col("n_all") - F.col("n_src")) + F.col("nb")
+    )
+    term = (p - q) * rnd(F.log(p / q), 9)
+    psi6 = rnd(
+        F.sum(F.floor(term * F.lit(1000000000) + F.lit(0.5)).cast("long")).cast(
+            "double"
+        )
+        / F.lit(1000000000),
+        6,
+    )
+    psi = grid.groupBy("source").agg(
+        F.max("n_src").cast("long").alias("n_docs"),
+        F.max("nb").cast("long").alias("n_buckets"),
+        psi6.alias("psi6"),
+    )
+    return psi.select(
+        "source",
+        "n_docs",
+        "n_buckets",
+        "psi6",
+        F.when(F.col("psi6") < 0.1, F.lit("stable"))
+        .when(F.col("psi6") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted"))
+        .alias("psi_level"),
+    ).orderBy("source")
+
+
+@query(
+    "js_divergence_sources",
+    """
+WITH toks AS (
+  SELECT source, t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+hc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+vc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS qc FROM hc GROUP BY tok),
+srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM hc GROUP BY source),
+tot AS (SELECT CAST(SUM(qc) AS BIGINT) AS n_all FROM vc),
+grid AS (
+  SELECT s.source, s.n_src, t.n_all, v.qc, COALESCE(h.c, 0) AS c
+  FROM srcs s CROSS JOIN vc v CROSS JOIN tot t
+  LEFT JOIN hc h ON h.source = s.source AND h.tok = v.tok
+),
+terms AS (
+  SELECT source, n_src, c,
+         0.5 * (CASE WHEN c > 0 THEN (c * 1.0 / n_src)
+                  * (FLOOR(LN((c * 1.0 / n_src)
+                              / (((c * 1.0 / n_src) + (qc * 1.0 / n_all)) / 2))
+                           * 1000000000 + 0.5) / 1000000000)
+                ELSE 0 END)
+         + 0.5 * ((qc * 1.0 / n_all)
+                  * (FLOOR(LN((qc * 1.0 / n_all)
+                              / (((c * 1.0 / n_src) + (qc * 1.0 / n_all)) / 2))
+                           * 1000000000 + 0.5) / 1000000000)) AS term
+  FROM grid
+)
+SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_src,
+       FLOOR((CAST(SUM(CAST(FLOOR(term * 1000000000 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1000000000) * 1000000 + 0.5) / 1000000 AS jsd6
+FROM terms GROUP BY source ORDER BY source
+""",
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN–SHANNON divergence (nats) between each source's token
+    distribution and the corpus-wide distribution — the data-mixing
+    diagnostic that quantifies how far each source sits from the blend
+    it feeds (DoReMi-style reweighting and mixture dashboards plot
+    exactly this; unlike KL it is finite and symmetric, so a source
+    with exotic vocabulary cannot blow the number up to ∞).
+
+    JSD(p‖q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2, with p the
+    source distribution and q the full-corpus distribution (q > 0 for
+    every token by construction, so no smoothing is needed; p = 0
+    terms contribute only the q side, handled by the CASE). All
+    proportions are exact rationals from integer counts — identical
+    doubles on both engines; each ln is 1e9-quantized, each term
+    1e9-quantized into an exact-integer sum, JSD rounds at 6 dp.
+
+    Scale: the token groupBys are map-side-combinable one-pass aggs;
+    the grid relation is |sources| × |vocab| — sources is a bounded
+    dimension and vocab is the corpus's distinct-token space (the
+    zipf_fit_stats argument), keyed on token, never row-grain.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vc = hc.groupBy("tok").agg(F.sum("c").cast("long").alias("qc"))
+    srcs = hc.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    tot = vc.agg(F.sum("qc").cast("long").alias("n_all"))
+    grid = (
+        srcs.crossJoin(vc)
+        .crossJoin(F.broadcast(tot))
+        .join(hc, ["source", "tok"], "left")
+        .select(
+            "source",
+            "n_src",
+            "n_all",
+            "qc",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    p = F.col("c") * F.lit(1.0) / F.col("n_src")
+    q = F.col("qc") * F.lit(1.0) / F.col("n_all")
+    m = (p + q) / F.lit(2)
+    term = F.lit(0.5) * F.when(
+        F.col("c") > 0, p * rnd(F.log(p / m), 9)
+    ).otherwise(F.lit(0)) + F.lit(0.5) * (q * rnd(F.log(q / m), 9))
+    jsd6 = rnd(
+        F.sum(F.floor(term * F.lit(1000000000) + F.lit(0.5)).cast("long")).cast(
+            "double"
+        )
+        / F.lit(1000000000),
+        6,
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_src"),
+            jsd6.alias("jsd6"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_outlier_knn",
+    f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ref AS (
+  SELECT vec_id AS ref_id, v AS rv FROM e ORDER BY vec_id LIMIT 256
+),
+scored AS (
+  SELECT e.vec_id, e.label, r.ref_id,
+         FLOOR((1 - list_dot_product(e.v, r.rv)
+                / (GREATEST(sqrt(list_dot_product(e.v, e.v)), 1e-12)
+                   * GREATEST(sqrt(list_dot_product(r.rv, r.rv)), 1e-12)))
+               * 1000000 + 0.5) / 1000000 AS dist6
+  FROM e CROSS JOIN ref r WHERE r.ref_id <> e.vec_id
+),
+knn AS (
+  SELECT vec_id, label, dist6,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY dist6 ASC, ref_id ASC) AS rn
+  FROM scored
+),
+sc AS (
+  SELECT vec_id, MAX(label) AS label,
+         FLOOR(({sql_dsum('dist6', 6)} / 5) * 1000000 + 0.5) / 1000000
+           AS knn_dist6
+  FROM knn WHERE rn <= 5 GROUP BY vec_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, label, knn_dist6 FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY knn_dist6 DESC, vec_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 20
+ORDER BY rank
+""",
+)
+def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-DISTANCE embedding outlier detection: each vector's mean
+    cosine distance to its 5 nearest neighbors among a BOUNDED
+    reference sample (the 256 lowest vec_ids), reported as the top-20
+    most isolated vectors — the screen that catches corrupted
+    embeddings, mislabeled modality rows, and out-of-domain strays
+    before they seed ANN index cells or semantic-dedup blocks.
+
+    The reference side is hard-capped at 256 ids (the
+    semantic_decontaminate / knn_label_spread seed lesson: a mod-slice
+    that grows with the corpus turns the broadcast scan quadratic);
+    sub-sampled kNN distance is the standard linear-time estimator of
+    the exact kNN outlier score. Distances quantize at 6 dp, the
+    5-neighbor mean uses decimal accumulation, and the per-vector
+    window orders ≤256 rows.
+
+    Scale: one pass over the corpus with 256 broadcast dots per row
+    (map-side); the final top-20 is the salted two-level
+    topk_per_group, so no global sort ever materializes.
+    """
+    from etl_weather_spark.operators.similarity import (
+        as_double_array,
+        dot,
+        topk_per_group,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    ref = (
+        e.orderBy("vec_id")
+        .limit(256)
+        .select(F.col("vec_id").alias("ref_id"), F.col("v").alias("rv"))
+    )
+    dist6 = rnd(
+        F.lit(1)
+        - dot(F.col("v"), F.col("rv"))
+        / (
+            F.greatest(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12))
+            * F.greatest(F.sqrt(dot(F.col("rv"), F.col("rv"))), F.lit(1e-12))
+        ),
+        6,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(ref))
+        .filter(F.col("ref_id") != F.col("vec_id"))
+        .select("vec_id", "label", "ref_id", dist6.alias("dist6"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist6").asc(), F.col("ref_id").asc()
+    )
+    sc = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("vec_id")
+        .agg(
+            F.max("label").alias("label"),
+            rnd(dsum("dist6", 6) / F.lit(5), 6).alias("knn_dist6"),
+        )
+    )
+    return (
+        topk_per_group(
+            sc.withColumn("__g", F.lit(1)),
+            group_col="__g",
+            k=20,
+            sim_col="knn_dist6",
+            tie_col="vec_id",
+        )
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            "label",
+            "knn_dist6",
+        )
+        .orderBy("rank")
+    )
