@@ -14690,3 +14690,489 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+#: seeded multilingual tails for the script-mixture audit (the PII /
+#: URL seeding pattern: the synthetic corpus is ASCII, so non-Latin
+#: runs are planted in-plan by the SAME CASE in both engines). All
+#: characters are single-code-point BMP (grapheme == code point, so
+#: Spark's code-point length and DuckDB's grapheme length agree).
+_SCRIPT_SEED_SQL = """CASE
+  WHEN doc_id % 89 = 9 THEN 'привет мир это полный кириллический документ'
+  WHEN doc_id % 101 = 11 THEN '你好世界这是一个完整的中文文档'
+  WHEN doc_id % 7 = 3 THEN text || ' привет мир сюда'
+  WHEN doc_id % 11 = 5 THEN text || ' 你好世界'
+  WHEN doc_id % 13 = 2 THEN text || ' αβγ δελτα'
+  ELSE text END"""
+
+
+@query(
+    "script_mixture_audit",
+    f"""
+WITH seeded AS (
+  SELECT doc_id, source, {_SCRIPT_SEED_SQL} AS s FROM documents
+),
+counted AS (
+  SELECT doc_id, source,
+    length(s) - length(regexp_replace(s, '[a-zA-Z]', '', 'g')) AS n_latin,
+    length(s) - length(regexp_replace(s, '[\\x{{0400}}-\\x{{04FF}}]', '', 'g'))
+      AS n_cyrillic,
+    length(s) - length(regexp_replace(s, '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))
+      AS n_cjk,
+    length(s) - length(regexp_replace(s, '[\\x{{0370}}-\\x{{03FF}}]', '', 'g'))
+      AS n_greek
+  FROM seeded
+),
+flagged AS (
+  SELECT doc_id,
+    CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+              AND n_latin >= n_greek THEN 'latin'
+         WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_greek THEN 'cyrillic'
+         WHEN n_cjk >= n_greek THEN 'cjk'
+         ELSE 'greek' END AS dominant_script,
+    (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+     + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
+     + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END
+     + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END) >= 2 AS mixed_script,
+    n_latin, n_cyrillic, n_cjk, n_greek
+  FROM counted
+)
+SELECT dominant_script, mixed_script,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_latin) AS BIGINT) AS latin_chars,
+       CAST(SUM(n_cyrillic) AS BIGINT) AS cyrillic_chars,
+       CAST(SUM(n_cjk) AS BIGINT) AS cjk_chars,
+       CAST(SUM(n_greek) AS BIGINT) AS greek_chars
+FROM flagged
+GROUP BY dominant_script, mixed_script
+ORDER BY dominant_script, mixed_script
+""",
+)
+def script_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE-SCRIPT mixture audit: per-document character counts by
+    script range (Latin, Cyrillic, CJK, Greek — explicit code-point
+    ranges, engine-portable in both Java regex and RE2), a dominant
+    script per document with a fixed tie-break order, and a
+    mixed-script flag — the classic spam/SEO-keyword-stuffing signal
+    (a 'mostly-Latin page with embedded CJK runs' is the single
+    highest-precision web-spam feature in the CCNet/FineWeb lineage)
+    and the pre-langid routing check for multilingual corpora.
+
+    The corpus is ASCII-synthetic, so non-Latin runs are SEEDED
+    in-plan by an identical CASE on both engines (the pii_scrub /
+    url_normalize discipline); all seeds are single-code-point BMP
+    characters so Spark's code-point length and DuckDB's grapheme
+    length count identically (probed both engines). Counts are pure
+    integer projections; the rollup carries an id checksum so cell
+    MEMBERSHIP is verified, not just sizes.
+
+    Scale: per-row regex counting inside whole-stage codegen, one
+    (dominant, mixed)-keyed partial agg; output ≤ 8 cells.
+    """
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id", "source", F.expr(_SCRIPT_SEED_SQL).alias("s")
+    )
+
+    def cnt(pat: str):
+        return F.length("s") - F.length(F.regexp_replace("s", pat, ""))
+
+    counted = seeded.select(
+        "doc_id",
+        cnt("[a-zA-Z]").alias("n_latin"),
+        cnt(r"[\x{0400}-\x{04FF}]").alias("n_cyrillic"),
+        cnt(r"[\x{4E00}-\x{9FFF}]").alias("n_cjk"),
+        cnt(r"[\x{0370}-\x{03FF}]").alias("n_greek"),
+    )
+    dom = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_cyrillic"))
+            & (F.col("n_latin") >= F.col("n_cjk"))
+            & (F.col("n_latin") >= F.col("n_greek")),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("n_cyrillic") >= F.col("n_cjk"))
+            & (F.col("n_cyrillic") >= F.col("n_greek")),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("n_cjk") >= F.col("n_greek"), F.lit("cjk"))
+        .otherwise(F.lit("greek"))
+    )
+    nz = lambda c: F.when(F.col(c) > 0, 1).otherwise(0)  # noqa: E731
+    flagged = counted.select(
+        "doc_id",
+        dom.alias("dominant_script"),
+        (
+            (nz("n_latin") + nz("n_cyrillic") + nz("n_cjk") + nz("n_greek"))
+            >= 2
+        ).alias("mixed_script"),
+        "n_latin",
+        "n_cyrillic",
+        "n_cjk",
+        "n_greek",
+    )
+    return (
+        flagged.groupBy("dominant_script", "mixed_script")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_latin").cast("long").alias("latin_chars"),
+            F.sum("n_cyrillic").cast("long").alias("cyrillic_chars"),
+            F.sum("n_cjk").cast("long").alias("cjk_chars"),
+            F.sum("n_greek").cast("long").alias("greek_chars"),
+        )
+        .orderBy("dominant_script", "mixed_script")
+    )
+
+
+@query(
+    "c4_line_filters",
+    """
+WITH dt AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+ln0 AS (
+  SELECT doc_id, source, t,
+         UNNEST(generate_series(0,
+                CAST(FLOOR((len(t) + 11) / 12) AS INT) - 1)) AS line_id
+  FROM dt
+),
+ln1 AS (
+  SELECT doc_id, source, line_id,
+         array_to_string(
+           list_slice(t, line_id * 12 + 1, line_id * 12 + 12), ' ') AS base
+  FROM ln0
+),
+ln2 AS (
+  SELECT doc_id, source, line_id,
+         CASE WHEN doc_id % 97 = 13 AND line_id = 0
+                THEN 'lorem ipsum ' || base
+              WHEN doc_id % 13 = 4 AND line_id = 0
+                THEN 'javascript ' || base
+              WHEN doc_id % 41 = 7 AND line_id = 1 THEN base || ' {'
+              ELSE base END AS base2
+  FROM ln1
+),
+lines AS (
+  SELECT doc_id, source,
+         CASE WHEN (doc_id + line_id) % 3 <> 0 THEN base2 || '.'
+              ELSE base2 END AS line
+  FROM ln2
+),
+judged AS (
+  SELECT doc_id, source, line,
+         CASE WHEN contains(line, 'javascript') THEN 'js'
+              WHEN contains(line, '{') THEN 'brace'
+              WHEN len(string_split(line, ' ')) < 5 THEN 'short'
+              WHEN right(line, 1) NOT IN ('.', '!', '?') THEN 'no_punct'
+              ELSE 'kept' END AS verdict
+  FROM lines
+),
+perdoc AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+           AS lines_kept,
+         CAST(SUM(CASE WHEN verdict = 'js' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_js,
+         CAST(SUM(CASE WHEN verdict = 'brace' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_brace,
+         CAST(SUM(CASE WHEN verdict = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short,
+         CAST(SUM(CASE WHEN verdict = 'no_punct' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_no_punct,
+         MAX(CASE WHEN contains(line, 'lorem ipsum') THEN 1 ELSE 0 END)
+           AS has_lorem
+  FROM judged GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lines_kept >= 3 AND has_lorem = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(lines_kept) AS BIGINT) AS lines_kept,
+       CAST(SUM(n_js) AS BIGINT) AS js_lines,
+       CAST(SUM(n_brace) AS BIGINT) AS brace_lines,
+       CAST(SUM(n_short) AS BIGINT) AS short_lines,
+       CAST(SUM(n_no_punct) AS BIGINT) AS no_punct_lines,
+       FLOOR((SUM(lines_kept) * 1.0 / SUM(n_lines)) * 10000 + 0.5) / 10000
+         AS line_keep_rate4
+FROM perdoc GROUP BY source ORDER BY source
+""",
+)
+def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 LINE-LEVEL heuristic filters (Raffel et al. 2020 §2.2 — the
+    half of C4 the pseudo-sentence boilerplate strip doesn't cover):
+    per LINE, keep only lines that end in terminal punctuation, have
+    ≥5 words, and mention neither 'javascript' nor '{'; per DOCUMENT,
+    keep only docs with ≥3 surviving lines and no 'lorem ipsum'.
+    Reported as the per-source funnel (docs/lines kept, drops
+    attributed to the FIRST failing rule in a fixed order — js >
+    brace > short > no_punct — so every dropped line has exactly one
+    reason).
+
+    The corpus has no newlines or punctuation, so lines are rebuilt at
+    a 12-token grain and the trigger features (terminal '.', a
+    'javascript' line, a '{' line, a 'lorem ipsum' doc) are SEEDED by
+    identical deterministic CASEs on both engines (the pii_scrub
+    seeding discipline; the boilerplate_strip line-grain twin).
+
+    Scale: tokenize-once-per-doc feeding the explode (the
+    chunk_documents CollapseProject boundary); everything after is a
+    per-line projection plus two keyed partial aggs; no shuffle
+    carries text beyond the line relation itself.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
+    ).withColumn("_n", F.size("t"))
+    n_lines = F.floor((F.col("_n") + 11) / F.lit(12)).cast("int")
+    ln0 = toks.select(
+        "doc_id",
+        "source",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_id"),
+    )
+    base = F.array_join(
+        F.slice(F.col("t"), F.col("line_id") * 12 + 1, F.lit(12)), " "
+    )
+    ln1 = ln0.select("doc_id", "source", "line_id", base.alias("base"))
+    base2 = (
+        F.when(
+            (F.col("doc_id") % 97 == 13) & (F.col("line_id") == 0),
+            F.concat(F.lit("lorem ipsum "), F.col("base")),
+        )
+        .when(
+            (F.col("doc_id") % 13 == 4) & (F.col("line_id") == 0),
+            F.concat(F.lit("javascript "), F.col("base")),
+        )
+        .when(
+            (F.col("doc_id") % 41 == 7) & (F.col("line_id") == 1),
+            F.concat(F.col("base"), F.lit(" {")),
+        )
+        .otherwise(F.col("base"))
+    )
+    ln2 = ln1.select("doc_id", "source", "line_id", base2.alias("base2"))
+    line = F.when(
+        (F.col("doc_id") + F.col("line_id")) % 3 != 0,
+        F.concat(F.col("base2"), F.lit(".")),
+    ).otherwise(F.col("base2"))
+    lines = ln2.select("doc_id", "source", line.alias("line"))
+    verdict = (
+        F.when(F.col("line").contains("javascript"), F.lit("js"))
+        .when(F.col("line").contains("{"), F.lit("brace"))
+        .when(F.size(F.split("line", " ")) < 5, F.lit("short"))
+        .when(
+            ~F.expr("right(line, 1)").isin(".", "!", "?"), F.lit("no_punct")
+        )
+        .otherwise(F.lit("kept"))
+    )
+    judged = lines.select("doc_id", "source", "line", verdict.alias("verdict"))
+    vc = lambda v: F.sum(  # noqa: E731
+        F.when(F.col("verdict") == v, 1).otherwise(0)
+    ).cast("long")
+    perdoc = judged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        vc("kept").alias("lines_kept"),
+        vc("js").alias("n_js"),
+        vc("brace").alias("n_brace"),
+        vc("short").alias("n_short"),
+        vc("no_punct").alias("n_no_punct"),
+        F.max(
+            F.when(F.col("line").contains("lorem ipsum"), 1).otherwise(0)
+        ).alias("has_lorem"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("lines_kept") >= 3) & (F.col("has_lorem") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_kept"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("lines_kept").cast("long").alias("lines_kept"),
+            F.sum("n_js").cast("long").alias("js_lines"),
+            F.sum("n_brace").cast("long").alias("brace_lines"),
+            F.sum("n_short").cast("long").alias("short_lines"),
+            F.sum("n_no_punct").cast("long").alias("no_punct_lines"),
+            rnd(F.sum("lines_kept") * 1.0 / F.sum("n_lines"), 4).alias(
+                "line_keep_rate4"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "heaps_law_fit",
+    """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+ids AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+dtc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY doc_id),
+ddec AS (
+  SELECT CAST(((d.doc_id - i.mn) * 10) // (i.mx - i.mn + 1) + 1 AS BIGINT)
+           AS dec,
+         CAST(SUM(d.nt) AS BIGINT) AS toks
+  FROM dtc d CROSS JOIN ids i GROUP BY 1
+),
+fdoc AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+vdec AS (
+  SELECT CAST(((f.fd - i.mn) * 10) // (i.mx - i.mn + 1) + 1 AS BIGINT) AS dec,
+         CAST(COUNT(*) AS BIGINT) AS nv
+  FROM fdoc f CROSS JOIN ids i GROUP BY 1
+),
+grid AS (
+  SELECT g.dec,
+         SUM(COALESCE(d.toks, 0)) OVER (ORDER BY g.dec) AS cum_toks,
+         SUM(COALESCE(v.nv, 0)) OVER (ORDER BY g.dec) AS cum_vocab
+  FROM (SELECT UNNEST(generate_series(1, 10)) AS dec) g
+  LEFT JOIN ddec d ON d.dec = g.dec
+  LEFT JOIN vdec v ON v.dec = g.dec
+),
+q AS (
+  SELECT LN(CAST(cum_toks AS DOUBLE)) AS x,
+         LN(CAST(cum_vocab AS DOUBLE)) AS y
+  FROM grid WHERE cum_toks > 0 AND cum_vocab > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 AS sx,
+         CAST(SUM(CAST(FLOOR(y * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 AS sy,
+         CAST(SUM(CAST(FLOOR((x * y) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 AS sxy,
+         CAST(SUM(CAST(FLOOR((x * x) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 AS sxx
+  FROM q
+),
+fit AS (
+  SELECT n, sx, sy,
+         FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
+           / 1000000 AS beta6
+  FROM s
+)
+SELECT (SELECT CAST(SUM(nt) AS BIGINT) FROM dtc) AS tokens_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fdoc) AS vocab_total,
+       n AS n_points, beta6,
+       FLOOR((sy - beta6 * sx) / n * 1000000 + 0.5) / 1000000 AS lnk6
+FROM fit
+""",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW fit of vocabulary growth — V(n) = K·n^β estimated as
+    the log-log least-squares line through (cumulative tokens,
+    cumulative vocabulary) at ten id-space decile checkpoints — the
+    companion diagnostic to zipf_fit_stats every corpus report pairs
+    it with (natural text sits near β ≈ 0.5; a template-generated or
+    heavily-duplicated corpus flattens toward β → 0 because new
+    documents stop introducing new words).
+
+    The checkpoints cut the DOC-ID SPACE into ten integer deciles
+    (pure arithmetic on min/max ids — no row sort, no per-row
+    cumulative): cumulative tokens per decile come from per-doc token
+    counts bucketed by decile, and cumulative vocabulary from each
+    token's FIRST document (min doc_id, one groupBy) bucketed the same
+    way — so 'vocabulary at checkpoint q' is exact first-occurrence
+    counting, computed from two bounded 10-row relations. The
+    regression reuses zipf_fit_stats' 1e9-quantized exact-integer sums
+    and 6-dp slope/intercept; β is the slope, ln K the intercept.
+
+    Scale: two map-side-combinable groupBys (per-doc counts, per-token
+    min) over the token stream; every window runs over ≤10 rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    ids = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    dtc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    ddec = (
+        dtc.crossJoin(F.broadcast(ids))
+        .select(
+            F.expr("((doc_id - mn) * 10) div (mx - mn + 1) + 1")
+            .cast("long")
+            .alias("dec"),
+            "nt",
+        )
+        .groupBy("dec")
+        .agg(F.sum("nt").cast("long").alias("toks"))
+    )
+    fdoc = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    vdec = (
+        fdoc.crossJoin(F.broadcast(ids))
+        .select(
+            F.expr("((fd - mn) * 10) div (mx - mn + 1) + 1")
+            .cast("long")
+            .alias("dec")
+        )
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    g = spark.range(1, 11).select(F.col("id").alias("dec"))
+    w = Window.orderBy("dec")
+    grid = (
+        g.join(ddec, "dec", "left")
+        .join(vdec, "dec", "left")
+        .select(
+            "dec",
+            F.sum(F.coalesce("toks", F.lit(0))).over(w).alias("cum_toks"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    qd = grid.filter((F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0)).select(
+        F.log(F.col("cum_toks").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+
+    def qsum(c, name):
+        return (
+            F.sum(F.floor(c * F.lit(1000000000) + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1000000000)
+        ).alias(name)
+
+    s = qd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        qsum(F.col("x"), "sx"),
+        qsum(F.col("y"), "sy"),
+        qsum(F.col("x") * F.col("y"), "sxy"),
+        qsum(F.col("x") * F.col("x"), "sxx"),
+    )
+    beta6 = rnd(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    fit = s.select("n", "sx", "sy", beta6.alias("beta6"))
+    totals = dtc.agg(F.sum("nt").cast("long").alias("tokens_total")).crossJoin(
+        fdoc.agg(F.count(F.lit(1)).cast("long").alias("vocab_total"))
+    )
+    return fit.crossJoin(F.broadcast(totals)).select(
+        "tokens_total",
+        "vocab_total",
+        F.col("n").alias("n_points"),
+        "beta6",
+        rnd((F.col("sy") - F.col("beta6") * F.col("sx")) / F.col("n"), 6).alias(
+            "lnk6"
+        ),
+    )
