@@ -217,6 +217,16 @@ HEADLINE = [
     # reused verbatim; the semantic-only cell quantifies paraphrase
     # leakage the shingle screen structurally misses)
     "decontamination_method_agreement",
+    # round-7 wave 3: distribution drift (PSI integrates the shift KS
+    # maxes), source-vs-corpus JS divergence, bounded-reference kNN
+    # embedding outliers, script-mixture spam signal, C4 line filters,
+    # Heaps vocabulary-growth fit
+    "psi_drift_audit",
+    "js_divergence_sources",
+    "embedding_outlier_knn",
+    "script_mixture_audit",
+    "c4_line_filters",
+    "heaps_law_fit",
 ]
 
 

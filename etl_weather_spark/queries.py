@@ -14626,12 +14626,18 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     that grows with the corpus turns the broadcast scan quadratic);
     sub-sampled kNN distance is the standard linear-time estimator of
     the exact kNN outlier score. Distances quantize at 6 dp, the
-    5-neighbor mean uses decimal accumulation, and the per-vector
-    window orders ≤256 rows.
+    5-neighbor mean re-derives each distance's exact 1e-6 integer
+    before folding (bit-identical to the oracle's decimal-accumulated
+    mean).
 
-    Scale: one pass over the corpus with 256 broadcast dots per row
-    (map-side); the final top-20 is the salted two-level
-    topk_per_group, so no global sort ever materializes.
+    Scale: the reference sample rides as ONE broadcast array row, so
+    the whole scoring pass is a shuffle-free projection inside
+    whole-stage codegen — per row: 256 array-fold dots, one
+    array_sort of ≤256 structs, a 5-element slice-fold. (The explode
+    + per-vector window form of this plan shuffled N×256 rows and
+    measured 12.7 s at sf0.1; this form is the 100 TB shape.) The
+    final top-20 is the salted two-level topk_per_group, so no global
+    sort ever materializes.
     """
     from etl_weather_spark.operators.similarity import (
         as_double_array,
@@ -14643,35 +14649,62 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
     )
-    ref = (
+    # struct field order (ref_id, rv, rnorm): sort_array makes the
+    # collected order deterministic by ref_id (hygiene only — per-ref
+    # scoring is order-independent)
+    refrow = (
         e.orderBy("vec_id")
         .limit(256)
-        .select(F.col("vec_id").alias("ref_id"), F.col("v").alias("rv"))
+        .select(
+            F.struct(
+                F.col("vec_id").alias("ref_id"),
+                F.col("v").alias("rv"),
+                F.greatest(
+                    F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12)
+                ).alias("rnorm"),
+            ).alias("r")
+        )
+        .agg(F.sort_array(F.collect_list("r")).alias("refs"))
     )
-    dist6 = rnd(
-        F.lit(1)
-        - dot(F.col("v"), F.col("rv"))
-        / (
-            F.greatest(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12))
-            * F.greatest(F.sqrt(dot(F.col("rv"), F.col("rv"))), F.lit(1e-12))
+    nv = F.greatest(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12))
+    top5 = F.slice(
+        F.array_sort(
+            F.transform(
+                F.filter(
+                    F.col("refs"), lambda r: r["ref_id"] != F.col("vec_id")
+                ),
+                lambda r: F.struct(
+                    rnd(
+                        F.lit(1)
+                        - dot(F.col("v"), r["rv"])
+                        / (F.col("nv") * r["rnorm"]),
+                        6,
+                    ).alias("dist6"),
+                    r["ref_id"].alias("ref_id"),
+                ),
+            )
         ),
-        6,
+        1,
+        5,
     )
-    scored = (
-        e.crossJoin(F.broadcast(ref))
-        .filter(F.col("ref_id") != F.col("vec_id"))
-        .select("vec_id", "label", "ref_id", dist6.alias("dist6"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist6").asc(), F.col("ref_id").asc()
+    # exact integer micro-units of each 6-dp distance, then the same
+    # FLOOR chain as the oracle's sql_dsum(...)/5 mean
+    sum_int = F.aggregate(
+        F.col("top5"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x["dist6"] * F.lit(1000000) + F.lit(0.5)).cast("long"),
     )
     sc = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .groupBy("vec_id")
-        .agg(
-            F.max("label").alias("label"),
-            rnd(dsum("dist6", 6) / F.lit(5), 6).alias("knn_dist6"),
+        e.crossJoin(F.broadcast(refrow))
+        .withColumn("nv", nv)
+        .withColumn("top5", top5)
+        .select(
+            "vec_id",
+            "label",
+            rnd((sum_int.cast("double") / F.lit(1000000)) / F.lit(5), 6).alias(
+                "knn_dist6"
+            ),
         )
     )
     return (

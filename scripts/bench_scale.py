@@ -146,6 +146,17 @@ OPS = [
     "lsh_scurve_calibration",
     "length_percentiles_by_source",
     "decontamination_method_agreement",
+    # round-7 wave 2: PSI/JSD drift (bounded bucket/vocab grids over
+    # one-pass keyed aggs), bounded-reference kNN outliers (256
+    # broadcast dots per row), script-mixture + C4 line filters (pure
+    # projections + keyed aggs), Heaps fit (two token-stream groupBys,
+    # 10-row windows)
+    "psi_drift_audit",
+    "js_divergence_sources",
+    "embedding_outlier_knn",
+    "script_mixture_audit",
+    "c4_line_filters",
+    "heaps_law_fit",
 ]
 
 
