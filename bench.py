@@ -227,6 +227,10 @@ HEADLINE = [
     "script_mixture_audit",
     "c4_line_filters",
     "heaps_law_fit",
+    # round-7 wave 4: boilerplate burstiness ranking, content-addressed
+    # output-shard balance audit
+    "token_burstiness_topk",
+    "shard_assignment_stats",
 ]
 
 

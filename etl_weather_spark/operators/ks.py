@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_weather_spark.functions.rounding import rnd
 
-__all__ = ["ks_from_histograms"]
+__all__ = ["ks_from_histograms", "psi_from_histograms"]
 
 
 def _rebucket(h: DataFrame, width: float) -> DataFrame:
@@ -94,4 +94,69 @@ def ks_from_histograms(
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
         (F.max("gap6") > threshold).alias("drifted"),
+    )
+
+
+def psi_from_histograms(
+    ha: DataFrame,
+    hb: DataFrame,
+    *,
+    threshold: float = 0.25,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """One row (psi6, n_a, n_b, shifted) from two (x, c) histograms —
+    the Population Stability Index companion to ks_from_histograms
+    (KS reacts to the single worst CDF gap; PSI integrates the whole
+    shift — the model-risk convention: <0.1 stable, 0.1–0.25
+    moderate, >0.25 shifted, the default threshold).
+
+    PSI = Σ_buckets (p−q)·ln(p/q) over the union of supports, with
+    Laplace smoothing (c+1)/(n+B), B = |union support|, so empty
+    buckets stay finite on both sides. The term is symmetric under
+    side swap, so orientation doesn't matter. Exactly the algebra of
+    queries.psi_drift_audit (asserted equal in tests): proportions
+    are exact rationals, each ln is 1e9-quantized, each term
+    1e9-quantized into an exact-integer sum, PSI rounds at 6 dp —
+    cross-engine and partition-order deterministic.
+
+    ``bucket_width`` re-buckets both sides to floor(x/width) first
+    (the same BY-CONSTRUCTION boundedness contract as
+    ks_from_histograms). Degenerate inputs: an empty side still
+    yields a finite PSI against the smoothed floor; two empty sides
+    yield one all-NULL row (group-less agg) — callers surface that
+    (the streaming monitor writes an all_null alarm row).
+    """
+    if bucket_width is not None:
+        ha = _rebucket(ha, bucket_width)
+        hb = _rebucket(hb, bucket_width)
+    joined = (
+        ha.select("x", F.col("c").alias("ca"))
+        .join(hb.select("x", F.col("c").alias("cb")), "x", "full_outer")
+        .select(
+            "x",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    dims = joined.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    g = joined.crossJoin(F.broadcast(dims))
+    p = (F.col("ca") + F.lit(1.0)) / (F.col("na") + F.col("b"))
+    q = (F.col("cb") + F.lit(1.0)) / (F.col("nb") + F.col("b"))
+    term = (p - q) * rnd(F.log(p / q), 9)
+    psi6 = rnd(
+        F.sum(F.floor(term * F.lit(1000000000) + F.lit(0.5)).cast("long")).cast(
+            "double"
+        )
+        / F.lit(1000000000),
+        6,
+    )
+    return g.agg(
+        psi6.alias("psi6"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        (psi6 > threshold).alias("shifted"),
     )

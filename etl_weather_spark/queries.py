@@ -15209,3 +15209,168 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lnk6"
         ),
     )
+
+
+@query(
+    "token_burstiness_topk",
+    """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+stats AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY tok
+),
+f AS (
+  SELECT tok, cf, df,
+         FLOOR((cf * 1.0 / df) * 10000 + 0.5) / 10000 AS burstiness4
+  FROM stats WHERE df >= 5
+)
+SELECT CAST(rank AS BIGINT) AS rank, tok, cf, df, burstiness4 FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY burstiness4 DESC, tok ASC) AS rank
+  FROM f
+) WHERE rank <= 20
+ORDER BY rank
+""",
+)
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN BURSTINESS (Church & Gale: collection frequency over
+    document frequency — mean occurrences per document that contains
+    the token at all): the top-20 burstiest tokens with support ≥ 5
+    docs. A content word occurs in bursts (high cf/df) while function
+    words spread thin (cf/df → 1); on a WEB corpus the extreme tail of
+    this ranking is boilerplate — nav text, cookie banners, templated
+    footers — which is exactly what the winnowing max_doc_freq cap and
+    the CCNet boilerplate strip need tuned against, measured instead
+    of guessed.
+
+    Determinism: cf and df are exact integers; the single division
+    rounds at 4 dp; ties break on the token.
+
+    Scale: one token-keyed groupBy (cf is map-side-combinable; df's
+    COUNT DISTINCT partial-aggs per token); the ranked relation is
+    vocabulary-sized; the top-20 is the salted two-level
+    topk_per_group — no global sort.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    stats = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.count_distinct("doc_id").cast("long").alias("df"),
+    )
+    f = stats.filter(F.col("df") >= 5).select(
+        "tok",
+        "cf",
+        "df",
+        rnd(F.col("cf") * 1.0 / F.col("df"), 4).alias("burstiness4"),
+    )
+    return (
+        topk_per_group(
+            f.withColumn("__g", F.lit(1)),
+            group_col="__g",
+            k=20,
+            sim_col="burstiness4",
+            tie_col="tok",
+        )
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            "cf",
+            "df",
+            "burstiness4",
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "shard_assignment_stats",
+    """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 64 AS shard_id
+  FROM documents
+),
+per AS (
+  SELECT shard_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+  FROM d GROUP BY shard_id
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per)
+SELECT p.shard_id, p.n_docs, p.n_chars, p.id_checksum,
+       FLOOR((p.n_docs * 1.0 / t.total_docs) * 1000000 + 0.5) / 1000000
+         AS share6,
+       FLOOR((p.n_docs * 64.0 / t.total_docs) * 10000 + 0.5) / 10000
+         AS skew4
+FROM per p CROSS JOIN tot t
+ORDER BY p.shard_id
+""",
+)
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTPUT-SHARD assignment audit — the training-data writer's last
+    step (WebDataset/TFRecord-style): every document lands in one of
+    64 shards by a CONTENT-ADDRESSED hash (md5 of the doc id, never
+    ingestion order or partition index), so the shard layout is stable
+    across re-runs, repartitioning, and engine versions, and a
+    re-ingested corpus diffs shard-by-shard. Reports per shard: doc
+    count, byte load, an id checksum (membership, not just size), the
+    corpus share, and skew = share/(1/64) — the balance check a
+    data-loader's samplers assume (skew ≈ 1.0 everywhere; a hot shard
+    starves epoch shuffling).
+
+    Scale: one md5-keyed partial agg — the audit's shuffle IS the
+    writer's shuffle (64 keys, map-side combined); output is 64 rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    per = (
+        docs.select(
+            shard.alias("shard_id"), "doc_id", "n_chars"
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+    tot = per.agg(F.sum("n_docs").cast("long").alias("total_docs"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_chars",
+            "id_checksum",
+            rnd(F.col("n_docs") * 1.0 / F.col("total_docs"), 6).alias(
+                "share6"
+            ),
+            rnd(F.col("n_docs") * 64.0 / F.col("total_docs"), 4).alias(
+                "skew4"
+            ),
+        )
+        .orderBy("shard_id")
+    )

@@ -157,6 +157,10 @@ OPS = [
     "script_mixture_audit",
     "c4_line_filters",
     "heaps_law_fit",
+    # round-7 wave 3: vocab-bound burstiness ranking, 64-key shard
+    # assignment audit (the writer's own shuffle)
+    "token_burstiness_topk",
+    "shard_assignment_stats",
 ]
 
 
