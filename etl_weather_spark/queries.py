@@ -222,6 +222,17 @@ _PRIORITY = [
     # semantic_decontaminate, ks_drift_audit, lsh_recall_audit) plus
     # the two round-7 flagships corpus_prep_funnel_v3 and
     # gopher_quality_gate.
+    # round-7 late rotations (out, both r06-driver-green with checked
+    # family siblings staying): split_part_types (F6/C11 — the
+    # split/trim/guard shapes stay checked via daily_flags,
+    # weather_code_decode and the C-family rows), minhash_lsh_fast
+    # (the MinHash generator is COMPOSED end-to-end inside the staying
+    # lsh_recall_audit, and the dedup family keeps dedup_exact,
+    # prefix_filter_jaccard, dedup_clusters). In: the two wave-3/4
+    # flagships with zero driver exposure — psi_drift_audit (drift
+    # family joins the staying ks_drift_audit) and
+    # embedding_outlier_knn (embedding family keeps ann_cosine_topk,
+    # semantic_dedup, semantic_decontaminate).
     "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
     "corpus_prep_funnel_v2", "minmax_norm",
     "rank_pct_diff", "corpus_prep_funnel_v3", "asof_join",
@@ -245,7 +256,7 @@ _PRIORITY = [
     # keeps the tolerant-JSON shape checked) and sorted_nations (O4 —
     # every ORDER BY row covers lexicographic sorts) out for the Q21
     # semi/anti flagship and the unigram-LM quality scorer
-    "pca_power_iteration", "split_part_types",
+    "pca_power_iteration", "psi_drift_audit",
     "semantic_decontaminate",
     "ks_drift_audit", "kll_rollup_value_quantiles",
     # round-2/3 flagships, wave 2: embedding-graph semantic dedup (now
@@ -263,7 +274,7 @@ _PRIORITY = [
     # training-data pipeline: text analysis + dedup + similarity
     "doc_stats", "dedup_exact", "prefix_filter_jaccard",
     "ann_cosine_topk", "lang_quality",
-    "lsh_recall_audit", "minhash_lsh_fast",
+    "lsh_recall_audit", "embedding_outlier_knn",
     # training-pipeline + streaming-analog flagships
     "dedup_clusters", "user_sessions", "train_test_split",
     "weighted_sample_topk", "decontaminate_overlap",
