@@ -231,6 +231,9 @@ HEADLINE = [
     # output-shard balance audit
     "token_burstiness_topk",
     "shard_assignment_stats",
+    # round-7 wave 5 flagship: the release-governance data card
+    # composing seven registered audits
+    "corpus_release_report",
 ]
 
 

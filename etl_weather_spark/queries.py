@@ -15385,3 +15385,152 @@ def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+def _release_report_oracle() -> str:
+    """Embed the SEVEN registered audit oracles verbatim (the funnel /
+    decontamination-agreement discipline: composition cannot drift from
+    the standalone audits) and reduce each to its release-card scalar."""
+    return f"""
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM documents
+       WHERE doc_id % 50 <> 0),
+dup AS (
+  SELECT CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS removed
+  FROM ({_ORACLES["dedup_exact"]})
+),
+pii AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN n_email + n_ip + n_phone + n_num16 > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM ({_ORACLES["pii_scrub_stats"]})
+),
+shing AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS flagged
+  FROM ({_ORACLES["decontaminate_overlap"]})
+),
+sem AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits
+  FROM ({_ORACLES["semantic_decontaminate"]})
+),
+kan AS (
+  SELECT MAX(risk_share4) AS risk_share4
+  FROM ({_ORACLES["k_anonymity_audit"]})
+),
+gq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept
+  FROM ({_ORACLES["gopher_quality_gate"]})
+),
+scr AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN mixed_script THEN n_docs ELSE 0 END) AS BIGINT)
+           AS mixed
+  FROM ({_ORACLES["script_mixture_audit"]})
+)
+SELECT tot.n_docs,
+       FLOOR((dup.removed * 1.0 / tot.n_docs) * 1000000 + 0.5) / 1000000
+         AS dup_rate6,
+       FLOOR((pii.hits * 1.0 / pii.n) * 1000000 + 0.5) / 1000000
+         AS pii_rate6,
+       FLOOR((shing.flagged * 1.0 / tr.n_train) * 1000000 + 0.5) / 1000000
+         AS shingle_contam_rate6,
+       FLOOR((sem.hits * 1.0 / sem.n) * 1000000 + 0.5) / 1000000
+         AS semantic_contam_rate6,
+       kan.risk_share4 AS k_anon_risk_share4,
+       FLOOR((gq.kept * 1.0 / gq.n) * 1000000 + 0.5) / 1000000
+         AS gopher_keep_rate6,
+       FLOOR((scr.mixed * 1.0 / scr.n) * 1000000 + 0.5) / 1000000
+         AS mixed_script_share6
+FROM tot CROSS JOIN tr CROSS JOIN dup CROSS JOIN pii CROSS JOIN shing
+CROSS JOIN sem CROSS JOIN kan CROSS JOIN gq CROSS JOIN scr
+"""
+
+
+@query("corpus_release_report", _release_report_oracle())
+def corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE-GOVERNANCE data card (Datasheets for Datasets /
+    Data Cards shape): the one-row report a corpus publisher signs off
+    on, composing SEVEN independently-oracled audits into their
+    headline scalars — exact-duplicate rate, PII incidence, verbatim
+    (5-gram) and semantic (embedding) benchmark-contamination rates,
+    k-anonymity re-identification risk share, the Gopher quality keep
+    rate, and the mixed-script (spam-signal) share.
+
+    Every leg is the REGISTERED query reused verbatim on the Spark
+    side, and the oracle embeds the seven registered oracles verbatim
+    (the corpus_prep_funnel / decontamination_method_agreement
+    discipline) — so the report is definitionally consistent with the
+    standalone audits it summarizes.
+
+    Scale: each leg keeps its own documented bounded plan; the report
+    itself joins eight 1-row relations (broadcast by construction).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tr = docs.filter(F.col("doc_id") % 50 != 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    dup = dedup_exact(spark, sf_dir).agg(
+        (F.sum("n_docs") - F.count(F.lit(1))).cast("long").alias("removed")
+    )
+    pii = pii_scrub_stats(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("pii_n"),
+        F.sum(
+            F.when(
+                F.col("n_email") + F.col("n_ip") + F.col("n_phone")
+                + F.col("n_num16")
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pii_hits"),
+    )
+    shing = decontaminate_overlap(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("flagged")
+    )
+    sem = semantic_decontaminate(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("sem_n"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("sem_hits"),
+    )
+    kan = k_anonymity_audit(spark, sf_dir).agg(
+        F.max("risk_share4").alias("k_anon_risk_share4")
+    )
+    gq = gopher_quality_gate(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("gq_n"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("gq_kept"),
+    )
+    scr = script_mixture_audit(spark, sf_dir).agg(
+        F.sum("n_docs").cast("long").alias("scr_n"),
+        F.sum(F.when(F.col("mixed_script"), F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("scr_mixed"),
+    )
+    out = tot
+    for leg in (tr, dup, pii, shing, sem, kan, gq, scr):
+        out = out.crossJoin(F.broadcast(leg))
+    return out.select(
+        "n_docs",
+        rnd(F.col("removed") * 1.0 / F.col("n_docs"), 6).alias("dup_rate6"),
+        rnd(F.col("pii_hits") * 1.0 / F.col("pii_n"), 6).alias("pii_rate6"),
+        rnd(F.col("flagged") * 1.0 / F.col("n_train"), 6).alias(
+            "shingle_contam_rate6"
+        ),
+        rnd(F.col("sem_hits") * 1.0 / F.col("sem_n"), 6).alias(
+            "semantic_contam_rate6"
+        ),
+        "k_anon_risk_share4",
+        rnd(F.col("gq_kept") * 1.0 / F.col("gq_n"), 6).alias(
+            "gopher_keep_rate6"
+        ),
+        rnd(F.col("scr_mixed") * 1.0 / F.col("scr_n"), 6).alias(
+            "mixed_script_share6"
+        ),
+    )

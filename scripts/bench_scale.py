@@ -161,6 +161,9 @@ OPS = [
     # assignment audit (the writer's own shuffle)
     "token_burstiness_topk",
     "shard_assignment_stats",
+    # round-7 flagship: seven-audit release card (each leg its own
+    # documented bounded plan; the composite is their sum)
+    "corpus_release_report",
 ]
 
 
