@@ -234,6 +234,10 @@ HEADLINE = [
     # round-7 wave 5 flagship: the release-governance data card
     # composing seven registered audits
     "corpus_release_report",
+    # round-7 wave 6: data-constrained epoch plan, snapshot
+    # resemblance sketch with in-plan exact audit
+    "epoch_sampling_plan",
+    "corpus_resemblance_sketch",
 ]
 
 

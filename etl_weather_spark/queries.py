@@ -15534,3 +15534,220 @@ def corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mixed_script_share6"
         ),
     )
+
+
+@query(
+    "epoch_sampling_plan",
+    f"""
+WITH tc AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_all FROM tc),
+p AS (
+  SELECT tc.source, tc.n_docs, tc.n_tokens, t.t_all,
+         FLOOR((tc.n_tokens * 1.0 / t.t_all) * 1000000 + 0.5) / 1000000 AS p6
+  FROM tc CROSS JOIN tot t
+),
+s AS (
+  SELECT source, n_docs, n_tokens, t_all, p6,
+         FLOOR(sqrt(p6) * 1000000 + 0.5) / 1000000 AS s6
+  FROM p
+),
+z AS (SELECT {sql_dsum('s6', 6)} AS zs FROM s),
+q AS (
+  SELECT s.source, s.n_docs, s.n_tokens, s.p6,
+         FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 AS q6,
+         s.t_all
+  FROM s CROSS JOIN z
+),
+plan AS (
+  SELECT source, n_docs, n_tokens, p6, q6,
+         CAST(FLOOR(q6 * (2 * t_all) + 0.5) AS BIGINT) AS alloc_tokens
+  FROM q
+)
+SELECT source, n_docs, n_tokens, p6, q6, alloc_tokens,
+       FLOOR((alloc_tokens * 1.0 / n_tokens) * 10000 + 0.5) / 10000
+         AS epochs4,
+       (FLOOR((alloc_tokens * 1.0 / n_tokens) * 10000 + 0.5) / 10000 > 4.0)
+         AS over_four_epochs
+FROM plan ORDER BY source
+""",
+)
+def epoch_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-SAMPLING plan under a fixed token budget — the
+    data-constrained-scaling table (Muennighoff et al. 2023: repeating
+    data is near-free up to ~4 epochs, then returns decay fast): given
+    a training budget of 2× the corpus's tokens and α=1/2 temperature
+    weights over sources (q ∝ √p on TOKEN shares — the same
+    libm-safe √ construction as lang_temperature_sampling), each
+    source's allocated tokens imply an epoch count
+    alloc/available; sources pushed past 4 epochs are flagged — the
+    review that catches a mixture plan quietly over-repeating a small
+    high-weight source.
+
+    Determinism: token counts are exact integers; p quantizes to 6 dp
+    before the correctly-rounded sqrt; the normalizer is a decimal
+    sum; allocations floor to integer tokens; epochs round at 4 dp.
+
+    Scale: one token-count groupBy over the source dimension
+    (map-side-combinable sum of per-row array lengths) + broadcast
+    1-row totals — everything after is dimension-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tc = docs.select(
+        "source",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias("nt"),
+    ).groupBy("source").agg(
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = tc.agg(F.sum("n_tokens").cast("long").alias("t_all"))
+    p = tc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "t_all",
+        rnd(F.col("n_tokens") * 1.0 / F.col("t_all"), 6).alias("p6"),
+    )
+    s = p.withColumn("s6", rnd(F.sqrt("p6"), 6))
+    z = s.agg(dsum("s6", 6).alias("zs"))
+    q = s.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p6",
+        rnd(F.col("s6") / F.col("zs"), 6).alias("q6"),
+        "t_all",
+    )
+    plan = q.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p6",
+        "q6",
+        F.floor(F.col("q6") * (2 * F.col("t_all")) + F.lit(0.5))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+    epochs4 = rnd(F.col("alloc_tokens") * 1.0 / F.col("n_tokens"), 4)
+    return plan.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p6",
+        "q6",
+        "alloc_tokens",
+        epochs4.alias("epochs4"),
+        (epochs4 > 4.0).alias("over_four_epochs"),
+    ).orderBy("source")
+
+
+def _resemblance_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}|' || sh)) AS m{i}" for i in range(16)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+WITH {_SHINGLE_SQL},
+half AS (SELECT DISTINCT doc_id % 2 AS h, sh FROM sh),
+mins AS (
+  SELECT h, {mins}
+  FROM half GROUP BY h
+),
+est AS (
+  SELECT CAST({agree} AS BIGINT) AS n_agree
+  FROM mins a JOIN mins b ON a.h = 0 AND b.h = 1
+),
+flags AS (
+  SELECT sh, MAX(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM half GROUP BY sh
+),
+exact AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n_sh_a,
+         CAST(SUM(in_b) AS BIGINT) AS n_sh_b,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+         CAST(COUNT(*) AS BIGINT) AS n_union
+  FROM flags
+)
+SELECT e.n_sh_a, e.n_sh_b, e.n_inter, e.n_union,
+       FLOOR((e.n_inter * 1.0 / e.n_union) * 10000 + 0.5) / 10000
+         AS exact_j4,
+       CAST(16 AS BIGINT) AS n_seeds,
+       s.n_agree,
+       FLOOR((s.n_agree * 1.0 / 16) * 10000 + 0.5) / 10000 AS est_j4
+FROM exact e CROSS JOIN est s
+"""
+
+
+@query("corpus_resemblance_sketch", _resemblance_oracle())
+def corpus_resemblance_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-LEVEL resemblance sketch (Broder's k-min MinHash applied
+    to whole SNAPSHOTS, not documents): estimate the trigram-shingle
+    Jaccard between two corpus snapshots (the doc_id parity halves
+    stand in for consecutive ingestion snapshots) from sixteen
+    per-snapshot minimum hashes — the O(16)-byte artifact that answers
+    'how much did the corpus actually change since yesterday?' without
+    ever joining the two shingle sets — and report the EXACT set
+    Jaccard next to it, so the estimator's error is measured in-plan
+    (the sketch-tier convention: every sketch row carries its
+    ground-truth check).
+
+    Estimator: P(min hash agrees) = J(A,B) per seed; est = agreeing
+    seeds / 16. Hashes are md5('seed|' || shingle) — engine-portable
+    strings, lexicographic VARCHAR min on both engines.
+
+    Scale: the sketch side is ONE pass over the distinct
+    (half, shingle) relation with 16 map-side MIN aggregates — per
+    snapshot the standing artifact is 16 hex strings, mergeable under
+    MIN like the HLL/KLL tier; the exact side (one shingle-keyed agg)
+    is the audit you run once to trust the sketch, not nightly.
+    """
+    from etl_weather_spark.operators.dedup import exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, text_col="text", keep_cols=["doc_id"], n=3)
+    half = sh.select(
+        (F.col("doc_id") % 2).alias("h"), "sh"
+    ).distinct()
+    mins = half.groupBy("h").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"m{i}")
+            for i in range(16)
+        ]
+    )
+    a = mins.filter(F.col("h") == 0).drop("h")
+    b = mins.filter(F.col("h") == 1).drop("h")
+    a = a.select(*[F.col(f"m{i}").alias(f"a{i}") for i in range(16)])
+    b = b.select(*[F.col(f"m{i}").alias(f"b{i}") for i in range(16)])
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(16)
+    ).cast("long")
+    est = a.crossJoin(F.broadcast(b)).select(n_agree.alias("n_agree"))
+    flags = half.groupBy("sh").agg(
+        F.max(F.when(F.col("h") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("h") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    exact = flags.agg(
+        F.sum("in_a").cast("long").alias("n_sh_a"),
+        F.sum("in_b").cast("long").alias("n_sh_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_sh_a",
+        "n_sh_b",
+        "n_inter",
+        "n_union",
+        rnd(F.col("n_inter") * 1.0 / F.col("n_union"), 4).alias("exact_j4"),
+        F.lit(16).cast("long").alias("n_seeds"),
+        "n_agree",
+        rnd(F.col("n_agree") * 1.0 / 16, 4).alias("est_j4"),
+    )

@@ -164,6 +164,10 @@ OPS = [
     # round-7 flagship: seven-audit release card (each leg its own
     # documented bounded plan; the composite is their sum)
     "corpus_release_report",
+    # round-7 wave 6: epoch plan (source-dimension aggs), snapshot
+    # resemblance sketch (one pass, 16 map-side MINs; exact audit ride)
+    "epoch_sampling_plan",
+    "corpus_resemblance_sketch",
 ]
 
 
