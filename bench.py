@@ -238,6 +238,9 @@ HEADLINE = [
     # resemblance sketch with in-plan exact audit
     "epoch_sampling_plan",
     "corpus_resemblance_sketch",
+    # round-7 end-to-end flagship: the whole prep pipeline in one plan
+    # (funnel gates -> exact-dedup keepers -> shard manifest)
+    "curated_shard_manifest",
 ]
 
 

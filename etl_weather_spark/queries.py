@@ -15751,3 +15751,110 @@ def corpus_resemblance_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_agree",
         rnd(F.col("n_agree") * 1.0 / 16, 4).alias("est_j4"),
     )
+
+
+def _manifest_oracle() -> str:
+    """End-to-end pipeline oracle: the funnel-v2 survivor chain
+    (registered gate oracles embedded verbatim, the _funnel_v2_oracle
+    assembly), then the dedup_exact keeper restricted to the final
+    survivors, then the content-addressed shard rollup."""
+    gates = [(n, _ORACLES[k], c) for n, k, c, _f, _core in _FUNNEL_GATES]
+    ctes = ["s0 AS (SELECT doc_id FROM documents)"]
+    last = 0
+    for i, (_name, oracle, cond) in enumerate(gates, start=1):
+        ctes.append(f"g{i} AS (SELECT doc_id FROM ({oracle}\n) WHERE {cond})")
+        ctes.append(
+            f"s{i} AS (SELECT s.doc_id FROM s{i-1} s"
+            f" JOIN g{i} g ON g.doc_id = s.doc_id)"
+        )
+        last = i
+    ctes.append(
+        f"""keep AS MATERIALIZED (
+  SELECT MIN(d.doc_id) AS doc_id
+  FROM s{last} s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')))
+)"""
+    )
+    ctes.append(
+        """sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 16 AS shard_id
+  FROM keep
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + """SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM sh GROUP BY shard_id ORDER BY shard_id"""
+    )
+
+
+@query("curated_shard_manifest", _manifest_oracle())
+def curated_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline in one plan: the
+    corpus_prep_funnel_v2 gate chain (all seven registered quality
+    gates, semi-join intersected in pipeline order) → exact-duplicate
+    collapse among the survivors (min-id keeper per content
+    fingerprint — dedup runs AFTER curation so near-identical docs
+    that both fail quality never cost dedup work) → the
+    content-addressed 16-way shard manifest of the final kept set.
+    This is the artifact a production run hands to the training job:
+    which shard holds which curated, deduplicated documents.
+
+    Oracle discipline: the funnel chain reuses the registered gate
+    oracles verbatim (the _funnel_v2_oracle assembly), the keeper is
+    dedup_exact's fingerprint+MIN restricted to the survivors, the
+    shard hash is shard_assignment_stats' — end-to-end composition of
+    independently-oracled parts, with id checksums proving shard
+    MEMBERSHIP.
+
+    Scale: per-gate work is each gate's own documented bounded plan;
+    the survivor chain moves only (doc_id) relations (lazy
+    localCheckpoint fences, the funnel discipline); dedup shuffles
+    (fingerprint, doc_id) pairs for SURVIVORS only; the manifest agg
+    is the writer's own 16-key shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    gates = [
+        (name, flt(_QUERIES[key](spark, sf_dir)).select("doc_id"))
+        for name, key, _cond, flt, _core in _FUNNEL_GATES
+    ]
+    survivors = docs.select("doc_id").localCheckpoint(eager=False)
+    for _name, keep in gates:
+        survivors = survivors.join(
+            keep, "doc_id", "left_semi"
+        ).localCheckpoint(eager=False)
+    keepers = (
+        docs.select(
+            "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+        )
+        .join(survivors, "doc_id", "left_semi")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    return (
+        keepers.select(shard.alias("shard_id"), "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("shard_id")
+    )

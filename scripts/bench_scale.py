@@ -168,6 +168,8 @@ OPS = [
     # resemblance sketch (one pass, 16 map-side MINs; exact audit ride)
     "epoch_sampling_plan",
     "corpus_resemblance_sketch",
+    # round-7 end-to-end flagship: funnel -> dedup-keep -> shard
+    "curated_shard_manifest",
 ]
 
 
