@@ -241,6 +241,8 @@ HEADLINE = [
     # round-7 end-to-end flagship: the whole prep pipeline in one plan
     # (funnel gates -> exact-dedup keepers -> shard manifest)
     "curated_shard_manifest",
+    # DP Laplace count release (governance trio with k-anon/l-div)
+    "dp_laplace_release",
 ]
 
 

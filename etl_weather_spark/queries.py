@@ -15858,3 +15858,103 @@ def curated_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "dp_laplace_release",
+    """
+WITH g AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM documents GROUP BY lang, source
+),
+u AS (
+  SELECT lang, source, n_true,
+         (CAST(('0x' || substr(md5('dp|' || lang || '|' || source), 1, 13))
+               AS BIGINT) + 1.0) / 4503599627370496 AS uu
+  FROM g
+),
+nz AS (
+  SELECT lang, source, n_true,
+         CASE WHEN uu - 0.5 >= 0 THEN -1.0 ELSE 1.0 END
+         * (FLOOR(LN(GREATEST(1 - 2 * ABS(uu - 0.5), 1e-15))
+                  * 1000000000 + 0.5) / 1000000000) AS raw
+  FROM u
+),
+rel AS (
+  SELECT lang, source, n_true,
+         FLOOR(raw * 1000000 + 0.5) / 1000000 AS noise6
+  FROM nz
+)
+SELECT lang, source, n_true, noise6,
+       FLOOR((n_true + noise6) * 1000000 + 0.5) / 1000000 AS noisy6,
+       CAST(GREATEST(FLOOR(n_true + noise6 + 0.5), 0) AS BIGINT)
+         AS released,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM rel ORDER BY lang, source
+""",
+)
+def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE count release (the Laplace mechanism,
+    ε = 1, sensitivity 1) over the (lang, source) contingency table —
+    the third leg of the release-governance stack next to k-anonymity
+    and l-diversity: publish noisy cell counts instead of true ones.
+    Noise is Laplace(1/ε) via the inverse CDF
+    −b·sign(u−½)·ln(1−2|u−½|) with u drawn content-addressed from
+    md5 of the cell key (the weighted_sample_topk −ln(u) convention):
+    deterministic so the MECHANISM's algebra is cross-engine-verified
+    end to end — a production release swaps in a secure RNG for u and
+    changes nothing else. Reports true count, noise, noisy value, and
+    the clipped integer actually released.
+
+    Determinism: u is an exact rational from a 13-hex-digit md5
+    prefix over 2^52; the log-term floor-guard (1e-15) keeps the
+    inverse CDF finite at the u→1 boundary; ln quantizes at 1e9 (the
+    zipf discipline), noise at 6 dp, and the released integer is a
+    FLOOR(x+0.5) of identical doubles.
+
+    Scale: one partial-agg groupBy over the bounded QI dimensions;
+    everything after is a per-cell projection.
+    """
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp|"),
+                        F.col("lang"),
+                        F.lit("|"),
+                        F.col("source"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    t = uu - F.lit(0.5)
+    raw = F.when(t >= 0, F.lit(-1.0)).otherwise(F.lit(1.0)) * rnd(
+        F.log(F.greatest(F.lit(1) - 2 * F.abs(t), F.lit(1e-15))), 9
+    )
+    rel = g.select(
+        "lang", "source", "n_true", rnd(raw, 6).alias("noise6")
+    )
+    return rel.select(
+        "lang",
+        "source",
+        "n_true",
+        "noise6",
+        rnd(F.col("n_true") + F.col("noise6"), 6).alias("noisy6"),
+        F.greatest(
+            F.floor(F.col("n_true") + F.col("noise6") + F.lit(0.5)), F.lit(0)
+        )
+        .cast("long")
+        .alias("released"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("lang", "source")

@@ -170,6 +170,8 @@ OPS = [
     "corpus_resemblance_sketch",
     # round-7 end-to-end flagship: funnel -> dedup-keep -> shard
     "curated_shard_manifest",
+    # governance trio completion: DP Laplace count release (QI-dim agg)
+    "dp_laplace_release",
 ]
 
 
