@@ -14490,8 +14490,16 @@ WITH toks AS (
   FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
   WHERE t.tok <> ''
 ),
-hc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
-vc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS qc FROM hc GROUP BY tok),
+hc0 AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+vc0 AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS qc FROM hc0 GROUP BY tok),
+vc AS (
+  SELECT tok, qc FROM (
+    SELECT tok, qc,
+           ROW_NUMBER() OVER (ORDER BY qc DESC, tok ASC) AS rnk
+    FROM vc0
+  ) WHERE rnk <= 10000
+),
+hc AS (SELECT h.source, h.tok, h.c FROM hc0 h JOIN vc v ON v.tok = h.tok),
 srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM hc GROUP BY source),
 tot AS (SELECT CAST(SUM(qc) AS BIGINT) AS n_all FROM vc),
 grid AS (
@@ -14535,19 +14543,36 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles on both engines; each ln is 1e9-quantized, each term
     1e9-quantized into an exact-integer sum, JSD rounds at 6 dp.
 
+    BOUNDED BY CONSTRUCTION: distributions are taken over the TOP-10k
+    corpus vocabulary (the standard practice for divergence reports;
+    both distributions renormalize over the retained vocabulary), so
+    the term grid is |sources| × ≤10k regardless of corpus size — a
+    web-scale tail vocabulary cannot turn the cross join quadratic
+    (the ks_from_histograms(bucket_width)/block_cap lesson). The cap
+    never binds at the test SFs, where vocab < 10k.
+
     Scale: the token groupBys are map-side-combinable one-pass aggs;
-    the grid relation is |sources| × |vocab| — sources is a bounded
-    dimension and vocab is the corpus's distinct-token space (the
-    zipf_fit_stats argument), keyed on token, never row-grain.
+    the top-10k rank runs over the vocab relation (salted two-level
+    top-k); the grid is bounded-dimension × bounded-vocab.
     """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    hc = toks.groupBy("source", "tok").agg(
+    hc0 = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    vc = hc.groupBy("tok").agg(F.sum("c").cast("long").alias("qc"))
+    vc0 = hc0.groupBy("tok").agg(F.sum("c").cast("long").alias("qc"))
+    vc = topk_per_group(
+        vc0.withColumn("__g", F.lit(1)),
+        group_col="__g",
+        k=10000,
+        sim_col="qc",
+        tie_col="tok",
+    ).select("tok", "qc")
+    hc = hc0.join(vc.select("tok"), "tok")
     srcs = hc.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
     tot = vc.agg(F.sum("qc").cast("long").alias("n_all"))
     grid = (
