@@ -243,6 +243,8 @@ HEADLINE = [
     "curated_shard_manifest",
     # DP Laplace count release (governance trio with k-anon/l-div)
     "dp_laplace_release",
+    # quantile normalization of quality scores across sources
+    "quality_score_quantile_norm",
 ]
 
 

@@ -15983,3 +15983,113 @@ def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("released"),
         F.lit(1.0).alias("epsilon"),
     ).orderBy("lang", "source")
+
+
+def _qnorm_oracle() -> str:
+    """Embed the registered logistic-quality oracle verbatim and
+    quantile-normalize its z score across sources."""
+    return f"""
+WITH ql AS MATERIALIZED (
+  SELECT doc_id, z FROM ({_ORACLES["quality_logistic_filter"]}
+  )
+),
+d AS (
+  SELECT q.doc_id, dc.source, FLOOR(q.z * 1000 + 0.5) / 1000 AS z3
+  FROM ql q JOIN documents dc ON dc.doc_id = q.doc_id
+),
+sh AS (SELECT source, z3, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+scum AS (
+  SELECT source, z3,
+         SUM(c) OVER (PARTITION BY source ORDER BY z3) AS cc,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM sh
+),
+srank AS (SELECT source, z3, cc * 1.0 / n AS r FROM scum),
+ch AS (SELECT z3 AS x, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+ccum AS (
+  SELECT x, SUM(c) OVER (ORDER BY x) AS cc, SUM(c) OVER () AS n FROM ch
+),
+cfrac AS (SELECT x, cc * 1.0 / n AS f FROM ccum),
+map AS (
+  SELECT s.source, s.z3, s.r, MIN(c.x) AS z_norm3
+  FROM srank s JOIN cfrac c ON c.f >= s.r
+  GROUP BY s.source, s.z3, s.r
+)
+SELECT d.doc_id, d.source, d.z3,
+       FLOOR(m.r * 1000000 + 0.5) / 1000000 AS src_rank6,
+       m.z_norm3
+FROM d JOIN map m ON m.source = d.source AND m.z3 = d.z3
+ORDER BY d.doc_id
+"""
+
+
+@query("quality_score_quantile_norm", _qnorm_oracle())
+def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE score calibration by QUANTILE NORMALIZATION: map
+    each document's quality score onto the corpus-wide score value at
+    its source-relative rank — the fix for the fact that a raw
+    classifier score is not comparable across sources (each source has
+    its own score distribution, so one global threshold over-filters
+    some sources and under-filters others; FineWeb-class pipelines
+    tune per-source thresholds — this op removes the need by making
+    one threshold mean the same quantile everywhere). The normalized
+    score is z_norm = min corpus value whose cumulative fraction ≥ the
+    doc's within-source cumulative fraction (the nearest-rank
+    convention of length_percentiles_by_source).
+
+    The score is the REGISTERED logistic-quality z reused verbatim
+    (Spark calls the registered query; the oracle embeds its oracle —
+    the release-report discipline).
+
+    Determinism: z quantizes to 3 dp; both cumulative fractions are
+    exact integer ratios (correctly-rounded double division, identical
+    on both engines); the rank→value lookup is an integer-backed
+    non-equi min.
+
+    Scale: both cumulative windows run over DISTINCT (source, score)
+    / (score) relations — bounded by 3-dp score cardinality, never a
+    row sort (the mad/percentile histogram discipline); the rank→
+    value mapping is a dimension × dimension broadcast range join;
+    the only row-grain stages are the score projection and the final
+    dimension-keyed joins.
+    """
+    ql = _QUERIES["quality_logistic_filter"](spark, sf_dir).select(
+        "doc_id", "z"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    d = ql.join(docs, "doc_id").select(
+        "doc_id", "source", rnd(F.col("z"), 3).alias("z3")
+    ).localCheckpoint(eager=False)
+    sh = d.groupBy("source", "z3").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ws = Window.partitionBy("source").orderBy("z3")
+    wsn = Window.partitionBy("source")
+    srank = sh.select(
+        "source",
+        "z3",
+        (F.sum("c").over(ws) * 1.0 / F.sum("c").over(wsn)).alias("r"),
+    )
+    ch = d.groupBy("z3").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("z3")
+    wcn = Window.partitionBy()
+    cfrac = ch.select(
+        F.col("z3").alias("x"),
+        (F.sum("c").over(wc) * 1.0 / F.sum("c").over(wcn)).alias("f"),
+    )
+    mapped = (
+        srank.join(F.broadcast(cfrac), F.col("f") >= F.col("r"))
+        .groupBy("source", "z3", "r")
+        .agg(F.min("x").alias("z_norm3"))
+    )
+    return (
+        d.join(mapped, ["source", "z3"])
+        .select(
+            "doc_id",
+            "source",
+            "z3",
+            rnd(F.col("r"), 6).alias("src_rank6"),
+            "z_norm3",
+        )
+        .orderBy("doc_id")
+    )

@@ -172,6 +172,8 @@ OPS = [
     "curated_shard_manifest",
     # governance trio completion: DP Laplace count release (QI-dim agg)
     "dp_laplace_release",
+    # cross-source score calibration (score-cardinality-bounded windows)
+    "quality_score_quantile_norm",
 ]
 
 
