@@ -14907,13 +14907,19 @@ WITH dt AS (
 ln0 AS (
   SELECT doc_id, source, t,
          UNNEST(generate_series(0,
-                CAST(FLOOR((len(t) + 11) / 12) AS INT) - 1)) AS line_id
+                GREATEST(CAST(FLOOR((len(t) + 11) / 12) AS INT), 1) - 1))
+           AS line_id
   FROM dt
 ),
 ln1 AS (
+  -- COALESCE: on a zero-token doc the guarded single line slices an
+  -- empty list, and DuckDB's array_to_string([]) is NULL where
+  -- Spark's array_join([]) is '' — without it the NULL line would
+  -- fall through every CASE arm to 'kept'
   SELECT doc_id, source, line_id,
-         array_to_string(
-           list_slice(t, line_id * 12 + 1, line_id * 12 + 12), ' ') AS base
+         COALESCE(array_to_string(
+           list_slice(t, line_id * 12 + 1, line_id * 12 + 12), ' '), '')
+           AS base
   FROM ln0
 ),
 ln2 AS (
@@ -15001,7 +15007,13 @@ def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
     ).withColumn("_n", F.size("t"))
-    n_lines = F.floor((F.col("_n") + 11) / F.lit(12)).cast("int")
+    # GREATEST(..., 1): a zero-token doc still yields ONE empty line on
+    # both engines (dropped as 'short') — without it Spark's
+    # sequence(0, -1) DESCENDS ([0, -1]) while DuckDB's
+    # generate_series(0, -1) is empty, a silent row-count divergence
+    n_lines = F.greatest(
+        F.floor((F.col("_n") + 11) / F.lit(12)).cast("int"), F.lit(1)
+    )
     ln0 = toks.select(
         "doc_id",
         "source",

@@ -92,6 +92,32 @@ def test_c4_line_filters_rules_and_doc_keep(spark, tmp_path):
     assert out["d"].docs_kept == 0 and out["d"].n_docs == 1
 
 
+def test_c4_empty_doc_yields_one_short_line_both_engines(spark, tmp_path):
+    """Round-7 review: a zero-token doc must yield exactly ONE empty
+    line judged 'short' on BOTH engines — Spark's sequence(0,-1)
+    DESCENDS where DuckDB's generate_series(0,-1) is empty (guarded
+    with GREATEST(...,1)), and DuckDB's array_to_string([]) is NULL
+    where Spark's array_join([]) is '' (guarded with COALESCE; the
+    NULL line used to fall through every CASE arm to 'kept')."""
+    import duckdb
+
+    sf = _write_docs(
+        spark, tmp_path, [(0, "", "en", "s"), (1, _words(48), "en", "s")]
+    )
+    srows = [tuple(r) for r in q.c4_line_filters(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    orows = con.execute(q._ORACLES["c4_line_filters"]).fetchall()
+    con.close()
+    assert srows == orows
+    r = srows[0]
+    # 5 lines total (4 real + 1 empty), empty judged short, doc 1 kept
+    assert r[3] == 5 and r[2] == 1 and r[7] == 1
+
+
 def test_psi_identical_sources_score_zero_and_stable(spark, tmp_path):
     rows = []
     for s in ("a", "b"):
