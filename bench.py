@@ -245,6 +245,8 @@ HEADLINE = [
     "dp_laplace_release",
     # quantile normalization of quality scores across sources
     "quality_score_quantile_norm",
+    # per-gate unique-kill attribution (the filter ablation table)
+    "gate_attribution_audit",
 ]
 
 

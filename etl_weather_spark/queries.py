@@ -16105,3 +16105,100 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _gate_attribution_oracle() -> str:
+    """Embed every funnel gate oracle verbatim, build one per-doc flag
+    relation, and attribute failures: per gate, total fails and
+    UNIQUE fails (docs that fail only that gate)."""
+    gates = [(n, _ORACLES[k], c) for n, k, c, _f, _core in _FUNNEL_GATES]
+    ctes = []
+    flag_cols = []
+    joins = []
+    for i, (_name, oracle, cond) in enumerate(gates, start=1):
+        ctes.append(f"g{i} AS (SELECT doc_id FROM ({oracle}\n) WHERE {cond})")
+        flag_cols.append(
+            f"CASE WHEN g{i}.doc_id IS NULL THEN 0 ELSE 1 END AS k{i}"
+        )
+        joins.append(f"LEFT JOIN g{i} ON g{i}.doc_id = d.doc_id")
+    ctes.append(
+        "flags AS MATERIALIZED (SELECT d.doc_id, "
+        + ", ".join(flag_cols)
+        + " FROM documents d "
+        + " ".join(joins)
+        + ")"
+    )
+    n = len(gates)
+    rows = []
+    for i, (name, _o, _c) in enumerate(gates, start=1):
+        others = " + ".join(f"k{j}" for j in range(1, n + 1) if j != i)
+        rows.append(
+            f"""SELECT {i} AS gate, '{name}' AS gate_name,
+  CAST(SUM(1 - k{i}) AS BIGINT) AS n_fail,
+  CAST(SUM(CASE WHEN k{i} = 0 AND ({others}) = {n - 1} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_unique_fail,
+  FLOOR((SUM(1 - k{i}) * 1.0 / COUNT(*)) * 1000000 + 0.5) / 1000000
+    AS fail_rate6,
+  FLOOR((SUM(CASE WHEN k{i} = 0 AND ({others}) = {n - 1} THEN 1 ELSE 0 END)
+         * 1.0 / COUNT(*)) * 1000000 + 0.5) / 1000000 AS unique_fail_rate6
+FROM flags"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY gate"
+    )
+
+
+@query("gate_attribution_audit", _gate_attribution_oracle())
+def gate_attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATE ATTRIBUTION — which quality gates earn their cost: for each
+    of the seven registered funnel gates, the total documents it fails
+    and the documents ONLY it fails (unique kills — every other gate
+    would have kept them). A gate with near-zero unique kills is
+    redundant with the rest of the stack and a candidate for removal;
+    a gate with a large unique-kill share is load-bearing. This is the
+    ablation table curation teams actually consult before adding or
+    dropping a filter (the FineWeb-style per-filter ablation, computed
+    set-theoretically instead of by retraining).
+
+    Every gate is the REGISTERED query reused verbatim (Spark side)
+    and the registered oracle embedded verbatim (oracle side) — the
+    funnel discipline, applied to attribution instead of intersection.
+
+    Scale: one doc-keyed relation with 7 boolean flags (7 left joins
+    of narrow (doc_id) keep-sets against the corpus spine — each
+    gate's own documented bounded plan), then 7 aggregate rows over
+    it; the flag relation is fenced once and reused by all 7 rows.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    flags = docs
+    n = len(_FUNNEL_GATES)
+    for i, (name, key, _cond, flt, _core) in enumerate(_FUNNEL_GATES, start=1):
+        keep = flt(_QUERIES[key](spark, sf_dir)).select(
+            "doc_id", F.lit(1).alias(f"__k{i}")
+        )
+        flags = flags.join(keep, "doc_id", "left").withColumn(
+            f"k{i}", F.coalesce(F.col(f"__k{i}"), F.lit(0))
+        ).drop(f"__k{i}")
+    flags = flags.localCheckpoint(eager=False)
+    out = None
+    for i, (name, _key, _cond, _flt, _core) in enumerate(
+        _FUNNEL_GATES, start=1
+    ):
+        others = sum(F.col(f"k{j}") for j in range(1, n + 1) if j != i)
+        fail = F.sum(F.lit(1) - F.col(f"k{i}"))
+        uniq = F.sum(
+            F.when((F.col(f"k{i}") == 0) & (others == n - 1), 1).otherwise(0)
+        )
+        cnt = F.count(F.lit(1))
+        row = flags.agg(
+            F.lit(i).cast("long").alias("gate"),
+            F.lit(name).alias("gate_name"),
+            fail.cast("long").alias("n_fail"),
+            uniq.cast("long").alias("n_unique_fail"),
+            rnd(fail * 1.0 / cnt, 6).alias("fail_rate6"),
+            rnd(uniq * 1.0 / cnt, 6).alias("unique_fail_rate6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gate")

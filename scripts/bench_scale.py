@@ -174,6 +174,8 @@ OPS = [
     "dp_laplace_release",
     # cross-source score calibration (score-cardinality-bounded windows)
     "quality_score_quantile_norm",
+    # per-gate ablation attribution (7 keep-set joins on one fenced spine)
+    "gate_attribution_audit",
 ]
 
 
