@@ -247,6 +247,8 @@ HEADLINE = [
     "quality_score_quantile_norm",
     # per-gate unique-kill attribution (the filter ablation table)
     "gate_attribution_audit",
+    # per-(gate, lang) keep-rate disparity (the filter-bias audit)
+    "gate_bias_audit",
 ]
 
 

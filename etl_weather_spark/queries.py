@@ -16202,3 +16202,121 @@ def gate_attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("gate")
+
+
+def _gate_bias_oracle() -> str:
+    """Per (gate, lang) keep rate vs the gate's corpus-wide keep rate —
+    the registered gate oracles embedded verbatim, one flags relation,
+    a (gate × lang) rollup."""
+    gates = [(n, _ORACLES[k], c) for n, k, c, _f, _core in _FUNNEL_GATES]
+    ctes = []
+    flag_cols = []
+    joins = []
+    for i, (_name, oracle, cond) in enumerate(gates, start=1):
+        ctes.append(f"g{i} AS (SELECT doc_id FROM ({oracle}\n) WHERE {cond})")
+        flag_cols.append(
+            f"CASE WHEN g{i}.doc_id IS NULL THEN 0 ELSE 1 END AS k{i}"
+        )
+        joins.append(f"LEFT JOIN g{i} ON g{i}.doc_id = d.doc_id")
+    ctes.append(
+        "flags AS MATERIALIZED (SELECT d.doc_id, d.lang, "
+        + ", ".join(flag_cols)
+        + " FROM documents d "
+        + " ".join(joins)
+        + ")"
+    )
+    rows = []
+    for i, (name, _o, _c) in enumerate(gates, start=1):
+        rows.append(
+            f"""SELECT {i} AS gate, '{name}' AS gate_name, lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(k{i}) AS BIGINT) AS n_kept,
+  FLOOR((SUM(k{i}) * 1.0 / COUNT(*)) * 1000000 + 0.5) / 1000000
+    AS keep_rate6,
+  FLOOR(((SELECT SUM(k{i}) * 1.0 / COUNT(*) FROM flags)) * 1000000 + 0.5)
+    / 1000000 AS overall_keep_rate6
+FROM flags GROUP BY lang"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "SELECT gate, gate_name, lang, n_docs, n_kept, keep_rate6,"
+        + " overall_keep_rate6,\n"
+        + "  FLOOR((keep_rate6 - overall_keep_rate6) * 1000000 + 0.5)"
+        + " / 1000000 AS bias6,\n"
+        + "  (ABS(keep_rate6 - overall_keep_rate6) > 0.1) AS flagged\n"
+        + "FROM (\n" + "\nUNION ALL\n".join(rows) + "\n)\n"
+        + "ORDER BY gate, lang"
+    )
+
+
+@query("gate_bias_audit", _gate_bias_oracle())
+def gate_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-BIAS audit — the responsible-curation companion to
+    gate_attribution_audit: per (gate, language), the gate's keep rate
+    against its corpus-wide keep rate, with a flag when the deviation
+    exceeds 10 points. Quality filters are known to systematically
+    penalize particular languages and dialects (the documented failure
+    mode of classifier-based curation); this table makes that
+    disparity a measured, release-blocking artifact instead of a
+    post-hoc discovery. The same construction extends to any stored
+    demographic proxy column.
+
+    Every gate is the REGISTERED query reused verbatim; the oracle
+    embeds the registered oracles (the attribution/funnel discipline);
+    the ONE fenced flags relation feeds all gate × lang cells.
+
+    Scale: seven narrow keep-set joins onto the doc spine (each gate's
+    own documented bounded plan), then a (gate × lang)-sized rollup —
+    dimensions, not rows.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    flags = docs
+    n = len(_FUNNEL_GATES)
+    for i, (name, key, _cond, flt, _core) in enumerate(_FUNNEL_GATES, start=1):
+        keep = flt(_QUERIES[key](spark, sf_dir)).select(
+            "doc_id", F.lit(1).alias(f"__k{i}")
+        )
+        flags = flags.join(keep, "doc_id", "left").withColumn(
+            f"k{i}", F.coalesce(F.col(f"__k{i}"), F.lit(0))
+        ).drop(f"__k{i}")
+    flags = flags.localCheckpoint(eager=False)
+    out = None
+    for i, (name, _key, _cond, _flt, _core) in enumerate(
+        _FUNNEL_GATES, start=1
+    ):
+        overall = flags.agg(
+            rnd(F.sum(f"k{i}") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "overall_keep_rate6"
+            )
+        )
+        row = (
+            flags.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(f"k{i}").cast("long").alias("n_kept"),
+                rnd(F.sum(f"k{i}") * 1.0 / F.count(F.lit(1)), 6).alias(
+                    "keep_rate6"
+                ),
+            )
+            .crossJoin(F.broadcast(overall))
+            .select(
+                F.lit(i).cast("long").alias("gate"),
+                F.lit(name).alias("gate_name"),
+                "lang",
+                "n_docs",
+                "n_kept",
+                "keep_rate6",
+                "overall_keep_rate6",
+                rnd(
+                    F.col("keep_rate6") - F.col("overall_keep_rate6"), 6
+                ).alias("bias6"),
+                (
+                    F.abs(
+                        F.col("keep_rate6") - F.col("overall_keep_rate6")
+                    )
+                    > 0.1
+                ).alias("flagged"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gate", "lang")

@@ -176,6 +176,8 @@ OPS = [
     "quality_score_quantile_norm",
     # per-gate ablation attribution (7 keep-set joins on one fenced spine)
     "gate_attribution_audit",
+    # per-(gate, lang) filter-bias audit (same fenced spine, dim rollup)
+    "gate_bias_audit",
 ]
 
 
