@@ -249,6 +249,8 @@ HEADLINE = [
     "gate_attribution_audit",
     # per-(gate, lang) keep-rate disparity (the filter-bias audit)
     "gate_bias_audit",
+    # greedy farthest-point coreset selection (iterative fixpoint #4)
+    "kcenter_coreset_selection",
 ]
 
 

@@ -16204,6 +16204,164 @@ def gate_attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("gate")
 
 
+def _kcenter_oracle(k: int = 8) -> str:
+    """k unrolled greedy farthest-point rounds (the kmeans/pca
+    chained-CTE proof pattern): round i picks the vector maximizing
+    the 6-dp-quantized min cosine distance to the chosen set, ties to
+    the lowest id; chosen ids are excluded from later rounds."""
+
+    def dist(c: str) -> str:
+        return (
+            f"FLOOR((1 - list_dot_product(e.v, (SELECT v FROM {c}))"
+            f" / (GREATEST(sqrt(list_dot_product(e.v, e.v)), 1e-12)"
+            f" * GREATEST(sqrt((SELECT list_dot_product(v, v) FROM {c})),"
+            f" 1e-12))) * 1000000 + 0.5) / 1000000"
+        )
+
+    # MATERIALIZED everywhere: round i references every earlier round
+    # (and e) several times — inlined CTEs would re-expand the whole
+    # chain multiplicatively (the funnel-v3 lesson; observed as a
+    # too-many-open-files parquet re-scan blow-up)
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, label,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "c1 AS MATERIALIZED"
+        " (SELECT vec_id, label, v FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        prev = ", ".join(
+            dist(f"c{j}") for j in range(1, i)
+        )
+        md = f"LEAST({prev})" if i > 2 else prev
+        chosen = ", ".join(f"(SELECT vec_id FROM c{j})" for j in range(1, i))
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.vec_id, e.label, e.v, {md} AS md"
+            f" FROM e WHERE e.vec_id NOT IN ({chosen})"
+            f" ORDER BY md DESC, e.vec_id ASC LIMIT 1)"
+        )
+    rows = [
+        "SELECT CAST(1 AS BIGINT) AS round, vec_id, label,"
+        " CAST(NULL AS DOUBLE) AS sel_dist6 FROM c1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT) AS round, vec_id, label,"
+        f" md AS sel_dist6 FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY round"
+    )
+
+
+@query("kcenter_coreset_selection", _kcenter_oracle(8))
+def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY k-CENTER coreset selection (farthest-point traversal —
+    Gonzalez 1985; the Sener & Savarese active-learning / coreset
+    data-selection primitive, and the standard diverse-seed picker for
+    IVF training): starting from the lowest-id vector, each of 8
+    rounds adds the vector farthest (max min cosine distance, 6 dp,
+    ties to the lowest id) from everything chosen so far — the
+    2-approximation of the k-center objective, selecting a maximally
+    diverse subset for labeling, ANN seeding, or data-budget
+    selection. The registry's iterative fixpoint #4, next to Lloyd
+    k-means, PageRank, and power iteration.
+
+    The chosen set rides as ONE array row (the embedding_outlier_knn
+    broadcast-array shape): each round is a shuffle-free min-distance
+    projection over the corpus + a TakeOrdered-1 argmax + an
+    array_append — no driver collect anywhere; lazy localCheckpoint
+    fences keep the 8-round lineage flat. The oracle unrolls the
+    rounds as chained CTEs computing the bit-identical greedy
+    recurrence (the kmeans/pca proof pattern).
+
+    Scale: 8 passes over the corpus with ≤8 fold-dots per row each —
+    Θ(8·N·D) map work, one 1-row argmax reduction per round.
+    """
+    from etl_weather_spark.operators.similarity import as_double_array, dot
+
+    k = 8
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    ).withColumn(
+        "nv", F.greatest(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12))
+    ).localCheckpoint(eager=False)
+    seed = e.orderBy("vec_id").limit(1)
+    centers = seed.select(
+        F.array(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("nv").alias("cn"),
+            )
+        ).alias("cs")
+    ).localCheckpoint(eager=False)
+    rows = [
+        seed.select(
+            F.lit(1).cast("long").alias("round"),
+            "vec_id",
+            "label",
+            F.lit(None).cast("double").alias("sel_dist6"),
+        )
+    ]
+    for i in range(2, k + 1):
+        scored = (
+            e.crossJoin(F.broadcast(centers))
+            .filter(
+                ~F.array_contains(
+                    F.transform(F.col("cs"), lambda c: c["cid"]),
+                    F.col("vec_id"),
+                )
+            )
+            .select(
+                "vec_id",
+                "label",
+                F.array_min(
+                    F.transform(
+                        F.col("cs"),
+                        lambda c: rnd(
+                            F.lit(1)
+                            - dot(F.col("v"), c["cv"])
+                            / (F.col("nv") * c["cn"]),
+                            6,
+                        ),
+                    )
+                ).alias("md"),
+                "v",
+                "nv",
+            )
+        )
+        top1 = scored.orderBy(F.desc("md"), F.asc("vec_id")).limit(1)
+        top1 = top1.localCheckpoint(eager=False)
+        rows.append(
+            top1.select(
+                F.lit(i).cast("long").alias("round"),
+                "vec_id",
+                "label",
+                F.col("md").alias("sel_dist6"),
+            )
+        )
+        centers = (
+            centers.crossJoin(F.broadcast(top1))
+            .select(
+                F.array_append(
+                    F.col("cs"),
+                    F.struct(
+                        F.col("vec_id").alias("cid"),
+                        F.col("v").alias("cv"),
+                        F.col("nv").alias("cn"),
+                    ),
+                ).alias("cs")
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")
+
+
 def _gate_bias_oracle() -> str:
     """Per (gate, lang) keep rate vs the gate's corpus-wide keep rate —
     the registered gate oracles embedded verbatim, one flags relation,

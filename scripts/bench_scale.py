@@ -178,6 +178,8 @@ OPS = [
     "gate_attribution_audit",
     # per-(gate, lang) filter-bias audit (same fenced spine, dim rollup)
     "gate_bias_audit",
+    # greedy k-center coreset (8 map passes + 1-row argmax per round)
+    "kcenter_coreset_selection",
 ]
 
 

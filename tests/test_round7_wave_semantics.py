@@ -251,6 +251,50 @@ def test_heaps_flat_on_fixed_vocab_corpus(spark, tmp_path):
     assert abs(r.beta6) < 0.01
 
 
+def test_kcenter_matches_pure_python_greedy(spark, tmp_path):
+    """Independent replay: greedy farthest-point with the same 6-dp
+    quantization and tie-breaks, in plain Python — the selections must
+    match round for round (the kmeans independent-replay discipline)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 6
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3)
+        for i in range(40)
+    ]
+    sf = _write_emb(
+        spark, tmp_path, [(i, [float(x) for x in v], lb) for i, v, lb in rows]
+    )
+
+    def d6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = max(math.sqrt(sum(x * x for x in a)), 1e-12)
+        nb = max(math.sqrt(sum(x * x for x in b)), 1e-12)
+        return math.floor((1 - dot / (na * nb)) * 1e6 + 0.5) / 1e6
+
+    vecs = {i: v for i, v, _ in rows}
+    chosen = [0]  # lowest vec_id seeds
+    expect = [(1, 0, None)]
+    for rnd_i in range(2, 9):
+        best = None
+        for i in sorted(vecs):
+            if i in chosen:
+                continue
+            md = min(d6(vecs[i], vecs[c]) for c in chosen)
+            if best is None or md > best[1] or (md == best[1] and i < best[0]):
+                best = (i, md)
+        chosen.append(best[0])
+        expect.append((rnd_i, best[0], best[1]))
+
+    got = [
+        (r.round, r.vec_id, r.sel_dist6)
+        for r in q.kcenter_coreset_selection(spark, sf).collect()
+    ]
+    assert got == expect
+
+
 def test_release_report_rates_are_consistent(spark, sf_dir):
     """On the real sf0.001 tables: every rate sits in [0,1] and the
     dup/keep rates agree with their standalone audits recomputed here."""
