@@ -233,6 +233,13 @@ _PRIORITY = [
     # family joins the staying ks_drift_audit) and
     # embedding_outlier_knn (embedding family keeps ann_cosine_topk,
     # semantic_dedup, semantic_decontaminate).
+    # round-7 session-2 rotation: incremental_index_dedup (r2+-green;
+    # the dedup family keeps dedup_exact, prefix_filter_jaccard,
+    # dedup_clusters, lsh_recall_audit, semantic_dedup — five checked
+    # siblings) out for curated_shard_manifest, the session's
+    # end-to-end flagship (funnel gates -> exact-dedup keepers ->
+    # shard manifest; zero prior driver exposure, triple-verified at
+    # sf0.001/0.01/0.1).
     "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
     "corpus_prep_funnel_v2", "minmax_norm",
     "rank_pct_diff", "corpus_prep_funnel_v3", "asof_join",
@@ -268,7 +275,7 @@ _PRIORITY = [
     # replica still verifies them; hour_labels likewise rotated out for
     # corpus_prep_funnel — the end-to-end prep chain belongs in the
     # hard signal more than a 12-hour label format)
-    "incremental_index_dedup", "token_budget_batches",
+    "curated_shard_manifest", "token_budget_batches",
     # TPC-shaped join/agg anchors
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     # training-data pipeline: text analysis + dedup + similarity
