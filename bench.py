@@ -251,6 +251,8 @@ HEADLINE = [
     "gate_bias_audit",
     # greedy farthest-point coreset selection (iterative fixpoint #4)
     "kcenter_coreset_selection",
+    # near-dup cluster-size distribution (the dedup paper's table 1)
+    "dup_cluster_size_histogram",
 ]
 
 

@@ -16369,6 +16369,97 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("round")
 
 
+def _cluster_size_hist_oracle() -> str:
+    """Embed the registered dedup_clusters oracle verbatim and roll its
+    membership up into the cluster-size histogram."""
+    return f"""
+WITH cc AS MATERIALIZED (
+  SELECT doc_id, cluster_id FROM ({_ORACLES["dedup_clusters"]}
+  )
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM cc
+  GROUP BY cluster_id
+),
+tot AS (
+  SELECT CAST(SUM(size) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN size >= 10 THEN size ELSE 0 END) AS BIGINT)
+           AS mega_docs
+  FROM sizes
+)
+SELECT s.size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(s.size) AS BIGINT) AS n_docs_at_size,
+       CAST(SUM(s.size) - COUNT(*) AS BIGINT) AS removable_at_size,
+       FLOOR((SUM(s.size) * 1.0 / t.n_docs) * 1000000 + 0.5) / 1000000
+         AS doc_share6,
+       FLOOR((t.mega_docs * 1.0 / t.n_docs) * 1000000 + 0.5) / 1000000
+         AS mega_cluster_share6
+FROM sizes s CROSS JOIN tot t
+GROUP BY s.size, t.n_docs, t.mega_docs
+ORDER BY s.size
+"""
+
+
+@query("dup_cluster_size_histogram", _cluster_size_hist_oracle())
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP CLUSTER-SIZE distribution — the first table every dedup
+    paper reports (Lee et al. 2022, SemDeDup: cluster sizes are
+    power-law; a handful of mega-clusters hold most removable mass):
+    per cluster size, how many clusters, how many documents they hold,
+    how many dedup would remove (size − 1 each), the document share,
+    and the corpus share sitting in ≥10-doc mega-clusters — the number
+    that decides whether boilerplate capping needs tightening before a
+    full dedup run.
+
+    The membership is the REGISTERED dedup_clusters result reused
+    verbatim (Spark side calls it; the oracle embeds its oracle — the
+    composition discipline), so the histogram cannot drift from the
+    clustering it summarizes.
+
+    Scale: membership is the LSH-pruned pair graph's CC output (narrow
+    id relations); the rollup is two keyed partial aggs over
+    (cluster_id) then (size) — both bounded dimensions downstream of
+    the clustering itself.
+    """
+    cc = _QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    tot = sizes.agg(
+        F.sum("size").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("size") >= 10, F.col("size")).otherwise(0))
+        .cast("long")
+        .alias("mega_docs"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy("size", "n_docs", "mega_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("size").cast("long").alias("n_docs_at_size"),
+            (F.sum("size") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("removable_at_size"),
+        )
+        .select(
+            "size",
+            "n_clusters",
+            "n_docs_at_size",
+            "removable_at_size",
+            rnd(F.col("n_docs_at_size") * 1.0 / F.col("n_docs"), 6).alias(
+                "doc_share6"
+            ),
+            rnd(F.col("mega_docs") * 1.0 / F.col("n_docs"), 6).alias(
+                "mega_cluster_share6"
+            ),
+        )
+        .orderBy("size")
+    )
+
+
 def _gate_bias_oracle() -> str:
     """Per (gate, lang) keep rate vs the gate's corpus-wide keep rate —
     the registered gate oracles embedded verbatim, one flags relation,

@@ -180,6 +180,8 @@ OPS = [
     "gate_bias_audit",
     # greedy k-center coreset (8 map passes + 1-row argmax per round)
     "kcenter_coreset_selection",
+    # dedup report: cluster-size power-law table over the CC membership
+    "dup_cluster_size_histogram",
 ]
 
 
