@@ -295,6 +295,21 @@ def test_kcenter_matches_pure_python_greedy(spark, tmp_path):
     assert got == expect
 
 
+def test_cluster_size_histogram_conserves_membership(spark, sf_dir):
+    """Invariants against the registered clustering: sizes×counts sum
+    back to the full membership, removable = docs − clusters at every
+    size, and doc shares sum to 1."""
+    hist = q.dup_cluster_size_histogram(spark, sf_dir).collect()
+    cc = q.dedup_clusters(spark, sf_dir)
+    n_docs = cc.count()
+    n_clusters = cc.select("cluster_id").distinct().count()
+    assert sum(r.n_docs_at_size for r in hist) == n_docs
+    assert sum(r.n_clusters for r in hist) == n_clusters
+    for r in hist:
+        assert r.removable_at_size == r.n_docs_at_size - r.n_clusters
+    assert abs(sum(r.doc_share6 for r in hist) - 1.0) < 1e-4
+
+
 def test_release_report_rates_are_consistent(spark, sf_dir):
     """On the real sf0.001 tables: every rate sits in [0,1] and the
     dup/keep rates agree with their standalone audits recomputed here."""
