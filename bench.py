@@ -253,6 +253,14 @@ HEADLINE = [
     "kcenter_coreset_selection",
     # near-dup cluster-size distribution (the dedup paper's table 1)
     "dup_cluster_size_histogram",
+    # round-7 wave 7: pre-shuffle skew planner (one keyed agg per
+    # audited relation), map-only readability gate, cross-source
+    # duplication matrix (count products, never pair enumeration),
+    # fully hash-verified IVF recall@10 audit (kmeans quantizer reused)
+    "join_skew_audit",
+    "readability_flesch_gate",
+    "cross_source_dup_matrix",
+    "ann_ivf_recall_audit",
 ]
 
 

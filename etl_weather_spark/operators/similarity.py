@@ -836,9 +836,34 @@ def kmeans_lloyd(
     iters: int = 3,
     checkpoint_every: int = 4,
 ) -> DataFrame:
-    """Distributed Lloyd k-means: (vec_id, cluster, qdist) after
-    ``iters`` assignment/update rounds from deterministic seeds (the k
-    lowest-id vectors, components rounded at 6 dp).
+    """Assignment-only wrapper over kmeans_lloyd_full (see its doc)."""
+    assign, _cent = kmeans_lloyd_full(
+        emb,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+        iters=iters,
+        checkpoint_every=checkpoint_every,
+    )
+    return assign
+
+
+def kmeans_lloyd_full(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 3,
+    checkpoint_every: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd k-means: returns (assignments, centroids) where
+    assignments is (vec_id, cluster, qdist) after ``iters``
+    assignment/update rounds from deterministic seeds (the k lowest-id
+    vectors, components rounded at 6 dp) and centroids is the
+    (cluster, pos, c) table the FINAL assignment ranked against — the
+    ready-made coarse quantizer for an IVF index (ann_ivf_recall_audit
+    probes it with the identical quantized-distance algebra).
 
     Exactness discipline (what makes another engine reproduce this
     bit-for-bit, which float k-means never allows):
@@ -930,7 +955,7 @@ def kmeans_lloyd(
         )
         if rounds_done % checkpoint_every == 0:
             cent = cent.localCheckpoint()
-    return assign
+    return assign, cent
 
 
 def power_iteration_top_component(

@@ -50,3 +50,81 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return lt.join(rt, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key_col: str, rel_key: str) -> DataFrame:
+    """One-row key-multiplicity profile of ``df[key_col]`` — the
+    measurement that DECIDES between the mitigations above before the
+    shuffle runs: row/key counts, max & exact-p99 multiplicity, the
+    hottest key (ties broken to the smallest), its row share, the
+    max/avg skew factor, and ``salting_recommended`` (max > 4× avg).
+
+    Scale: ONE keyed partial agg (the same shuffle the audited job
+    would run, collapsed map-side to (key, count)); the multiplicity
+    histogram, its cumulative p99 scan, and the argmax are all bounded
+    by the DISTINCT-MULTIPLICITY cardinality — a few hundred values
+    even at corpus scale — so the single-partition cumulative window
+    never sees row-grain data.
+
+    p99 definition (exact, engine-portable integer arithmetic): the
+    smallest multiplicity m with |{keys: mult ≤ m}| · 100 ≥ 99 · n_keys.
+    """
+    from pyspark.sql import Window
+
+    from etl_weather_spark.functions.rounding import rnd
+
+    m = (
+        df.select(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = m.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_mult"),
+    )
+    hot = (
+        m.crossJoin(F.broadcast(s))
+        .filter(F.col("c") == F.col("max_mult"))
+        .agg(F.min("k").alias("hot_key"))
+    )
+    h = m.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("nk"))
+    cum = h.select(
+        "c",
+        F.sum("nk")
+        .over(
+            Window.orderBy("c").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum_keys"),
+    )
+    p99 = (
+        cum.crossJoin(F.broadcast(s))
+        .filter(F.col("cum_keys") * 100 >= F.col("n_keys") * 99)
+        .agg(F.min("c").cast("long").alias("p99_mult"))
+    )
+    return (
+        s.crossJoin(F.broadcast(hot))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            F.lit(rel_key).alias("rel_key"),
+            "n_rows",
+            "n_keys",
+            "max_mult",
+            rnd(F.col("n_rows") * 1.0 / F.col("n_keys"), 6).alias("avg_mult6"),
+            rnd(
+                F.col("max_mult") * 1.0 * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew6"),
+            "hot_key",
+            rnd(F.col("max_mult") * 1.0 / F.col("n_rows"), 6).alias(
+                "hot_share6"
+            ),
+            "p99_mult",
+            (
+                F.col("max_mult") * F.col("n_keys") > F.lit(4) * F.col("n_rows")
+            ).alias("salting_recommended"),
+        )
+    )

@@ -240,11 +240,18 @@ _PRIORITY = [
     # end-to-end flagship (funnel gates -> exact-dedup keepers ->
     # shard manifest; zero prior driver exposure, triple-verified at
     # sf0.001/0.01/0.1).
+    # round-7 session-3 rotation: media_area_resize_stats (r05/r06-green;
+    # the real-codec decode+conform family keeps media_jpeg_stats, a
+    # superset decode path, plus the pytest codec suite) out for
+    # ann_ivf_recall_audit — the session-3 flagship: the first ANN
+    # recall audit whose NUMBERS are hash-verified end to end (the
+    # registered kmeans quantizer's CTE chain reused verbatim;
+    # triple-verified at sf0.001/0.01/0.1 + perfect-recall crafted test).
     "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
     "corpus_prep_funnel_v2", "minmax_norm",
     "rank_pct_diff", "corpus_prep_funnel_v3", "asof_join",
     "weather_code_decode",
-    "media_area_resize_stats", "containment_pairs",
+    "ann_ivf_recall_audit", "containment_pairs",
     "media_jpeg_stats", "simhash_near_dupes",
     "bpe_encode_stats", "dsir_importance_weights",
     "bm25_topk", "ccnet_ppl_buckets", "sentence_dedup_global",
@@ -9758,10 +9765,12 @@ def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_repetition_profile(load(spark, sf_dir, "documents"))
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Unrolled-iteration SQL twin of operators/similarity.kmeans_lloyd:
-    one dist/asg/cent CTE triple per Lloyd round, each step the same
-    quantized-integer algebra the Spark operator runs."""
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """CTE list shared by _kmeans_oracle and the IVF recall-audit
+    oracle: one dist/asg/cent triple per Lloyd round, each step the
+    same quantized-integer algebra the Spark operator runs. The final
+    assignment CTE is ``asg{iters}``; the centroid table it ranked
+    against is ``cent{iters - 1}``."""
     ctes = [
         """comp AS (
   SELECT vec_id,
@@ -9813,9 +9822,15 @@ def _kmeans_oracle(k: int, iters: int) -> str:
   ) m ON m.cluster = p.cluster AND m.pos = p.pos
 )"""
             )
+    return ctes
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-iteration SQL twin of operators/similarity.kmeans_lloyd
+    (CTE construction shared with the IVF recall audit's oracle)."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_kmeans_ctes(k, iters))
         + f"""
 SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, a.qd AS qdist, e.label
 FROM asg{iters} a JOIN embeddings e ON e.vec_id = a.vec_id
@@ -16576,3 +16591,590 @@ def gate_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("gate", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 4: shuffle-skew planning, readability gating, cross-source
+# duplication reporting, and a fully hash-verified IVF recall audit.
+# ---------------------------------------------------------------------------
+
+
+def _skew_audit_targets() -> list[tuple[str, str, str]]:
+    """(rel_key label, table, key column) pairs audited before the
+    shuffles that production runs on them: the event fact's user key
+    (heavy-hitter users exist by construction), the lineitem/orders
+    join keys, and the documents partition-by-source key."""
+    return [
+        ("documents.source", "documents", "source"),
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ]
+
+
+def _skew_audit_oracle() -> str:
+    legs = []
+    for name, table, key in _skew_audit_targets():
+        legs.append(
+            f"""(WITH m AS (
+  SELECT COALESCE(CAST({key} AS VARCHAR), '<null>') AS k,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_mult
+  FROM m
+),
+hot AS (SELECT MIN(m.k) AS hot_key FROM m, s WHERE m.c = s.max_mult),
+h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk FROM m GROUP BY c),
+cum AS (SELECT c, SUM(nk) OVER (ORDER BY c) AS cum_keys FROM h),
+p99 AS (
+  SELECT CAST(MIN(cum.c) AS BIGINT) AS p99_mult
+  FROM cum, s WHERE cum.cum_keys * 100 >= 99 * s.n_keys
+)
+SELECT '{name}' AS rel_key, s.n_rows, s.n_keys, s.max_mult,
+       FLOOR((s.n_rows * 1.0 / s.n_keys) * 1000000 + 0.5) / 1000000
+         AS avg_mult6,
+       FLOOR((s.max_mult * 1.0 * s.n_keys / s.n_rows) * 1000000 + 0.5)
+         / 1000000 AS skew6,
+       hot.hot_key,
+       FLOOR((s.max_mult * 1.0 / s.n_rows) * 1000000 + 0.5) / 1000000
+         AS hot_share6,
+       p99.p99_mult,
+       (s.max_mult * s.n_keys > 4 * s.n_rows) AS salting_recommended
+FROM s, hot, p99)"""
+        )
+    return "\n".join(
+        ["SELECT * FROM ("] + ["\nUNION ALL\n".join(legs)] + [") ORDER BY rel_key"]
+    )
+
+
+@query("join_skew_audit", _skew_audit_oracle())
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-SHUFFLE SKEW PLANNER: per (relation, key) pair that
+    production joins/groups on, the key-multiplicity profile that
+    decides the physical strategy BEFORE the job runs — row count,
+    distinct keys, max/avg multiplicity, the hottest key and its row
+    share, the exact p99 multiplicity, and a salting recommendation
+    (max > 4× avg). At 100 TB this table is what tells you whether the
+    events.user_id shuffle needs salting or AQE skew-join hints, and
+    whether a lineitem join partitions evenly — measured, not guessed.
+
+    Scale: ONE keyed partial agg per audited relation (the same
+    shuffle the audited job would run, but collapsed map-side to
+    (key, count)); everything downstream — the multiplicity histogram,
+    its cumulative p99 scan, the argmax — is bounded by the DISTINCT
+    MULTIPLICITY cardinality (≤ a few hundred values even at corpus
+    scale), so the global cumulative window never sees row-grain data.
+    """
+    from etl_weather_spark.operators.skew import key_skew_profile
+
+    out = None
+    for name, table, key in _skew_audit_targets():
+        row = key_skew_profile(load(spark, sf_dir, table), key, name)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rel_key")
+
+
+_FLESCH_EASY = 70.0
+_FLESCH_STANDARD = 50.0
+_FLESCH_DIFFICULT = 30.0
+
+
+@query(
+    "readability_flesch_gate",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         FLOOR((CAST(n_words AS DOUBLE) / n_sentences) * 1000000 + 0.5)
+           / 1000000 AS words_per_sentence6,
+         FLOOR((CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1))
+               * 1000000 + 0.5) / 1000000 AS syllables_per_word6,
+         FLOOR((206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1)))
+               * 1000000 + 0.5) / 1000000 AS flesch6,
+         FLOOR((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                + 11.8 * (CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1))
+                - 15.59)
+               * 1000000 + 0.5) / 1000000 AS fk_grade6
+  FROM m
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       words_per_sentence6, syllables_per_word6, flesch6, fk_grade6,
+       CASE WHEN flesch6 >= 70.0 THEN 'easy'
+            WHEN flesch6 >= 50.0 THEN 'standard'
+            WHEN flesch6 >= 30.0 THEN 'difficult'
+            ELSE 'very_difficult' END AS band,
+       (n_words >= 5 AND flesch6 >= 30.0) AS keep
+FROM scored ORDER BY doc_id
+""",
+)
+def readability_flesch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY gate — Flesch reading-ease + Flesch-Kincaid grade
+    per document from surface counts (words = non-space runs,
+    sentences = [.!?]+ runs clamped ≥ 1, syllables = vowel-group runs,
+    the standard library-free heuristic), banded into the published
+    score ranges and gated at the 'difficult' floor. Readability is a
+    classic curation signal (textbook-quality selection pipelines gate
+    on it); unlike the classifier variants it is exactly replayable,
+    so the driver hash-verifies every score.
+
+    Determinism: both engines run the IDENTICAL regexes ('\\S+',
+    '[.!?]+', '[aeiouy]+' — no engine-divergent syntax) and the
+    IDENTICAL double expression shape for the two formulas, so the
+    6-dp floor-rounded scores match bit-for-bit; the band CASE reads
+    the ROUNDED score, never the raw double.
+
+    Scale: pure stateless projection + one count — no shuffle at all
+    until the final ORDER BY (display only). Three regexp_count passes
+    per document, all JVM-side codegen; at 100 TB this is a map-only
+    job that saturates scan bandwidth.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.greatest(
+        F.col("n_words"), F.lit(1)
+    )
+    scored = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias(
+            "n_words"
+        ),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        rnd(wps, 6).alias("words_per_sentence6"),
+        rnd(spw, 6).alias("syllables_per_word6"),
+        rnd(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6).alias(
+            "flesch6"
+        ),
+        rnd(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade6"),
+    )
+    return scored.select(
+        "*",
+        F.when(F.col("flesch6") >= _FLESCH_EASY, F.lit("easy"))
+        .when(F.col("flesch6") >= _FLESCH_STANDARD, F.lit("standard"))
+        .when(F.col("flesch6") >= _FLESCH_DIFFICULT, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+        .alias("band"),
+        (
+            (F.col("n_words") >= 5)
+            & (F.col("flesch6") >= F.lit(_FLESCH_DIFFICULT))
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _cross_source_dup_oracle() -> str:
+    """Embed the registered dedup_clusters oracle verbatim; roll the
+    membership into per-(cluster, source) counts, then a source×source
+    pair matrix by count products — never pair enumeration."""
+    return f"""
+WITH cc AS MATERIALIZED (
+  SELECT doc_id, cluster_id FROM ({_ORACLES["dedup_clusters"]}
+  )
+),
+cs AS (
+  SELECT c.cluster_id, d.source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cc c JOIN documents d ON d.doc_id = c.doc_id
+  GROUP BY 1, 2
+),
+cross_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS dup_pairs
+  FROM cs a JOIN cs b
+    ON a.cluster_id = b.cluster_id AND a.source < b.source
+  GROUP BY 1, 2
+),
+same_pairs AS (
+  SELECT source AS source_a, source AS source_b,
+         CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT) AS dup_pairs
+  FROM cs GROUP BY 1, 2
+),
+pairs AS (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+grid AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n_docs AS docs_a, b.n_docs AS docs_b,
+         CASE WHEN a.source = b.source
+              THEN CAST(a.n_docs * (a.n_docs - 1) / 2 AS BIGINT)
+              ELSE a.n_docs * b.n_docs END AS possible_pairs
+  FROM tot a JOIN tot b ON a.source <= b.source
+)
+SELECT g.source_a, g.source_b, g.docs_a, g.docs_b,
+       CAST(COALESCE(p.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+       g.possible_pairs,
+       FLOOR((COALESCE(p.dup_pairs, 0) * 1000000.0
+              / GREATEST(g.possible_pairs, 1)) * 100 + 0.5) / 100
+         AS dup_ppm2
+FROM grid g
+LEFT JOIN pairs p ON p.source_a = g.source_a AND p.source_b = g.source_b
+ORDER BY g.source_a, g.source_b
+"""
+
+
+@query("cross_source_dup_matrix", _cross_source_dup_oracle())
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE DUPLICATION MATRIX — which sources copy which: for
+    every (source_a ≤ source_b) cell, the number of near-dup document
+    pairs straddling the two sources, the possible-pair denominator,
+    and the rate in parts-per-million. Corpus reports lead with this
+    table (mirror-site detection, license-laundering checks, "is src3
+    just src0 re-crawled?"); a hot off-diagonal cell redirects the
+    dedup budget before training ever starts.
+
+    The membership is the REGISTERED dedup_clusters result reused
+    verbatim (oracle embeds its oracle — the composition discipline).
+    Zero cells are materialized from the full source×source grid so
+    the matrix is always |sources|² rows regardless of what dedup
+    found.
+
+    Scale: pairs are NEVER enumerated — membership rolls up to
+    per-(cluster, source) counts and the matrix is count PRODUCTS on a
+    cluster-keyed self-join of that dimension-sized relation, so a
+    mega-cluster costs |sources| rows, not size² pairs. The grid and
+    totals are |sources|-sized broadcasts.
+    """
+    cc = _QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    cs = (
+        cc.join(docs, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a = cs.select(
+        F.col("cluster_id"),
+        F.col("source").alias("source_a"),
+        F.col("n").alias("na"),
+    )
+    b = cs.select(
+        F.col("cluster_id"),
+        F.col("source").alias("source_b"),
+        F.col("n").alias("nb"),
+    )
+    cross_pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("dup_pairs"))
+    )
+    same_pairs = cs.groupBy(
+        F.col("source").alias("source_a"), F.col("source").alias("source_b")
+    ).agg(
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("dup_pairs")
+    )
+    pairs = cross_pairs.unionByName(same_pairs)
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_docs").alias("docs_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_docs").alias("docs_b")
+    )
+    grid = (
+        ta.join(F.broadcast(tb), F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "docs_a",
+            "docs_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                (F.col("docs_a") * (F.col("docs_a") - 1) / 2).cast("long"),
+            )
+            .otherwise(F.col("docs_a") * F.col("docs_b"))
+            .cast("long")
+            .alias("possible_pairs"),
+        )
+    )
+    return (
+        grid.join(pairs, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "docs_a",
+            "docs_b",
+            F.coalesce(F.col("dup_pairs"), F.lit(0))
+            .cast("long")
+            .alias("dup_pairs"),
+            "possible_pairs",
+            rnd(
+                F.coalesce(F.col("dup_pairs"), F.lit(0))
+                * 1000000.0
+                / F.greatest(F.col("possible_pairs"), F.lit(1)),
+                2,
+            ).alias("dup_ppm2"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _ivf_recall_oracle(k: int, iters: int, nprobe: int, topk: int) -> str:
+    """SQL twin of ann_ivf_recall_audit: the shared kmeans CTE chain
+    (bit-exact quantizer replay), query-to-centroid probing with the
+    SAME quantized-integer distance, in-cell exact cosine top-k, and
+    the brute-force top-k as the recall denominator."""
+    cent = f"cent{iters - 1}"
+    cos = (
+        "FLOOR((list_dot_product({a}, {b}) / "
+        "(GREATEST(sqrt(list_dot_product({a}, {a})), 1e-12) * "
+        "GREATEST(sqrt(list_dot_product({b}, {b})), 1e-12))) "
+        "* 1000000 + 0.5) / 1000000"
+    )
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(k, iters))
+        + f""",
+qdistc AS (
+  SELECT comp.vec_id, cc.cluster,
+         CAST(SUM(CAST(FLOOR((comp.x - cc.c) * (comp.x - cc.c)
+                             * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS qd
+  FROM comp JOIN {cent} cc ON cc.pos = comp.pos
+  WHERE comp.vec_id < 8
+  GROUP BY comp.vec_id, cc.cluster
+),
+probe AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY qd ASC, cluster ASC) AS rn
+    FROM qdistc
+  ) WHERE rn <= {nprobe}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN asg{iters} a
+    ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {cos.format(a="q.v", b="n.v")} DESC, c.neighbor_id
+           ) AS rank
+    FROM cand c
+    JOIN e q ON q.vec_id = c.query_id
+    JOIN e n ON n.vec_id = c.neighbor_id
+  ) WHERE rank <= {topk}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {cos.format(a="q.v", b="n.v")} DESC, n.vec_id
+           ) AS rank
+    FROM e q CROSS JOIN e n
+    WHERE q.vec_id < 8 AND n.vec_id <> q.vec_id
+  ) WHERE rank <= {topk}
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM approx a JOIN exact x
+    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+),
+ncand AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY query_id
+),
+napprox AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n FROM approx GROUP BY query_id
+),
+nexact AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exact GROUP BY query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(ne.n, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(na.n, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       FLOOR((COALESCE(h.n_hit, 0) * 1.0 / GREATEST(COALESCE(ne.n, 0), 1))
+             * 10000 + 0.5) / 10000 AS recall4
+FROM embeddings q
+LEFT JOIN ncand nc ON nc.query_id = q.vec_id
+LEFT JOIN nexact ne ON ne.query_id = q.vec_id
+LEFT JOIN napprox na ON na.query_id = q.vec_id
+LEFT JOIN hits h ON h.query_id = q.vec_id
+WHERE q.vec_id < 8
+ORDER BY query_id"""
+    )
+
+
+@query("ann_ivf_recall_audit", _ivf_recall_oracle(k=4, iters=3, nprobe=2, topk=10))
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY HASH-VERIFIED IVF recall@10 audit — the evaluation step an
+    ANN deployment runs before trusting the index: build the coarse
+    quantizer (the registered distributed Lloyd k-means, k=4, 3
+    rounds), assign the corpus to cells, probe the nprobe=2 nearest
+    cells per query with the SAME quantized-integer distance the
+    quantizer trained with, rank candidates by exact cosine, and score
+    against brute-force top-10. Unlike ann_cosine_lsh (whose seeded
+    hyperplanes force a property-style oracle), every stage here is
+    engine-replayable, so the driver hash-matches the recall NUMBERS —
+    candidate counts, hits, recall@10 — not just a boolean gate.
+
+    The quantizer CTEs are the registered kmeans oracle's, shared via
+    _kmeans_ctes (the composition discipline: the audit cannot drift
+    from the clustering it evaluates); the Spark side reuses
+    kmeans_lloyd_full's (assignments, centroids) pair.
+
+    Scale: the cell index is built once (assignments + k·D centroids);
+    each query probes nprobe cells, so candidate volume is
+    nprobe/k of the corpus per query instead of all-pairs; the probe
+    ranking is a k-row broadcast per query; the brute-force leg exists
+    only because an audit needs ground truth — production reruns it on
+    a bounded query SAMPLE (this one: 8 queries), never the corpus.
+    """
+    from etl_weather_spark.operators.similarity import (
+        as_double_array,
+        cosine_topk_bruteforce,
+        dot,
+        kmeans_lloyd_full,
+        norm_safe,
+        topk_per_group,
+    )
+
+    nprobe, topk = 2, 10
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    assign, cent = kmeans_lloyd_full(emb, k=4, iters=3)
+    assign = assign.localCheckpoint(eager=False)
+    qcomp = queries_df.select(
+        "vec_id",
+        F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x"),
+    )
+    d = F.col("x") - F.col("c")
+    qdistc = (
+        qcomp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sum(
+                F.floor(d * d * F.lit(1000000000000) + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("qd")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("qd"), F.asc("cluster"))
+    probe = (
+        qdistc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cluster")
+    )
+    cand = (
+        probe.join(assign.select("vec_id", "cluster"), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    ev = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm_safe(F.col("v")))
+    scored = (
+        cand.join(
+            F.broadcast(
+                ev.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                    F.col("nv").alias("qn"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nv").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            rnd(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
+        )
+    )
+    approx = topk_per_group(scored, group_col="query_id", k=topk).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx.localCheckpoint(eager=False)
+    exact = cosine_topk_bruteforce(emb, queries_df, k=topk).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact.localCheckpoint(eager=False)
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    napprox = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    nexact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        queries_df.select(F.col("vec_id").alias("query_id"))
+        .join(ncand, "query_id", "left")
+        .join(nexact, "query_id", "left")
+        .join(napprox, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_exact"),
+            F.coalesce(F.col("n_approx"), F.lit(0))
+            .cast("long")
+            .alias("n_approx"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            rnd(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                * 1.0
+                / F.greatest(F.coalesce(F.col("n_exact"), F.lit(0)), F.lit(1)),
+                4,
+            ).alias("recall4"),
+        )
+        .orderBy("query_id")
+    )

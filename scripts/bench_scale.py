@@ -182,6 +182,15 @@ OPS = [
     "kcenter_coreset_selection",
     # dedup report: cluster-size power-law table over the CC membership
     "dup_cluster_size_histogram",
+    # round-7 wave 7: map-only readability gate, cross-source dup
+    # matrix (count products over per-(cluster, source) counts), IVF
+    # recall audit (quantizer rebuild + nprobe/k candidate volume),
+    # skew planner (one keyed agg per relation; only the documents leg
+    # scales — events/lineitem/orders ride unscaled symlinks)
+    "readability_flesch_gate",
+    "cross_source_dup_matrix",
+    "ann_ivf_recall_audit",
+    "join_skew_audit",
 ]
 
 
@@ -226,8 +235,8 @@ def build(spark) -> None:
     for rep in reps[1:]:
         big = big.unionByName(rep)
     big.repartition(32).write.parquet(f"{OUT}/documents.parquet")
-    # events table: symlink-equivalent copy so load() finds it if needed
-    for t in ["events"]:
+    # unscaled fact/dim tables: symlink so load() finds them if needed
+    for t in ["events", "lineitem", "orders"]:
         os.symlink(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
 
 

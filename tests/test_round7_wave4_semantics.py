@@ -1,0 +1,193 @@
+"""Crafted-input SEMANTICS tests for the round-7 wave-4 queries
+(join_skew_audit / readability_flesch_gate / cross_source_dup_matrix /
+ann_ivf_recall_audit) — the oracle suite proves cross-engine parity;
+these pin what the operators MEAN on inputs where the right answer is
+computable by hand.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_weather_spark import queries as q
+from etl_weather_spark.operators.skew import key_skew_profile
+
+
+def _write_docs(spark, d, rows):
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for (i, t, lg, s) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def _write_emb(spark, d, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """17 rows over 5 keys (one NULL): every output column checked
+    against the hand-computed distribution, including the exact-p99
+    definition (smallest m with cum_keys*100 >= 99*n_keys)."""
+    rows = (
+        [("a",)] * 10 + [("b",)] * 2 + [("c",)] * 1 + [("d",)] * 1 + [(None,)] * 3
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", "t.k").collect()[0]
+    assert out["rel_key"] == "t.k"
+    assert out["n_rows"] == 17
+    assert out["n_keys"] == 5
+    assert out["max_mult"] == 10
+    assert out["hot_key"] == "a"
+    # multiplicities {1:2, 2:1, 3:1, 10:1}; cum: 1→2, 2→3, 3→4, 10→5;
+    # need cum*100 >= 495 → first at m=10
+    assert out["p99_mult"] == 10
+    assert out["avg_mult6"] == 3.4
+    assert out["skew6"] == math.floor(10 * 5 / 17 * 1e6 + 0.5) / 1e6
+    assert out["hot_share6"] == math.floor(10 / 17 * 1e6 + 0.5) / 1e6
+    # 10 * 5 = 50 <= 4 * 17 = 68 → no salting
+    assert out["salting_recommended"] is False
+
+
+def test_key_skew_profile_uniform_and_hot(spark):
+    uniform = spark.createDataFrame([(i % 8,) for i in range(64)], "k long")
+    row = key_skew_profile(uniform, "k", "u").collect()[0]
+    assert row["skew6"] == 1.0 and row["p99_mult"] == 8
+    assert row["salting_recommended"] is False
+    hot = spark.createDataFrame(
+        [(0,)] * 96 + [(i,) for i in range(1, 17)], "k long"
+    )
+    row = key_skew_profile(hot, "k", "h").collect()[0]
+    # avg = 112/17 ≈ 6.59, max = 96 > 4×avg → salt
+    assert row["max_mult"] == 96 and row["salting_recommended"] is True
+    assert row["hot_key"] == "0"
+
+
+def test_key_skew_profile_null_keys_grouped(spark):
+    df = spark.createDataFrame([(None,), (None,), (1,)], "k long")
+    row = key_skew_profile(df, "k", "n").collect()[0]
+    assert row["n_keys"] == 2 and row["hot_key"] == "<null>"
+
+
+# ---------------------------------------------------------------------------
+# readability_flesch_gate
+# ---------------------------------------------------------------------------
+
+
+def test_readability_hand_scored(spark, tmp_path):
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "The cat sat.", "en", "s"),
+            (2, "university education organization", "en", "s"),
+            (3, "", "en", "s"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in q.queries()["readability_flesch_gate"](spark, d).collect()}
+    r1 = rows[1]
+    # words=3, sentences=1, vowel groups: e, a, a → 3
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (3, 1, 3)
+    flesch = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert r1["flesch6"] == math.floor(flesch * 1e6 + 0.5) / 1e6
+    assert r1["band"] == "easy"
+    assert r1["keep"] is False  # n_words < 5
+    r2 = rows[2]
+    # university(u,i,e,i,y)=5  education(e,u,a,io)=4  organization(o,a,i,a,io)=5
+    assert r2["n_syllables"] == 14 and r2["n_sentences"] == 1
+    assert r2["band"] == "very_difficult" and r2["keep"] is False
+    r3 = rows[3]
+    # empty doc: 0 words, clamped 1 sentence, 0 syllables → flesch 206.835
+    assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (0, 1, 0)
+    assert r3["band"] == "easy" and r3["keep"] is False
+
+
+def test_readability_gate_keeps_simple_long_doc(spark, tmp_path):
+    simple = " ".join(["The cat sat on a mat."] * 4)  # 24 words, 4 sentences
+    d = _write_docs(spark, tmp_path, [(1, simple, "en", "s")])
+    r = q.queries()["readability_flesch_gate"](spark, d).collect()[0]
+    assert r["n_words"] == 24 and r["n_sentences"] == 4
+    assert r["band"] == "easy" and r["keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# cross_source_dup_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_dup_matrix_hand_counted(spark, tmp_path):
+    """Three identical docs (2 in srcA, 1 in srcB) + one unique doc in
+    srcB: the matrix must report AA=1, AB=2, BB=0 dup pairs over
+    possible 1, 4, 1 — zero cells materialized."""
+    same = " ".join(f"tok{i}" for i in range(30))
+    uniq = " ".join(f"zzz{i}" for i in range(30))
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, same, "en", "srcA"),
+            (2, same, "en", "srcA"),
+            (3, same, "en", "srcB"),
+            (4, uniq, "en", "srcB"),
+        ],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in q.queries()["cross_source_dup_matrix"](spark, d).collect()
+    }
+    assert set(out) == {("srcA", "srcA"), ("srcA", "srcB"), ("srcB", "srcB")}
+    aa, ab, bb = out[("srcA", "srcA")], out[("srcA", "srcB")], out[("srcB", "srcB")]
+    assert (aa["dup_pairs"], aa["possible_pairs"]) == (1, 1)
+    assert (ab["dup_pairs"], ab["possible_pairs"]) == (2, 4)
+    assert (bb["dup_pairs"], bb["possible_pairs"]) == (0, 1)
+    assert aa["dup_ppm2"] == 1000000.0
+    assert ab["dup_ppm2"] == 500000.0
+    assert bb["dup_ppm2"] == 0.0
+    assert (ab["docs_a"], ab["docs_b"]) == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_recall_audit
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_perfect_on_separable_clusters(spark, tmp_path):
+    """40 vectors on 4 orthogonal axes (id % 4 → axis, so the 4 lowest-id
+    kmeans seeds span all clusters): every query's top-10 is its own
+    9 cluster-mates plus the globally-smallest foreign id, which the
+    tie-broken second probe always covers → recall@10 = 1.0 for all 8
+    queries, 19 candidates each (9 own-cell + 10 second-cell)."""
+    rows = []
+    for i in range(40):
+        v = [0.0] * 4
+        v[i % 4] = 1.0
+        rows.append((i, v, i % 4))
+    d = _write_emb(spark, tmp_path, rows)
+    out = q.queries()["ann_ivf_recall_audit"](spark, d).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["n_candidates"] == 19
+        assert r["n_exact"] == 10 and r["n_approx"] == 10
+        assert r["n_hit"] == 10 and r["recall4"] == 1.0
+
+
+def test_ivf_recall_bounded_and_consistent(spark, sf_dir):
+    out = q.queries()["ann_ivf_recall_audit"](spark, sf_dir).collect()
+    assert len(out) == 8
+    for r in out:
+        assert 0 <= r["n_hit"] <= r["n_approx"] <= 10
+        assert r["n_exact"] == 10
+        assert 0.0 <= r["recall4"] <= 1.0
+        assert r["recall4"] == math.floor(r["n_hit"] / 10 * 1e4 + 0.5) / 1e4
