@@ -261,6 +261,8 @@ HEADLINE = [
     "readability_flesch_gate",
     "cross_source_dup_matrix",
     "ann_ivf_recall_audit",
+    # nDCG/MRR/precision-recall audit of the registered BM25 ranking
+    "retrieval_ndcg_audit",
 ]
 
 

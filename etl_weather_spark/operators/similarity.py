@@ -904,6 +904,14 @@ def kmeans_lloyd_full(
     )
     assign = None
     for rounds_done in range(1, iters + 1):
+        if rounds_done == iters:
+            # the final-round centroid table has (at least) two
+            # consumers — the final assignment below and whatever the
+            # caller does with the returned centroids (IVF probing in
+            # ann_ivf_recall_audit) — so fence it lazily: k·D rows
+            # materialize once instead of replaying the whole Lloyd
+            # lineage per consumer.
+            cent = cent.localCheckpoint(eager=False)
         d = F.col("x") - F.col("c")
         dist = (
             comp.join(F.broadcast(cent), "pos")

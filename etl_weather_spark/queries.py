@@ -17178,3 +17178,158 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _ndcg_oracle() -> str:
+    """Embed the registered bm25_topk oracle verbatim as the ranking
+    under evaluation; grade relevance by distinct-query-term count over
+    the same tokenization; identical quantized log-discount algebra."""
+    term6 = sql_round("h.rel * ln(2.0) / ln(h.rank + 1.0)", 6)
+    iterm6 = sql_round("i.rel * ln(2.0) / ln(i.rank + 1.0)", 6)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, rank FROM ({_ORACLES["bm25_topk"]}
+  ) WHERE rank <= 10
+),
+toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+rel AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS rel
+  FROM toks WHERE tok IN ('table', 'scan', 'merge') GROUP BY doc_id
+),
+nrel AS (
+  SELECT CAST(COUNT(CASE WHEN rel >= 2 THEN 1 END) AS BIGINT) AS n_relevant
+  FROM rel
+),
+hits AS (
+  SELECT r.rank, COALESCE(e.rel, 0) AS rel
+  FROM ranked r LEFT JOIN rel e ON e.doc_id = r.doc_id
+),
+dcg AS (
+  SELECT {sql_dsum(term6.replace('h.', ''), 6)} AS dcg10_6,
+         CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+         CAST(COUNT(CASE WHEN rel >= 2 THEN 1 END) AS BIGINT) AS hits10,
+         MIN(CASE WHEN rel >= 2 THEN rank END) AS first_rel_rank
+  FROM hits h
+),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+  FROM rel
+),
+idcg AS (
+  SELECT {sql_dsum(iterm6.replace('i.', ''), 6)} AS idcg10_6
+  FROM ideal i WHERE rank <= 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       n.n_relevant, d.n_retrieved, d.hits10,
+       {sql_round("d.hits10 * 1.0 / 10", 6)} AS precision10_6,
+       {sql_round("d.hits10 * 1.0 / GREATEST(n.n_relevant, 1)", 6)}
+         AS recall10_6,
+       CASE WHEN d.first_rel_rank IS NULL THEN 0.0
+            ELSE {sql_round("1.0 / d.first_rel_rank", 6)} END AS mrr6,
+       d.dcg10_6, g.idcg10_6,
+       CASE WHEN g.idcg10_6 > 0
+            THEN {sql_round("d.dcg10_6 / g.idcg10_6", 6)}
+            ELSE 0.0 END AS ndcg10_6
+FROM dcg d CROSS JOIN idcg g CROSS JOIN nrel n
+"""
+
+
+@query("retrieval_ndcg_audit", _ndcg_oracle())
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING-QUALITY audit of the registered BM25 leg — the metrics a
+    retrieval deployment reports before swapping rankers: nDCG@10 with
+    graded relevance (distinct query terms present, 1–3, log2 discount),
+    precision/recall@10 and MRR against the STRICT relevance cut
+    (rel ≥ 2 — at least two of the three query terms; every BM25 hit
+    trivially contains ≥ 1 term, so the binary metrics are only
+    meaningful above that floor), and the DCG/IDCG components. The
+    ranking under evaluation is the REGISTERED bm25_topk reused
+    verbatim (oracle embeds its oracle — the composition discipline);
+    relevance is graded over the same whitespace tokenization.
+
+    Determinism: each log-discounted gain rounds at 6 dp before a
+    decimal dsum (both engines run identical ln/divide/floor
+    sequences); the ideal ranking tie-breaks (rel desc, doc_id asc).
+
+    Scale: the judged list is 10 rows; the relevance relation is
+    bounded by the query terms' posting lists (IN-list pruned
+    map-side); IDCG's global window runs over the top-10 of that
+    bounded relation via one TakeOrdered — nothing row-grain shuffles.
+    """
+    terms = ["table", "scan", "merge"]
+    ranked = (
+        _QUERIES["bm25_topk"](spark, sf_dir)
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rank")
+    )
+    docs = load(spark, sf_dir, "documents")
+    rel = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").cast("long").alias("rel"))
+    ).localCheckpoint(eager=False)
+    nrel = rel.agg(
+        F.count(F.when(F.col("rel") >= 2, 1)).cast("long").alias("n_relevant")
+    )
+    hits = ranked.join(rel, "doc_id", "left").select(
+        "rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+    )
+    t6 = rnd(
+        F.col("rel") * F.log(F.lit(2.0)) / F.log(F.col("rank") + F.lit(1.0)),
+        6,
+    )
+    dcg = hits.select("rank", "rel", t6.alias("t6")).agg(
+        dsum("t6", 6).alias("dcg10_6"),
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.count(F.when(F.col("rel") >= 2, 1)).cast("long").alias("hits10"),
+        F.min(F.when(F.col("rel") >= 2, F.col("rank"))).alias(
+            "first_rel_rank"
+        ),
+    )
+    wi = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        rel.withColumn("rank", F.row_number().over(wi))
+        .filter(F.col("rank") <= 10)
+        .select(
+            rnd(
+                F.col("rel")
+                * F.log(F.lit(2.0))
+                / F.log(F.col("rank") + F.lit(1.0)),
+                6,
+            ).alias("t6")
+        )
+    )
+    idcg = ideal.agg(dsum("t6", 6).alias("idcg10_6"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            "n_relevant",
+            "n_retrieved",
+            "hits10",
+            rnd(F.col("hits10") * 1.0 / 10, 6).alias("precision10_6"),
+            rnd(
+                F.col("hits10") * 1.0 / F.greatest(F.col("n_relevant"), F.lit(1)),
+                6,
+            ).alias("recall10_6"),
+            F.when(
+                F.col("first_rel_rank").isNull(), F.lit(0.0)
+            )
+            .otherwise(rnd(F.lit(1.0) / F.col("first_rel_rank"), 6))
+            .alias("mrr6"),
+            "dcg10_6",
+            "idcg10_6",
+            F.when(
+                F.col("idcg10_6") > 0,
+                rnd(F.col("dcg10_6") / F.col("idcg10_6"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg10_6"),
+        )
+    )

@@ -191,6 +191,9 @@ OPS = [
     "cross_source_dup_matrix",
     "ann_ivf_recall_audit",
     "join_skew_audit",
+    # ranking-quality audit: 10-row judged list + posting-bounded
+    # relevance relation on top of the registered bm25 leg
+    "retrieval_ndcg_audit",
 ]
 
 

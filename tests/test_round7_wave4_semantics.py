@@ -191,3 +191,59 @@ def test_ivf_recall_bounded_and_consistent(spark, sf_dir):
         assert r["n_exact"] == 10
         assert 0.0 <= r["recall4"] <= 1.0
         assert r["recall4"] == math.floor(r["n_hit"] / 10 * 1e4 + 0.5) / 1e4
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg_audit
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_perfect_when_only_full_matches_exist(spark, tmp_path):
+    """Three docs contain all three query terms (identical term stats,
+    so BM25 ranks them; nothing else scores): the judged list IS the
+    ideal list → ndcg = recall = mrr = 1, precision@10 = 3/10."""
+    full = "table scan merge " + " ".join(f"f{i}" for i in range(10))
+    noise = " ".join(f"n{i}" for i in range(13))
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, full, "en", "s"),
+            (2, full, "en", "s"),
+            (3, full, "en", "s"),
+            (4, noise, "en", "s"),
+            (5, noise, "en", "s"),
+        ],
+    )
+    r = q.queries()["retrieval_ndcg_audit"](spark, d).collect()[0]
+    assert r["n_relevant"] == 3 and r["n_retrieved"] == 3
+    assert r["hits10"] == 3
+    assert r["precision10_6"] == 0.3
+    assert r["recall10_6"] == 1.0
+    assert r["mrr6"] == 1.0
+    assert r["ndcg10_6"] == 1.0
+    assert r["dcg10_6"] == r["idcg10_6"] > 0
+
+
+def test_ndcg_penalizes_tf_spam_above_topical_match(spark, tmp_path):
+    """A short doc stuffed with one term outranks the true 3-term match
+    under BM25 (classic tf spam), so the graded audit must report
+    ndcg < 1 while mrr tracks where the real match actually landed."""
+    spam = " ".join(["table"] * 8)
+    match = "table scan merge " + " ".join(f"f{i}" for i in range(120))
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(1, spam, "en", "s"), (2, match, "en", "s")]
+        + [(10 + i, " ".join(f"n{j}" for j in range(12)), "en", "s") for i in range(4)],
+    )
+    ranked = {
+        r["doc_id"]: r["rank"]
+        for r in q.queries()["bm25_topk"](spark, d).collect()
+    }
+    assert ranked[1] < ranked[2], "crafted tf-spam doc must outrank the match"
+    r = q.queries()["retrieval_ndcg_audit"](spark, d).collect()[0]
+    assert r["n_relevant"] == 1  # only doc 2 has >= 2 terms
+    assert r["ndcg10_6"] < 1.0
+    assert r["mrr6"] == math.floor(1.0 / ranked[2] * 1e6 + 0.5) / 1e6
+    assert r["recall10_6"] == 1.0 and r["hits10"] == 1
