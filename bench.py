@@ -263,6 +263,10 @@ HEADLINE = [
     "ann_ivf_recall_audit",
     # nDCG/MRR/precision-recall audit of the registered BM25 ranking
     "retrieval_ndcg_audit",
+    # audio near-dup screen on the real WAV codec path (envelope hash)
+    "audio_envelope_dedup",
+    # zone-map pruning: Z-order vs date-linear layout for a 2-D box
+    "zorder_pruning_audit",
 ]
 
 

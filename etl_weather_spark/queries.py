@@ -17333,3 +17333,392 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg10_6"),
         )
     )
+
+
+def _audio_envelope_oracle() -> str:
+    """SQL twin of audio_envelope_dedup: regenerate the even-valued PCM
+    formula (exact under the /1 and /2 amplitude variants), fold 16
+    band abs-energies, binarize consecutive-band deltas, pack 15 bits,
+    and pair-join on fingerprint equality — identical integer algebra
+    to what the real decode path recovers from the WAV bytes."""
+    return """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+dims AS (
+  SELECT doc_id, doc_id % 12 AS g,
+         1 + (doc_id // 12) % 2 AS s,
+         8000 + ((doc_id // 12) % 3) * 4000 AS rate
+  FROM ids
+),
+samp AS (
+  SELECT d.doc_id, t.i // 16 AS band,
+         CAST((1 + ((d.g * 7 + (t.i // 16) * 5) % 12))
+              * (2 * (((t.i * 17) % 128) - 64)) / d.s AS BIGINT) AS v
+  FROM dims d, LATERAL (
+    SELECT UNNEST(generate_series(0, 255)) AS i
+  ) t
+),
+bands AS (
+  SELECT doc_id, band, CAST(SUM(ABS(v)) AS BIGINT) AS e
+  FROM samp GROUP BY doc_id, band
+),
+bits AS (
+  SELECT a.doc_id, a.band AS k,
+         CASE WHEN b.e > a.e THEN CAST(1 AS BIGINT) ELSE 0 END << a.band
+           AS bit
+  FROM bands a JOIN bands b
+    ON b.doc_id = a.doc_id AND b.band = a.band + 1
+  WHERE a.band < 15
+),
+fps AS (
+  SELECT f.doc_id AS media_id, CAST(SUM(b.bit) AS BIGINT) AS fp,
+         d.rate AS sample_rate
+  FROM bits b JOIN dims f ON f.doc_id = b.doc_id
+  JOIN dims d ON d.doc_id = b.doc_id
+  GROUP BY f.doc_id, d.rate
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b, a.fp,
+       (a.sample_rate <> b.sample_rate) AS cross_rate
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.media_id < b.media_id
+ORDER BY id_a, id_b
+"""
+
+
+@query("audio_envelope_dedup", _audio_envelope_oracle())
+def audio_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup detection through the REAL WAV codec — the
+    envelope-hash screen a multimodal corpus runs next to image dHash:
+    deterministic 16-bit PCM clips are WAV-encoded in-plan (the
+    media_wav_stats fixture discipline), decoded back by
+    operators/multimodal.decode_wav, fingerprinted by the 15-bit
+    energy-envelope delta hash (operators/multimodal.
+    audio_envelope_fingerprint), and paired on fingerprint equality.
+
+    The fixture plants REAL near-dup structure: 12 signal groups
+    (doc_id % 12) × amplitude 1/1 or 1/2 (exact halving — samples are
+    even by construction, so the scaled copy is bit-derivable) ×
+    three sample rates. Gain-adjusted and re-rated copies of the same
+    waveform MUST collide (the envelope hashes the shape, not the
+    gain or the container header); different groups generally differ.
+    ``cross_rate`` marks pairs the raw-byte or metadata dedup would
+    have missed.
+
+    Scale: one Arrow-batched decode+fingerprint pass (8 bytes out per
+    clip), then an equi-join on fp — the audio analog of dHash
+    banding, never signal-to-signal comparison.
+    """
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        audio_envelope_fingerprint,
+        encode_wav,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(48)
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 12
+                # amplitude and rate vary ACROSS a group's replicas
+                # (did // 12), never with the group id itself — so
+                # every group contains gain-adjusted and re-rated
+                # copies of the same waveform
+                s = 1 + (did // 12) % 2
+                rate = 8000 + ((did // 12) % 3) * 4000
+                i = np.arange(256, dtype=np.int64)
+                # per-band amplitude pattern keyed by the signal group
+                # (7 is invertible mod 12, so all 12 groups get
+                # DISTINCT envelope shapes); the carrier sawtooth is
+                # shared. Samples stay even so the s=2 copy is an
+                # exact bit-derivable halving.
+                amp = 1 + ((g * 7 + (i // 16) * 5) % 12)
+                base = amp * (2 * (((i * 17) % 128) - 64))
+                v = base // s  # exact: base is even, s in {1, 2}
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_wav(v.reshape(256, 1), rate),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    fps = audio_envelope_fingerprint(media, n_bands=16).localCheckpoint(
+        eager=False
+    )
+    a = fps.select(
+        F.col("media_id").alias("id_a"),
+        "fp",
+        F.col("sample_rate").alias("rate_a"),
+    )
+    b = fps.select(
+        F.col("media_id").alias("id_b"),
+        "fp",
+        F.col("sample_rate").alias("rate_b"),
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "fp",
+            (F.col("rate_a") != F.col("rate_b")).alias("cross_rate"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _morton_sql(bx: str, by: str, bits: int = 10) -> str:
+    """20-bit Morton interleave as a sum of disjoint-bit terms —
+    identical integer algebra Spark-side (_morton_col)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton_col(bx, by, bits: int = 10):
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i)
+        out = out + F.shiftleft(
+            F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return out
+
+
+def _zorder_oracle() -> str:
+    morton = _morton_sql("bx", "by")
+    legs = []
+    for layout, file_expr in [
+        ("linear", "CAST((g.y - s.ymin) * 64 // (s.ymax - s.ymin + 1) AS BIGINT)"),
+        ("zorder", "(m >> 14)"),
+    ]:
+        legs.append(
+            f"""SELECT '{layout}' AS layout, file_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(x) AS fxmin, MAX(x) AS fxmax, MIN(y) AS fymin, MAX(y) AS fymax
+FROM (
+  SELECT {file_expr} AS file_id, g.x, g.y
+  FROM grid g CROSS JOIN stats s
+) GROUP BY file_id"""
+        )
+    zone = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey,
+         CAST(o_custkey AS BIGINT) AS x,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS y
+  FROM orders
+),
+stats AS (
+  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(MIN(x) + (MAX(x) - MIN(x)) * 2 // 5 AS BIGINT) AS qx_lo,
+         CAST(MIN(x) + (MAX(x) - MIN(x)) * 3 // 5 AS BIGINT) AS qx_hi,
+         CAST(MIN(y) + (MAX(y) - MIN(y)) * 2 // 5 AS BIGINT) AS qy_lo,
+         CAST(MIN(y) + (MAX(y) - MIN(y)) * 3 // 5 AS BIGINT) AS qy_hi
+  FROM pts
+),
+grid AS (
+  SELECT p.x, p.y,
+         CAST((p.x - s.xmin) * 1023 // GREATEST(s.xmax - s.xmin, 1)
+              AS BIGINT) AS bx,
+         CAST((p.y - s.ymin) * 1023 // GREATEST(s.ymax - s.ymin, 1)
+              AS BIGINT) AS by
+  FROM pts p CROSS JOIN stats s
+),
+grid2 AS (SELECT x, y, {morton} AS m FROM grid),
+zones AS ({zone.replace("FROM grid g", "FROM grid2 g")}),
+matching AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_matching
+  FROM pts p CROSS JOIN stats s
+  WHERE p.x >= s.qx_lo AND p.x <= s.qx_hi
+    AND p.y >= s.qy_lo AND p.y <= s.qy_hi
+)
+SELECT z.layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN z.fxmin <= s.qx_hi AND z.fxmax >= s.qx_lo
+                      AND z.fymin <= s.qy_hi AND z.fymax >= s.qy_lo
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(CASE WHEN z.fxmin <= s.qx_hi AND z.fxmax >= s.qx_lo
+                      AND z.fymin <= s.qy_hi AND z.fymax >= s.qy_lo
+                     THEN z.n_rows ELSE 0 END) AS BIGINT)
+         AS rows_in_touched,
+       m.n_matching,
+       FLOOR((1.0 - SUM(CASE WHEN z.fxmin <= s.qx_hi AND z.fxmax >= s.qx_lo
+                              AND z.fymin <= s.qy_hi AND z.fymax >= s.qy_lo
+                             THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             * 1000000 + 0.5) / 1000000 AS pruning_rate6,
+       FLOOR((SUM(CASE WHEN z.fxmin <= s.qx_hi AND z.fxmax >= s.qx_lo
+                        AND z.fymin <= s.qy_hi AND z.fymax >= s.qy_lo
+                       THEN z.n_rows ELSE 0 END) * 1.0
+              / GREATEST(m.n_matching, 1)) * 1000000 + 0.5) / 1000000
+         AS read_amplification6
+FROM zones z CROSS JOIN stats s CROSS JOIN matching m
+GROUP BY z.layout, m.n_matching
+ORDER BY z.layout
+"""
+
+
+@query("zorder_pruning_audit", _zorder_oracle())
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-LAYOUT governance: how much zone-map (min/max) file pruning
+    does a Z-ORDER layout buy over the natural date-ordered layout for
+    a 2-D box probe (customer range × date range, the middle 20% of
+    each dimension)? Every lakehouse engine ships this decision
+    (Delta/Iceberg Z-ordering); this audit MEASURES it on the actual
+    key distribution instead of assuming: both layouts are simulated
+    by value-range bucketing into 64 files (linear: date ranges;
+    zorder: 20-bit Morton-code ranges = ``morton >> 14``), per-file
+    min/max zone maps are computed, and the probe reports files
+    touched, rows read, the pruning rate, and read amplification vs
+    the true match count.
+
+    Determinism: pure integer algebra end to end — 10-bit min-max
+    scaling, a 20-term disjoint-bit Morton sum (generated by the SAME
+    helper pattern both sides), integer range bucketing, integer box
+    bounds at the 40/60% quantile-by-value marks.
+
+    Scale: NO global sort anywhere — file assignment is value-range
+    bucketing (the write-side analog is repartitionByRange, the sort
+    a Z-order write pays ANYWAY); the audit costs one stats agg + one
+    64-key zone-map agg per layout. At 100 TB this is the planning
+    artifact that decides whether the nightly OPTIMIZE ZORDER run
+    earns its cost for the table's real query box shapes.
+    """
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    stats = pts.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    ).select(
+        "*",
+        (F.col("xmin") + (F.col("xmax") - F.col("xmin")) * 2 / 5)
+        .cast("long")
+        .alias("qx_lo"),
+        (F.col("xmin") + (F.col("xmax") - F.col("xmin")) * 3 / 5)
+        .cast("long")
+        .alias("qx_hi"),
+        (F.col("ymin") + (F.col("ymax") - F.col("ymin")) * 2 / 5)
+        .cast("long")
+        .alias("qy_lo"),
+        (F.col("ymin") + (F.col("ymax") - F.col("ymin")) * 3 / 5)
+        .cast("long")
+        .alias("qy_hi"),
+    )
+    stats = stats.localCheckpoint(eager=False)
+    bx = (F.col("x") - F.col("xmin")) * 1023 / F.greatest(
+        F.col("xmax") - F.col("xmin"), F.lit(1)
+    )
+    by = (F.col("y") - F.col("ymin")) * 1023 / F.greatest(
+        F.col("ymax") - F.col("ymin"), F.lit(1)
+    )
+    grid = pts.crossJoin(F.broadcast(stats)).select(
+        "x",
+        "y",
+        bx.cast("long").alias("bx"),
+        by.cast("long").alias("by"),
+        "ymin",
+        "ymax",
+    )
+    grid = grid.select(
+        "x", "y", "ymin", "ymax",
+        _morton_col(F.col("bx"), F.col("by")).alias("m"),
+        "by",
+    )
+    zones = None
+    for layout, file_col in [
+        (
+            "linear",
+            (
+                (F.col("by_raw") - F.col("ymin"))
+                * 64
+                / (F.col("ymax") - F.col("ymin") + 1)
+            ).cast("long"),
+        ),
+        ("zorder", F.shiftright(F.col("m"), 14)),
+    ]:
+        g = grid.withColumnRenamed("y", "y_pt").withColumn(
+            "by_raw", F.col("y_pt")
+        )
+        zone = (
+            g.select(file_col.alias("file_id"), "x", F.col("y_pt").alias("y"))
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("x").alias("fxmin"),
+                F.max("x").alias("fxmax"),
+                F.min("y").alias("fymin"),
+                F.max("y").alias("fymax"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+        zones = zone if zones is None else zones.unionByName(zone)
+    matching = (
+        pts.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("x") >= F.col("qx_lo"))
+            & (F.col("x") <= F.col("qx_hi"))
+            & (F.col("y") >= F.col("qy_lo"))
+            & (F.col("y") <= F.col("qy_hi"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching"))
+    )
+    touched = (
+        (F.col("fxmin") <= F.col("qx_hi"))
+        & (F.col("fxmax") >= F.col("qx_lo"))
+        & (F.col("fymin") <= F.col("qy_hi"))
+        & (F.col("fymax") >= F.col("qy_lo"))
+    )
+    return (
+        zones.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(matching))
+        .groupBy("layout", "n_matching")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(touched, 1).otherwise(0))
+            .cast("long")
+            .alias("files_touched"),
+            F.sum(F.when(touched, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_touched"),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "files_touched",
+            "rows_in_touched",
+            "n_matching",
+            rnd(
+                F.lit(1.0) - F.col("files_touched") * 1.0 / F.col("n_files"), 6
+            ).alias("pruning_rate6"),
+            rnd(
+                F.col("rows_in_touched")
+                * 1.0
+                / F.greatest(F.col("n_matching"), F.lit(1)),
+                6,
+            ).alias("read_amplification6"),
+        )
+        .orderBy("layout")
+    )

@@ -194,7 +194,11 @@ OPS = [
     # ranking-quality audit: 10-row judged list + posting-bounded
     # relevance relation on top of the registered bm25 leg
     "retrieval_ndcg_audit",
+    # fixed-48-clip audio fingerprint dedup (decode cost is the floor)
+    "audio_envelope_dedup",
 ]
+# zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
+# ad hoc against real SF dirs instead.
 
 
 def build(spark) -> None:

@@ -540,6 +540,9 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         # round-6: real baseline-JPEG decode runs inside mapInPandas by
         # design (same per-row-CPU codec path as the PNG/WAV rows)
         "media_jpeg_stats",
+        # round-7: WAV decode + envelope fingerprint is the same
+        # Arrow-batched codec path
+        "audio_envelope_dedup",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():

@@ -247,3 +247,117 @@ def test_ndcg_penalizes_tf_spam_above_topical_match(spark, tmp_path):
     assert r["ndcg10_6"] < 1.0
     assert r["mrr6"] == math.floor(1.0 / ranked[2] * 1e6 + 0.5) / 1e6
     assert r["recall10_6"] == 1.0 and r["hits10"] == 1
+
+
+# ---------------------------------------------------------------------------
+# audio_envelope_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_audio_envelope_invariances(spark):
+    """The fingerprint must be invariant to exact amplitude halving and
+    to the sample-rate header, and must differ for a different
+    envelope shape — asserted directly on the operator."""
+    import numpy as np
+
+    from etl_weather_spark.operators.multimodal import (
+        audio_envelope_fingerprint,
+        encode_wav,
+    )
+
+    i = np.arange(256, dtype=np.int64)
+    amp_a = 1 + ((i // 16) * 5) % 12
+    amp_b = 1 + (7 + (i // 16) * 5) % 12  # a different group's envelope
+    base = 2 * (((i * 17) % 128) - 64)
+    clips = [
+        (1, encode_wav((amp_a * base).reshape(256, 1), 8000)),
+        (2, encode_wav(((amp_a * base) // 2).reshape(256, 1), 8000)),  # gain
+        (3, encode_wav((amp_a * base).reshape(256, 1), 16000)),  # rate
+        (4, encode_wav((amp_b * base).reshape(256, 1), 8000)),  # shape
+    ]
+    df = spark.createDataFrame(clips, "media_id long, payload binary")
+    fps = {
+        r["media_id"]: r["fp"]
+        for r in audio_envelope_fingerprint(df, n_bands=16).collect()
+    }
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+
+
+def test_audio_envelope_dedup_group_structure(spark, sf_dir):
+    """48 clips in 12 signal groups of 4 (2 amplitudes x varying
+    rates): every within-group pair collides and no cross-group pair
+    does — 72 pairs, including cross-rate ones."""
+    rows = q.queries()["audio_envelope_dedup"](spark, sf_dir).collect()
+    assert len(rows) == 72
+    for r in rows:
+        assert r["id_a"] % 12 == r["id_b"] % 12
+    assert any(r["cross_rate"] for r in rows)
+    # amplitude-crossing pairs (replica axis did // 12 flips s) too
+    assert any(
+        ((r["id_a"] // 12) % 2) != ((r["id_b"] // 12) % 2) for r in rows
+    )
+
+
+# ---------------------------------------------------------------------------
+# zorder_pruning_audit
+# ---------------------------------------------------------------------------
+
+
+def _write_orders(spark, d, rows):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    return str(d)
+
+
+def test_zorder_beats_linear_on_uniform_grid(spark, tmp_path):
+    """64x64 uniform (custkey, day) grid: the date-ordered layout must
+    read every date-band file that overlaps the probe's date range but
+    ALL customers inside it, while the Z-order layout co-locates the
+    2-D box — strictly better pruning and lower read amplification."""
+    import datetime
+
+    rows = []
+    k = 0
+    for cust in range(64):
+        for day in range(64):
+            rows.append(
+                (
+                    k,
+                    cust,
+                    "F",
+                    1.0,
+                    datetime.datetime(1995, 1, 1)
+                    + datetime.timedelta(days=day),
+                    "1-URGENT",
+                )
+            )
+            k += 1
+    d = _write_orders(spark, tmp_path, rows)
+    out = {
+        r["layout"]: r
+        for r in q.queries()["zorder_pruning_audit"](spark, d).collect()
+    }
+    lin, zo = out["linear"], out["zorder"]
+    assert lin["n_files"] == 64 and zo["n_files"] <= 64
+    assert lin["n_matching"] == zo["n_matching"] > 0
+    assert zo["pruning_rate6"] > lin["pruning_rate6"]
+    assert zo["read_amplification6"] < lin["read_amplification6"]
+    assert zo["read_amplification6"] >= 1.0
+
+
+def test_zorder_audit_invariants_on_synthetic_tables(spark, sf_dir):
+    out = {
+        r["layout"]: r
+        for r in q.queries()["zorder_pruning_audit"](spark, sf_dir).collect()
+    }
+    assert set(out) == {"linear", "zorder"}
+    for r in out.values():
+        assert 1 <= r["files_touched"] <= r["n_files"] <= 64
+        assert r["rows_in_touched"] >= r["n_matching"]
+        assert r["read_amplification6"] >= 1.0
+    assert out["zorder"]["n_matching"] == out["linear"]["n_matching"]
