@@ -267,6 +267,8 @@ HEADLINE = [
     "audio_envelope_dedup",
     # zone-map pruning: Z-order vs date-linear layout for a 2-D box
     "zorder_pruning_audit",
+    # classifier PR curve vs the Gopher rule gate as weak labels
+    "quality_pr_curve",
 ]
 
 

@@ -17722,3 +17722,151 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+_PR_THRESHOLDS = [-1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
+
+
+def _pr_curve_oracle() -> str:
+    """Embed the registered classifier (logit scores) and rule-gate
+    (weak labels) oracles verbatim; sweep the fixed threshold grid as
+    an UNNEST dimension; identical guarded precision/recall/F1."""
+    ts = ", ".join(str(t) for t in _PR_THRESHOLDS)
+    return f"""
+WITH scores AS (
+  SELECT doc_id, z FROM ({_ORACLES["quality_logistic_filter"]}
+  )
+),
+labels AS (
+  SELECT doc_id, keep AS label FROM ({_ORACLES["gopher_quality_gate"]}
+  )
+),
+joined AS (
+  SELECT s.doc_id, s.z, l.label
+  FROM scores s JOIN labels l ON l.doc_id = s.doc_id
+),
+cells AS (
+  SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+         CAST(SUM(CASE WHEN z > t.threshold AND label THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN z > t.threshold AND NOT label THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN z <= t.threshold AND label THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN z <= t.threshold AND NOT label THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM joined, UNNEST([{ts}]) AS t(threshold)
+  GROUP BY 1
+),
+pr AS (
+  SELECT *,
+         FLOOR((tp * 1.0 / GREATEST(tp + fp, 1)) * 1000000 + 0.5) / 1000000
+           AS precision6,
+         FLOOR((tp * 1.0 / GREATEST(tp + fn, 1)) * 1000000 + 0.5) / 1000000
+           AS recall6
+  FROM cells
+)
+SELECT threshold, tp, fp, fn, tn, precision6, recall6,
+       CASE WHEN precision6 + recall6 > 0
+            THEN FLOOR((2.0 * precision6 * recall6
+                        / (precision6 + recall6)) * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS f1_6
+FROM pr ORDER BY threshold
+"""
+
+
+@query("quality_pr_curve", _pr_curve_oracle())
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVALUATION — the precision/recall curve a curation
+    team reads before picking the quality classifier's operating
+    threshold: the registered logistic scores (quality_logistic_filter,
+    logit scale) swept over a fixed 9-point threshold grid against the
+    registered Gopher rule composite as weak labels (the standard
+    rules-as-silver-labels evaluation when no human labels exist —
+    exactly how FineWeb-class classifier filters are sanity-checked).
+    One row per threshold: confusion counts, precision, recall, F1
+    (computed from the ROUNDED p/r so both engines divide identical
+    doubles).
+
+    Both legs are the REGISTERED queries reused verbatim; the oracle
+    embeds their oracles (the composition discipline), so the curve
+    can never drift from the gates it evaluates.
+
+    Scale: the (doc, score, label) relation is two already-bounded
+    gate plans joined on doc_id; the 9-threshold sweep is a dimension
+    explode collapsed map-side into 9 confusion rows — no per-threshold
+    rescan of the corpus.
+    """
+    scores = _QUERIES["quality_logistic_filter"](spark, sf_dir).select(
+        "doc_id", "z"
+    )
+    labels = _QUERIES["gopher_quality_gate"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    joined = scores.join(labels, "doc_id").localCheckpoint(eager=False)
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in _PR_THRESHOLDS])
+    ).alias("threshold")
+    cells = (
+        joined.select("z", "label", thr)
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when((F.col("z") > F.col("threshold")) & F.col("label"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("z") > F.col("threshold")) & ~F.col("label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("z") <= F.col("threshold")) & F.col("label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+            F.sum(
+                F.when(
+                    (F.col("z") <= F.col("threshold")) & ~F.col("label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    pr = cells.select(
+        "*",
+        rnd(F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6).alias(
+            "precision6"
+        ),
+        rnd(F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6).alias(
+            "recall6"
+        ),
+    )
+    return pr.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "precision6",
+        "recall6",
+        F.when(
+            F.col("precision6") + F.col("recall6") > 0,
+            rnd(
+                F.lit(2.0)
+                * F.col("precision6")
+                * F.col("recall6")
+                / (F.col("precision6") + F.col("recall6")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1_6"),
+    ).orderBy("threshold")

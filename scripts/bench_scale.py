@@ -196,6 +196,8 @@ OPS = [
     "retrieval_ndcg_audit",
     # fixed-48-clip audio fingerprint dedup (decode cost is the floor)
     "audio_envelope_dedup",
+    # classifier PR sweep: two bounded gate plans + 9-row dimension agg
+    "quality_pr_curve",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

@@ -361,3 +361,58 @@ def test_zorder_audit_invariants_on_synthetic_tables(spark, sf_dir):
         assert r["rows_in_touched"] >= r["n_matching"]
         assert r["read_amplification6"] >= 1.0
     assert out["zorder"]["n_matching"] == out["linear"]["n_matching"]
+
+
+# ---------------------------------------------------------------------------
+# quality_pr_curve
+# ---------------------------------------------------------------------------
+
+
+def test_pr_curve_monotone_and_consistent(spark, sf_dir):
+    """Raising the threshold can only shrink the predicted-positive
+    set: tp and fp are non-increasing in threshold, fn/tn
+    non-decreasing, recall non-increasing; every row's confusion
+    counts sum to the corpus size."""
+    rows = q.queries()["quality_pr_curve"](spark, sf_dir).collect()
+    assert len(rows) == 9
+    total = {r["tp"] + r["fp"] + r["fn"] + r["tn"] for r in rows}
+    assert len(total) == 1 and total.pop() > 0
+    by_t = sorted(rows, key=lambda r: r["threshold"])
+    for a, b in zip(by_t, by_t[1:]):
+        assert b["tp"] <= a["tp"] and b["fp"] <= a["fp"]
+        assert b["fn"] >= a["fn"] and b["tn"] >= a["tn"]
+        assert b["recall6"] <= a["recall6"]
+
+
+def test_pr_curve_hand_computed_on_crafted_corpus(spark, tmp_path):
+    """Docs engineered so classifier keep and rule label disagree on
+    known docs: a diverse long doc (both keep), a one-token-repeated
+    doc (both drop), and a stopword-free but diverse doc (classifier
+    keeps at z>0, Gopher drops on the stop-word floor) — at threshold
+    0.0 that third doc is the single false positive."""
+    diverse = "the and of to in " + " ".join(f"word{i}" for i in range(60))
+    repeated = " ".join(["spam"] * 60)
+    nostop = " ".join(f"vocab{i}" for i in range(60))
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(1, diverse, "en", "s"), (2, repeated, "en", "s"), (3, nostop, "en", "s")],
+    )
+    scores = {
+        r["doc_id"]: r
+        for r in q.queries()["quality_logistic_filter"](spark, d).collect()
+    }
+    labels = {
+        r["doc_id"]: r["keep"]
+        for r in q.queries()["gopher_quality_gate"](spark, d).collect()
+    }
+    assert scores[1]["keep"] and labels[1]
+    assert not scores[2]["keep"] and not labels[2]
+    assert scores[3]["keep"] and not labels[3]  # the planted FP
+    row = next(
+        r
+        for r in q.queries()["quality_pr_curve"](spark, d).collect()
+        if r["threshold"] == 0.0
+    )
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (1, 1, 0, 1)
+    assert row["precision6"] == 0.5 and row["recall6"] == 1.0
