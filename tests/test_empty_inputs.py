@@ -119,3 +119,24 @@ def test_empty_and_tiny_inputs_round5_wave2_ops(spark):
     one = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
     row = global_sentence_dedup(one).collect()[0]
     assert (row.n_sents, row.kept_sents, row.dedup_text) == (1, 1, "solo")
+
+
+def test_empty_through_skew_profile_and_audio_fp(spark):
+    from etl_weather_spark.operators.multimodal import (
+        audio_envelope_fingerprint,
+    )
+    from etl_weather_spark.operators.skew import key_skew_profile
+
+    empty = spark.createDataFrame([], "k long")
+    row = key_skew_profile(empty, "k", "e").collect()
+    # one profile row with zero keys and NULL statistics, never a throw
+    assert len(row) == 1
+    assert row[0]["n_keys"] == 0 and row[0]["n_rows"] is None
+
+    no_media = spark.createDataFrame([], "media_id long, payload binary")
+    assert audio_envelope_fingerprint(no_media).count() == 0
+    # undecodable payloads are skipped, not fatal
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not a wav"))], "media_id long, payload binary"
+    )
+    assert audio_envelope_fingerprint(junk).count() == 0
