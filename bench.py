@@ -269,6 +269,8 @@ HEADLINE = [
     "zorder_pruning_audit",
     # classifier PR curve vs the Gopher rule gate as weak labels
     "quality_pr_curve",
+    # dedup threshold-sensitivity curve (one generation, 5-point sweep)
+    "dedup_threshold_sweep",
 ]
 
 

@@ -17870,3 +17870,123 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("f1_6"),
     ).orderBy("threshold")
+
+
+_SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def _dedup_sweep_oracle() -> str:
+    """Naive shares-a-shingle pair SQL (the prefix-filter completeness
+    convention) + the identical threshold-dimension rollup."""
+    ts = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         FLOOR((ni * 1.0 / (sa.n + sb.n - ni)) * 1000000 + 0.5) / 1000000
+           AS j6
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+qual AS (
+  SELECT CAST(t.threshold AS DOUBLE) AS threshold, p.id_a, p.id_b
+  FROM pairs p, UNNEST([{ts}]) AS t(threshold)
+  WHERE p.j6 >= CAST(t.threshold AS DOUBLE)
+),
+docs_in AS (
+  SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dup_docs
+  FROM (
+    SELECT threshold, id_a AS d FROM qual
+    UNION ALL
+    SELECT threshold, id_b AS d FROM qual
+  ) GROUP BY threshold
+)
+SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(di.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       FLOOR((COALESCE(di.n_dup_docs, 0) * 1.0 / tt.n_docs) * 1000000 + 0.5)
+         / 1000000 AS dup_doc_share6
+FROM UNNEST([{ts}]) AS t(threshold)
+LEFT JOIN (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM qual GROUP BY threshold) p
+  ON p.threshold = CAST(t.threshold AS DOUBLE)
+LEFT JOIN docs_in di ON di.threshold = CAST(t.threshold AS DOUBLE)
+CROSS JOIN tot tt
+ORDER BY threshold
+"""
+
+
+@query("dedup_threshold_sweep", _dedup_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD-SENSITIVITY curve for near-dup dedup — the table that
+    answers "what Jaccard threshold should this corpus run at?" before
+    committing to a full dedup pass: per threshold in
+    {0.5, 0.6, 0.7, 0.8, 0.9}, the qualifying pair count, the number
+    of documents touching any qualifying pair, and their corpus share.
+    A knee in this curve (pairs exploding below some t) is boilerplate
+    bleeding into the near-dup range; a flat curve means the corpus is
+    threshold-insensitive and the cheap high threshold suffices.
+
+    Scale pattern worth stating: the pair generator runs ONCE at the
+    LOWEST threshold (prefix-filtered exact Jaccard,
+    operators/dedup.pruned_jaccard_pairs — the registered
+    prefix_filter_jaccard generator) and the sweep is a pure
+    threshold-dimension filter over the captured (pair, jaccard)
+    relation — five thresholds cost one generation, not five. The
+    oracle is the NAIVE shares-any-shingle SQL, so the oracle match is
+    the pruned generator's completeness proof at every threshold
+    simultaneously.
+    """
+    from etl_weather_spark.operators.dedup import pruned_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = pruned_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).select(
+        "id_a", "id_b", rnd(F.col("jaccard"), 6).alias("j6")
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    thr = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    qual = pairs.crossJoin(F.broadcast(thr)).filter(
+        F.col("j6") >= F.col("threshold")
+    )
+    per_pairs = qual.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs_in = (
+        qual.select("threshold", F.col("id_a").alias("d"))
+        .unionByName(qual.select("threshold", F.col("id_b").alias("d")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("long").alias("n_dup_docs"))
+    )
+    return (
+        thr.join(per_pairs, "threshold", "left")
+        .join(docs_in, "threshold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_dup_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            rnd(
+                F.coalesce(F.col("n_dup_docs"), F.lit(0))
+                * 1.0
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_doc_share6"),
+        )
+        .orderBy("threshold")
+    )

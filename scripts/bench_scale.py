@@ -198,6 +198,8 @@ OPS = [
     "audio_envelope_dedup",
     # classifier PR sweep: two bounded gate plans + 9-row dimension agg
     "quality_pr_curve",
+    # one prefix-filtered pair generation + threshold-dimension rollup
+    "dedup_threshold_sweep",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

@@ -416,3 +416,46 @@ def test_pr_curve_hand_computed_on_crafted_corpus(spark, tmp_path):
     )
     assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (1, 1, 0, 1)
     assert row["precision6"] == 0.5 and row["recall6"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_monotone_and_hand_counted(spark, tmp_path):
+    """Identical docs pair at j=1.0 (all thresholds); a half-overlap
+    pair qualifies only at the 0.5 row; counts are non-increasing in
+    threshold."""
+    a = " ".join(f"tok{i}" for i in range(24))
+    # share exactly the first 16 of a's 22 trigrams: same first 18
+    # tokens, distinct tail -> jaccard between 0.5 and 0.6
+    b = " ".join(f"tok{i}" for i in range(18)) + " " + " ".join(
+        f"zzz{i}" for i in range(6)
+    )
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, a, "en", "s"),
+            (2, a, "en", "s"),
+            (3, b, "en", "s"),
+            (4, " ".join(f"qqq{i}" for i in range(24)), "en", "s"),
+        ],
+    )
+    rows = {
+        r["threshold"]: r
+        for r in q.queries()["dedup_threshold_sweep"](spark, d).collect()
+    }
+    assert set(rows) == {0.5, 0.6, 0.7, 0.8, 0.9}
+    # exact-dup pair (1,2) at every threshold
+    assert rows[0.9]["n_pairs"] == 1 and rows[0.9]["n_dup_docs"] == 2
+    # the partial-overlap pair only widens the 0.5 row
+    assert rows[0.5]["n_pairs"] >= 2 and rows[0.5]["n_dup_docs"] >= 3
+    prev = None
+    for t in [0.5, 0.6, 0.7, 0.8, 0.9]:
+        if prev is not None:
+            assert rows[t]["n_pairs"] <= prev["n_pairs"]
+            assert rows[t]["n_dup_docs"] <= prev["n_dup_docs"]
+        prev = rows[t]
+    assert rows[0.9]["dup_doc_share6"] == 0.5  # 2 of 4 docs
