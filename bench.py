@@ -271,6 +271,8 @@ HEADLINE = [
     "quality_pr_curve",
     # dedup threshold-sensitivity curve (one generation, 5-point sweep)
     "dedup_threshold_sweep",
+    # lang-ID confusion matrix vs stored labels (multiclass eval leg)
+    "langid_confusion_matrix",
 ]
 
 

@@ -17990,3 +17990,88 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+def _langid_confusion_oracle() -> str:
+    """Embed the registered lang_quality oracle verbatim; roll its
+    (lang, lang_pred) into the confusion matrix with per-true-lang row
+    shares and the corpus accuracy."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, lang_pred FROM ({_ORACLES["lang_quality"]}
+  )
+),
+cells AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored GROUP BY lang, lang_pred
+),
+rows_tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total FROM cells GROUP BY lang
+),
+acc AS (
+  SELECT FLOOR((SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END) * 1.0
+                / SUM(n)) * 1000000 + 0.5) / 1000000 AS accuracy6
+  FROM cells
+)
+SELECT c.lang, c.lang_pred, c.n, r.lang_total,
+       FLOOR((c.n * 1.0 / r.lang_total) * 1000000 + 0.5) / 1000000
+         AS row_share6,
+       a.accuracy6
+FROM cells c
+JOIN rows_tot r ON r.lang = c.lang
+CROSS JOIN acc a
+ORDER BY c.lang, c.lang_pred
+"""
+
+
+@query("langid_confusion_matrix", _langid_confusion_oracle())
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID EVALUATION — the confusion matrix of the registered
+    stopword-heuristic language detector (lang_quality's lang_pred)
+    against the stored language label: per (true lang, predicted lang)
+    cell the document count and its share of the true language's row,
+    plus the corpus accuracy. This is the third leg of the evaluation
+    tier (ranking: retrieval_ndcg_audit; classification: quality_pr_
+    curve; now multiclass detection) — the table that decides whether
+    the cheap n-gram detector is good enough to gate on, and which
+    language pairs it confuses (the und/low-resource failure mode the
+    CCNet lineage documents).
+
+    The detector is the REGISTERED lang_quality reused verbatim; the
+    oracle embeds its oracle (the composition discipline).
+
+    Scale: lang_quality's own bounded plan (one token pass) + a
+    |langs|²-dimension rollup — the matrix never exceeds dimension
+    grain.
+    """
+    scored = _QUERIES["lang_quality"](spark, sf_dir).select(
+        "lang", "lang_pred"
+    )
+    cells = scored.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cells = cells.localCheckpoint(eager=False)
+    rows_tot = cells.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("lang_total")
+    )
+    acc = cells.agg(
+        rnd(
+            F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(0))
+            * 1.0
+            / F.sum("n"),
+            6,
+        ).alias("accuracy6")
+    )
+    return (
+        cells.join(rows_tot, "lang")
+        .crossJoin(F.broadcast(acc))
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            "lang_total",
+            rnd(F.col("n") * 1.0 / F.col("lang_total"), 6).alias("row_share6"),
+            "accuracy6",
+        )
+        .orderBy("lang", "lang_pred")
+    )

@@ -200,6 +200,8 @@ OPS = [
     "quality_pr_curve",
     # one prefix-filtered pair generation + threshold-dimension rollup
     "dedup_threshold_sweep",
+    # lang_quality's token pass + |langs|^2 rollup
+    "langid_confusion_matrix",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

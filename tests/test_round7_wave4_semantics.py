@@ -459,3 +459,41 @@ def test_threshold_sweep_monotone_and_hand_counted(spark, tmp_path):
             assert rows[t]["n_dup_docs"] <= prev["n_dup_docs"]
         prev = rows[t]
     assert rows[0.9]["dup_doc_share6"] == 0.5  # 2 of 4 docs
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_langid_confusion_hand_built(spark, tmp_path):
+    """Two correctly-detected docs, one planted confusion (labeled es,
+    English stopwords) and one undetectable: cells, row shares and
+    accuracy all hand-checkable."""
+    en = "the cat and the dog of the house to go in peace " * 3
+    es = "el perro de la casa que los gatos de la calle " * 3
+    fake_es = "the cat and the dog of the house to go in peace " * 3
+    und = "qqq www eee rrr ttt yyy uuu iii ooo ppp"
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, en, "en", "s"),
+            (2, es, "es", "s"),
+            (3, fake_es, "es", "s"),
+            (4, und, "xx", "s"),
+        ],
+    )
+    rows = {
+        (r["lang"], r["lang_pred"]): r
+        for r in q.queries()["langid_confusion_matrix"](spark, d).collect()
+    }
+    assert rows[("en", "en")]["n"] == 1
+    assert rows[("es", "es")]["n"] == 1
+    assert rows[("es", "en")]["n"] == 1  # the planted confusion
+    assert rows[("xx", "und")]["n"] == 1
+    assert rows[("es", "es")]["row_share6"] == 0.5
+    assert rows[("es", "es")]["lang_total"] == 2
+    # accuracy = 2 correct of 4 (xx != und counts as wrong)
+    for r in rows.values():
+        assert r["accuracy6"] == 0.5
