@@ -273,6 +273,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     # lang-ID confusion matrix vs stored labels (multiclass eval leg)
     "langid_confusion_matrix",
+    # exact per-source snapshot diff (the sketch's drill-down)
+    "snapshot_diff_report",
 ]
 
 

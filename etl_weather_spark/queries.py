@@ -18075,3 +18075,115 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+@query(
+    "snapshot_diff_report",
+    r"""
+WITH fp AS (
+  SELECT DISTINCT source, CAST(doc_id % 2 AS BIGINT) AS half,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+a AS (SELECT source, fingerprint FROM fp WHERE half = 0),
+b AS (SELECT source, fingerprint FROM fp WHERE half = 1),
+j AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CAST(COUNT(a.fingerprint) AS BIGINT) AS n_a,
+         CAST(COUNT(b.fingerprint) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN a.fingerprint IS NOT NULL
+                        AND b.fingerprint IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+         CAST(SUM(CASE WHEN a.fingerprint IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS added,
+         CAST(SUM(CASE WHEN b.fingerprint IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS removed
+  FROM a FULL OUTER JOIN b
+    ON a.source = b.source AND a.fingerprint = b.fingerprint
+  GROUP BY 1
+)
+SELECT source, n_a, n_b, retained, added, removed,
+       FLOOR((added * 1.0 / GREATEST(n_b, 1)) * 1000000 + 0.5) / 1000000
+         AS added_share6,
+       FLOOR((removed * 1.0 / GREATEST(n_a, 1)) * 1000000 + 0.5) / 1000000
+         AS removed_share6,
+       FLOOR(((added + removed) * 1.0 / GREATEST(n_a + n_b, 1))
+             * 1000000 + 0.5) / 1000000 AS churn_rate6
+FROM j ORDER BY source
+""",
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT snapshot diff — the companion to corpus_resemblance_sketch
+    (which ESTIMATES change in O(16) bytes): per source, how many
+    distinct documents (by content fingerprint, the dedup_exact
+    identity) were added, removed, and retained between two corpus
+    snapshots (the doc_id parity halves stand in for consecutive
+    ingestion snapshots — the established convention), with added/
+    removed shares and the total churn rate. The sketch answers "did
+    anything change?" nightly; this table is the drill-down a data
+    release runs when the answer is yes.
+
+    Scale: content identity is the 128-bit fingerprint, so the diff
+    shuffles 32 bytes per distinct doc, never text; one distinct
+    projection + one (source, fingerprint)-keyed full outer join +
+    a |sources|-sized rollup. The same plan diffs real consecutive
+    snapshot directories by swapping the parity split for two scans.
+    """
+    fp = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            (F.col("doc_id") % 2).cast("long").alias("half"),
+            doc_fingerprint(F.col("text")).alias("fingerprint"),
+        )
+        .distinct()
+    )
+    a = fp.filter(F.col("half") == 0).select(
+        F.col("source").alias("sa"), F.col("fingerprint").alias("fa")
+    )
+    b = fp.filter(F.col("half") == 1).select(
+        F.col("source").alias("sb"), F.col("fingerprint").alias("fb")
+    )
+    j = a.join(
+        b,
+        (F.col("sa") == F.col("sb")) & (F.col("fa") == F.col("fb")),
+        "full_outer",
+    )
+    per = j.groupBy(
+        F.coalesce(F.col("sa"), F.col("sb")).alias("source")
+    ).agg(
+        F.count("fa").cast("long").alias("n_a"),
+        F.count("fb").cast("long").alias("n_b"),
+        F.sum(
+            F.when(F.col("fa").isNotNull() & F.col("fb").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("retained"),
+        F.sum(F.when(F.col("fa").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("added"),
+        F.sum(F.when(F.col("fb").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("removed"),
+    )
+    return per.select(
+        "source",
+        "n_a",
+        "n_b",
+        "retained",
+        "added",
+        "removed",
+        rnd(F.col("added") * 1.0 / F.greatest(F.col("n_b"), F.lit(1)), 6).alias(
+            "added_share6"
+        ),
+        rnd(
+            F.col("removed") * 1.0 / F.greatest(F.col("n_a"), F.lit(1)), 6
+        ).alias("removed_share6"),
+        rnd(
+            (F.col("added") + F.col("removed"))
+            * 1.0
+            / F.greatest(F.col("n_a") + F.col("n_b"), F.lit(1)),
+            6,
+        ).alias("churn_rate6"),
+    ).orderBy("source")

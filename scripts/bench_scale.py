@@ -202,6 +202,8 @@ OPS = [
     "dedup_threshold_sweep",
     # lang_quality's token pass + |langs|^2 rollup
     "langid_confusion_matrix",
+    # 32-byte fingerprint diff join + |sources| rollup
+    "snapshot_diff_report",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

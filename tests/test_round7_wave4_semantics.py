@@ -497,3 +497,36 @@ def test_langid_confusion_hand_built(spark, tmp_path):
     # accuracy = 2 correct of 4 (xx != und counts as wrong)
     for r in rows.values():
         assert r["accuracy6"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff_report
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_hand_counted(spark, tmp_path):
+    """Even ids = snapshot A, odd = snapshot B. srcX: one doc retained
+    (same content both halves, whitespace-insensitively), one removed,
+    one added; srcY: unchanged single doc pair."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "alpha beta gamma", "en", "srcX"),   # A: retained twin
+            (2, "old content here", "en", "srcX"),   # A: removed
+            (1, "alpha  beta   gamma ", "en", "srcX"),  # B: same fp as 0
+            (3, "brand new content", "en", "srcX"),  # B: added
+            (4, "stable doc", "en", "srcY"),
+            (5, "stable doc", "en", "srcY"),
+        ],
+    )
+    out = {
+        r["source"]: r
+        for r in q.queries()["snapshot_diff_report"](spark, d).collect()
+    }
+    x, y = out["srcX"], out["srcY"]
+    assert (x["n_a"], x["n_b"]) == (2, 2)
+    assert (x["retained"], x["added"], x["removed"]) == (1, 1, 1)
+    assert x["churn_rate6"] == 0.5
+    assert (y["retained"], y["added"], y["removed"]) == (1, 0, 0)
+    assert y["churn_rate6"] == 0.0
