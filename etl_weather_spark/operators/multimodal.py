@@ -1047,7 +1047,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
-def audio_envelope_fingerprint(media: DataFrame, n_bands: int = 16) -> DataFrame:
+def audio_envelope_fingerprint(media: DataFrame, n_bands: int = 64) -> DataFrame:
     """Energy-ENVELOPE audio fingerprint through the REAL
     :func:`decode_wav` path — the Shazam-family idea reduced to its
     deterministic core: channel-folded |PCM| band energies, binarized
@@ -1059,10 +1059,24 @@ def audio_envelope_fingerprint(media: DataFrame, n_bands: int = 16) -> DataFrame
     audio near-dup screen wants. Returns (media_id, n_frames,
     sample_rate, fp) with fp in [0, 2^(n_bands-1)).
 
-    Frames that do not divide evenly truncate to ``n_bands`` equal
-    bands (tail samples dropped) so every clip yields the same bit
-    width. Exact-integer arithmetic end to end (int64 abs-sums,
-    integer comparisons) — the same oracle-stability discipline as
+    ``n_bands`` defaults to 64 — a 63-bit key space. The old 16-band
+    default was a 15-bit space (32,768 values): at corpus scale the
+    downstream fp equi-join collides UNRELATED clips by birthday
+    pressure alone (1B clips ⇒ ~30k per bucket ⇒ ~4.6e8 false pairs
+    per bucket), the hot-bucket quadratic this engine eliminates
+    everywhere else. At 63 bits, false collisions need ~2^31 clips to
+    appear at all; residual hot buckets are TRUE duplicate clusters,
+    which :func:`audio_envelope_pairs` bounds with a star-edge cap.
+    ``n_bands`` must be 2..64 so fp packs into one signed 64-bit long.
+
+    Visibility contract: undecodable payloads (corrupt/None bytes) are
+    SKIPPED, but clips that decode with fewer than ``n_bands`` frames
+    emit their row with a NULL ``fp`` — short clips stay visible to a
+    dedup audit instead of silently vanishing from the output. Frames
+    that do not divide evenly truncate to ``n_bands`` equal bands
+    (tail samples dropped) so every clip yields the same bit width.
+    Exact-integer arithmetic end to end (int64 abs-sums, integer
+    comparisons) — the same oracle-stability discipline as
     :func:`pixel_stats` / :func:`audio_stats`.
 
     Scale: one Arrow-batched decode pass per clip (the codec cost IS
@@ -1070,6 +1084,11 @@ def audio_envelope_fingerprint(media: DataFrame, n_bands: int = 16) -> DataFrame
     is 8 bytes per clip, and dedup downstream is an equi-join on fp —
     never signal-to-signal comparison.
     """
+    if not 2 <= n_bands <= 64:
+        raise ValueError(
+            f"n_bands={n_bands}: need 2 <= n_bands <= 64 — the "
+            "(n_bands-1)-bit fingerprint must fit a signed 64-bit long"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1086,6 +1105,15 @@ def audio_envelope_fingerprint(media: DataFrame, n_bands: int = 16) -> DataFrame
                 mono = np.abs(samples.astype("int64")).sum(axis=1)
                 band_len = len(mono) // n_bands
                 if band_len == 0:
+                    # decodable but too short to band: visible NULL fp
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "n_frames": int(samples.shape[0]),
+                            "sample_rate": int(rate),
+                            "fp": None,
+                        }
+                    )
                     continue
                 e = (
                     mono[: band_len * n_bands]
@@ -1104,10 +1132,66 @@ def audio_envelope_fingerprint(media: DataFrame, n_bands: int = 16) -> DataFrame
                         "fp": fp,
                     }
                 )
-            yield pd.DataFrame(
+            pdf_out = pd.DataFrame(
                 rows, columns=["media_id", "n_frames", "sample_rate", "fp"]
             )
+            # object→nullable-int so Arrow ships int64+null, not float64
+            pdf_out["fp"] = pdf_out["fp"].astype("Int64")
+            yield pdf_out
 
     return media.mapInPandas(
         run, schema="media_id long, n_frames long, sample_rate long, fp long"
     )
+
+
+def audio_envelope_pairs(
+    fps: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Candidate dup pairs (id_a, id_b, fp) from envelope fingerprints,
+    with the same hot-bucket discipline as the simhash banding path
+    (operators/dedup.simhash_band_candidates): NULL fps (short clips)
+    are excluded from pairing, buckets with f ≤ ``hot_bucket_cap``
+    expand to all f·(f-1)/2 pairs, and buckets above the cap emit STAR
+    edges to the bucket's smallest id instead — f-1 rows carrying the
+    identical connected-components structure (every member reachable
+    through the hub), so cluster extraction downstream is unchanged
+    while no bucket ever goes quadratic. With a 63-bit fingerprint a
+    hot bucket is a true duplicate cluster (birthday collisions need
+    ~2^31 clips), so the star form loses nothing a dedup pass needs.
+
+    Scale: one (fp, count, min_id) agg + one shuffle equi-join on fp —
+    the fp key space is 2^63 so the freq table is corpus-sized and is
+    deliberately NOT broadcast (unlike simhash's structurally-bounded
+    262k band table).
+    """
+    clean = fps.filter(F.col("fp").isNotNull())
+    a = clean.select(F.col(id_col).alias("id_a"), "fp")
+    b = clean.select(F.col(id_col).alias("id_b"), "fp")
+    if hot_bucket_cap is None:
+        return a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "fp"
+        )
+    freq = clean.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("f"), F.min(id_col).alias("bmin")
+    )
+    cold = (
+        a.join(freq.filter(F.col("f") <= hot_bucket_cap).select("fp"), "fp")
+        .join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp")
+    )
+    hot = (
+        clean.join(
+            freq.filter(F.col("f") > hot_bucket_cap).select("fp", "bmin"), "fp"
+        )
+        .filter(F.col(id_col) != F.col("bmin"))
+        .select(
+            F.col("bmin").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            "fp",
+        )
+    )
+    return cold.unionByName(hot)

@@ -62,9 +62,12 @@ def key_skew_profile(df: DataFrame, key_col: str, rel_key: str) -> DataFrame:
     Scale: ONE keyed partial agg (the same shuffle the audited job
     would run, collapsed map-side to (key, count)); the multiplicity
     histogram, its cumulative p99 scan, and the argmax are all bounded
-    by the DISTINCT-MULTIPLICITY cardinality — a few hundred values
-    even at corpus scale — so the single-partition cumulative window
-    never sees row-grain data.
+    by the DISTINCT-MULTIPLICITY cardinality — O(√rows) in the
+    heavy-tailed worst case (multiplicities 1..m sum to m²/2 rows),
+    dimension-grain in practice — always far below row grain, so the
+    single-partition cumulative window never sees row-grain data. If a
+    hard bound is ever required, bucket multiplicities into log₂ bands
+    before the cumulative scan (p99 then lands on a band boundary).
 
     p99 definition (exact, engine-portable integer arithmetic): the
     smallest multiplicity m with |{keys: mult ≤ m}| · 100 ≥ 99 · n_keys.
