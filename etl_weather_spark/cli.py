@@ -252,6 +252,26 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     raise SystemExit(f"unknown action {args.action}")
 
 
+def cmd_snapshot_diff(args: argparse.Namespace) -> int:
+    """Diff two committed versions of a snapshots.py document table —
+    the nightly "what changed since yesterday" report over REAL
+    manifest-pointer time travel (defaults: latest vs the one before).
+    ``--sketch`` prints the O(16)-byte resemblance estimate instead of
+    the exact per-source diff."""
+    from etl_weather_spark import queries as q
+
+    spark = _spark(args.cpus)
+    fn = (
+        q.snapshot_resemblance_between
+        if args.sketch
+        else q.snapshot_diff_between
+    )
+    df = fn(spark, args.table, v_a=args.v_a, v_b=args.v_b)
+    for line in df.toJSON().collect():
+        print(line)
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Print the formatted physical plan of a registered query — the
     review surface for pushdown/pruning/broadcast decisions (same
@@ -420,6 +440,17 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--keep-last", type=int, default=2, dest="keep_last")
     m.add_argument("--to-version", type=int, default=0, dest="to_version")
     m.set_defaults(fn=cmd_maintain)
+
+    sd = sub.add_parser(
+        "snapshot-diff",
+        help="exact content diff (or --sketch resemblance) between two"
+        " committed snapshot-table versions",
+    )
+    sd.add_argument("table")
+    sd.add_argument("--v-a", type=int, default=None, dest="v_a")
+    sd.add_argument("--v-b", type=int, default=None, dest="v_b")
+    sd.add_argument("--sketch", action="store_true")
+    sd.set_defaults(fn=cmd_snapshot_diff)
 
     args = p.parse_args(argv)
     return args.fn(args)
