@@ -275,6 +275,15 @@ HEADLINE = [
     "langid_confusion_matrix",
     # exact per-source snapshot diff (the sketch's drill-down)
     "snapshot_diff_report",
+    # round-8 training tier: distributed-GD classifier (8 broadcast-
+    # weight passes + tiny reduces), trained-vs-fixed PR comparison,
+    # held-out generalization sweep, disagreement review queue,
+    # standardized-coefficient importance
+    "quality_classifier_train",
+    "quality_pr_curve_trained",
+    "quality_classifier_holdout",
+    "quality_label_disagreement",
+    "quality_feature_importance",
 ]
 
 

@@ -247,17 +247,57 @@ _PRIORITY = [
     # recall audit whose NUMBERS are hash-verified end to end (the
     # registered kmeans quantizer's CTE chain reused verbatim;
     # triple-verified at sf0.001/0.01/0.1 + perfect-recall crafted test).
-    "daily_agg", "daily_flags", "hourly_outer_join", "global_summary",
-    "corpus_prep_funnel_v2", "minmax_norm",
+    # round-8 rotation (VERDICT r7 next-item #1: >=10 never-checked
+    # rows in; FOURTEEN rotate in, every out-row is r07-driver-green
+    # AND keeps a checked family sibling staying in):
+    # OUT: daily_flags (C2 bins stay boundary-tested; weather family
+    # keeps daily_agg + weather_code_decode), hourly_outer_join (the
+    # J1 full-outer shape stays checked via incoming
+    # snapshot_diff_report's (source, fingerprint) full outer join),
+    # minmax_norm (window family keeps rank_pct_diff),
+    # bpe_encode_stats (r03+-green; BPE pytest suite + scale rows;
+    # tokenizer family keeps token_budget_batches' packing join),
+    # ccnet_ppl_buckets + mad_outlier_docs (their FULL oracles stay
+    # embedded verbatim as gates inside the staying funnel v2/v3 +
+    # curated_shard_manifest rows — three checked supersets each),
+    # sentence_dedup_global (dedup family keeps dedup_exact,
+    # prefix_filter_jaccard, dedup_clusters, simhash_near_dupes,
+    # containment_pairs), ctfidf_source_keywords (keyword family keeps
+    # bm25_topk), knn_label_spread (embedding family keeps
+    # ann_cosine_topk, semantic_dedup, semantic_decontaminate,
+    # embedding_outlier_knn), ann_pq_index_roundtrip (ANN family keeps
+    # ann_cosine_topk + ann_ivf_recall_audit), pca_power_iteration
+    # (iterative-fixpoint family keeps the kmeans chain inside
+    # ann_ivf_recall_audit and gains kcenter_coreset_selection +
+    # quality_classifier_train), psi_drift_audit (r07-green; drift
+    # family keeps ks_drift_audit), user_sessions (sessionization
+    # stays via the stateful-streaming parity suite; the events-table
+    # family keeps train_test_split), weighted_sample_topk (sampling
+    # family keeps train_test_split + token_budget_batches).
+    # IN: the twelve VERDICT-named flagships with zero driver exposure
+    # (gate_attribution_audit, gate_bias_audit, quality_ensemble_rank,
+    # cross_source_dup_matrix, quality_pr_curve,
+    # readability_flesch_gate, join_skew_audit, zorder_pruning_audit,
+    # langid_confusion_matrix, snapshot_diff_report,
+    # kcenter_coreset_selection, dp_laplace_release) plus the two
+    # round-8 trainer rows (quality_classifier_train,
+    # quality_pr_curve_trained — triple-verified at sf0.001/0.01/0.1).
+    "daily_agg", "global_summary",
+    "corpus_prep_funnel_v2",
     "rank_pct_diff", "corpus_prep_funnel_v3", "asof_join",
     "weather_code_decode",
     "ann_ivf_recall_audit", "containment_pairs",
     "media_jpeg_stats", "simhash_near_dupes",
-    "bpe_encode_stats", "dsir_importance_weights",
-    "bm25_topk", "ccnet_ppl_buckets", "sentence_dedup_global",
-    "boilerplate_strip", "ngram_repetition", "ctfidf_source_keywords",
-    "pii_scrub_stats", "knn_label_spread", "ann_pq_index_roundtrip",
-    "mad_outlier_docs",
+    "dsir_importance_weights",
+    "bm25_topk",
+    "boilerplate_strip", "ngram_repetition",
+    "pii_scrub_stats",
+    "gate_attribution_audit", "gate_bias_audit", "quality_ensemble_rank",
+    "cross_source_dup_matrix", "quality_pr_curve",
+    "readability_flesch_gate", "join_skew_audit", "zorder_pruning_audit",
+    "langid_confusion_matrix", "snapshot_diff_report",
+    "kcenter_coreset_selection", "dp_laplace_release",
+    "quality_classifier_train", "quality_pr_curve_trained",
     # round-3 rotations: today_lookup (J4 — J family keeps asof_join/
     # nearest_event/daily_left_join), format_dates (C7 — C family keeps
     # slugify_parts/weather_code_decode/split_part_types),
@@ -270,7 +310,6 @@ _PRIORITY = [
     # keeps the tolerant-JSON shape checked) and sorted_nations (O4 —
     # every ORDER BY row covers lexicographic sorts) out for the Q21
     # semi/anti flagship and the unigram-LM quality scorer
-    "pca_power_iteration", "psi_drift_audit",
     "semantic_decontaminate",
     "ks_drift_audit", "kll_rollup_value_quantiles",
     # round-2/3 flagships, wave 2: embedding-graph semantic dedup (now
@@ -290,8 +329,8 @@ _PRIORITY = [
     "ann_cosine_topk", "lang_quality",
     "lsh_recall_audit", "embedding_outlier_knn",
     # training-pipeline + streaming-analog flagships
-    "dedup_clusters", "user_sessions", "train_test_split",
-    "weighted_sample_topk", "decontaminate_overlap",
+    "dedup_clusters", "train_test_split",
+    "decontaminate_overlap",
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)
 
@@ -18232,14 +18271,17 @@ _QCT_LR = "2.0"  # SQL literal text AND the float both sides fold
 _QCT_ROUNDS = 8  # weight updates; output rows = rounds + 1 (incl. w0)
 
 
-def _qct_train_sql() -> str:
-    """The (doc_id, features, y) training relation: the registered
-    quality_logistic_filter's 6-dp features joined to the registered
-    gopher_quality_gate_tuned keep bit as the weak label (the published
-    gate's stop-word rule rejects everything on this vocabulary, so the
-    TUNED gate is the only label source with both classes present)."""
+def _qct_train_sql(name: str = "train", where: str = "") -> str:
+    """The (doc_id, features, y) relation as a CTE named ``name``: the
+    registered quality_logistic_filter's 6-dp features joined to the
+    registered gopher_quality_gate_tuned keep bit as the weak label
+    (the published gate's stop-word rule rejects everything on this
+    vocabulary, so the TUNED gate is the only label source with both
+    classes present). ``where`` restricts the doc set (the holdout
+    split) — both features and labels are pure per-doc functions, so
+    filtering commutes with their computation."""
     return (
-        "train AS MATERIALIZED (\n"
+        f"{name} AS MATERIALIZED (\n"
         "  SELECT f.doc_id, f.f_distinct, f.f_top, f.f_len, f.f_stop,\n"
         "         CASE WHEN l.keep THEN 1.0 ELSE 0.0 END AS y\n"
         "  FROM (SELECT doc_id, f_distinct, f_top, f_len, f_stop FROM ("
@@ -18248,7 +18290,8 @@ def _qct_train_sql() -> str:
         "  JOIN (SELECT doc_id, keep FROM ("
         + _ORACLES["gopher_quality_gate_tuned"]
         + "\n)) l ON l.doc_id = f.doc_id\n"
-        ")"
+        + (f"  WHERE {where}\n" if where else "")
+        + ")"
     )
 
 
@@ -18258,15 +18301,15 @@ _QCT_Z_SQL = (
 )
 
 
-def _qct_ctes(rounds: int) -> list[str]:
+def _qct_ctes(rounds: int, where: str = "") -> list[str]:
     """The unrolled GD chain as MATERIALIZED CTEs (the kmeans/PCA/
     k-center proof pattern): w{r} = weights entering round r, a{r} =
     the one-row scoring/gradient agg of w{r} over train. Every CTE is
     MATERIALIZED — a{r} feeds both the output row and w{r+1}, and an
     inlined chain would re-expand multiplicatively (the funnel-v3
-    lesson)."""
+    lesson). ``where`` restricts the training doc set (holdout)."""
     ctes = [
-        _qct_train_sql(),
+        _qct_train_sql(where=where),
         "w0 AS MATERIALIZED (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2,"
         " 0.0 AS w3, 0.0 AS w4)",
     ]
@@ -18333,8 +18376,15 @@ def _qct_oracle(rounds: int) -> str:
     )
 
 
-def _qct_train_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _qct_train_relation(
+    spark: SparkSession, sf_dir: str, parity: int | None = None
+) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    if parity is not None:
+        # features and labels are pure per-doc functions, so filtering
+        # the doc set first is set-identical to the oracle's post-join
+        # WHERE — and skips computing them for the other half
+        docs = docs.filter(F.col("doc_id") % 2 == parity)
     feats = _quality_logistic_core(docs).select(
         "doc_id", "f_distinct", "f_top", "f_len", "f_stop"
     )
@@ -18389,13 +18439,16 @@ def _qct_pass(train: DataFrame, w: DataFrame) -> DataFrame:
 
 
 def _qct_chain(
-    spark: SparkSession, sf_dir: str, rounds: int = _QCT_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = _QCT_ROUNDS,
+    parity: int | None = None,
 ) -> tuple[list[tuple[DataFrame, DataFrame]], DataFrame]:
     """Run the GD chain; returns ([(w_r, a_r)] for r=0..rounds, w_final).
     Weights stay a broadcast 1-row DataFrame end to end — no driver
     collect (the kmeans/k-center discipline); every 1-row stage is
     lazily fenced so the unrolled lineage never replays."""
-    train = _qct_train_relation(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir, parity)
     w = (
         spark.range(1)
         .select(
@@ -18712,3 +18765,340 @@ def snapshot_resemblance_between(
         snapshot_read(spark, table, version=v_a),
         snapshot_read(spark, table, version=v_b),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8, wave 2: the trained classifier joined to the rest of the
+# evaluation tier — held-out generalization, the disagreement review
+# queue, and standardized-coefficient feature importance.
+# ---------------------------------------------------------------------------
+
+
+def _pr_sweep_spark(scored: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The PR-grid sweep over a (z, y) relation — identical algebra to
+    quality_pr_curve's cells/pr legs, grouping by ``group_cols`` +
+    threshold."""
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in _PR_THRESHOLDS])
+    ).alias("threshold")
+    lab = F.col("y") > 0.5
+    cells = (
+        scored.select(*group_cols, "z", "y", thr)
+        .groupBy(*group_cols, "threshold")
+        .agg(
+            F.sum(F.when((F.col("z") > F.col("threshold")) & lab, 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when((F.col("z") > F.col("threshold")) & ~lab, 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when((F.col("z") <= F.col("threshold")) & lab, 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when((F.col("z") <= F.col("threshold")) & ~lab, 1).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    pr = cells.select(
+        "*",
+        rnd(
+            F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6
+        ).alias("precision6"),
+        rnd(
+            F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6
+        ).alias("recall6"),
+    )
+    return pr.select(
+        *group_cols,
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "precision6",
+        "recall6",
+        F.when(
+            F.col("precision6") + F.col("recall6") > 0,
+            rnd(
+                F.lit(2.0)
+                * F.col("precision6")
+                * F.col("recall6")
+                / (F.col("precision6") + F.col("recall6")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1_6"),
+    )
+
+
+_PR_SWEEP_SQL_TAIL = """
+pr AS (
+  SELECT *,
+         FLOOR((tp * 1.0 / GREATEST(tp + fp, 1)) * 1000000 + 0.5) / 1000000
+           AS precision6,
+         FLOOR((tp * 1.0 / GREATEST(tp + fn, 1)) * 1000000 + 0.5) / 1000000
+           AS recall6
+  FROM cells
+)"""
+
+
+def _qct_holdout_oracle(rounds: int) -> str:
+    """Train on the even parity half, sweep the PR grid on the odd
+    held-out half — the GD chain CTEs restricted by WHERE, plus a
+    second embed of the feature/label oracles as the eval relation."""
+    ts = ", ".join(str(t) for t in _PR_THRESHOLDS)
+    ctes = _qct_ctes(rounds, where="f.doc_id % 2 = 0")
+    ctes.append(_qct_train_sql(name="evalset", where="f.doc_id % 2 = 1"))
+    ctes.append(
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT t.doc_id, {_QCT_Z_SQL} AS z, t.y\n"
+        f"  FROM evalset t CROSS JOIN w{rounds} w\n"
+        ")"
+    )
+    ctes.append(
+        "cells AS (\n"
+        "  SELECT CAST(t.threshold AS DOUBLE) AS threshold,\n"
+        "         CAST(SUM(CASE WHEN z > t.threshold AND y > 0.5"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS tp,\n"
+        "         CAST(SUM(CASE WHEN z > t.threshold AND NOT y > 0.5"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS fp,\n"
+        "         CAST(SUM(CASE WHEN z <= t.threshold AND y > 0.5"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS fn,\n"
+        "         CAST(SUM(CASE WHEN z <= t.threshold AND NOT y > 0.5"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS tn\n"
+        f"  FROM scored, UNNEST([{ts}]) AS t(threshold)\n"
+        "  GROUP BY 1\n"
+        ")"
+    )
+    ctes.append(_PR_SWEEP_SQL_TAIL.strip().lstrip("\n"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT threshold, tp, fp, fn, tn, precision6, recall6,\n"
+        "       CASE WHEN precision6 + recall6 > 0\n"
+        "            THEN FLOOR((2.0 * precision6 * recall6"
+        " / (precision6 + recall6)) * 1000000 + 0.5) / 1000000\n"
+        "            ELSE 0.0 END AS f1_6\n"
+        "FROM pr ORDER BY threshold"
+    )
+
+
+@query("quality_classifier_holdout", _qct_holdout_oracle(_QCT_ROUNDS))
+def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZATION, not fit — the held-out evaluation the
+    quality_pr_curve_trained docstring deferred: the GD chain trains on
+    the EVEN doc_id half only, and the PR grid sweeps its final weights
+    over the ODD half the trainer never saw (labels = the same tuned
+    rule gate, computed per-doc so the split can't leak population
+    statistics). Read next to quality_pr_curve_trained: held-out best
+    F1 tracking the train-set best F1 is the no-overfit evidence a
+    4-parameter linear model should show; a gap is memorization.
+
+    The parity split is the deterministic stand-in for the registered
+    train_test_split's hash split — parity keeps the oracle's WHERE
+    clause a pure doc_id predicate, so the chain's CTEs restrict
+    mechanically (the funnel gate-rewrite discipline).
+
+    Scale: the GD chain over half the corpus (Θ(rounds·N/2)), one
+    broadcast-weight scoring pass over the other half, and the 9-row
+    dimension sweep — nothing beyond the registered pieces it composes.
+    """
+    _chain, w_final = _qct_chain(spark, sf_dir, parity=0)
+    evalset = _qct_train_relation(spark, sf_dir, parity=1)
+    scored = evalset.crossJoin(F.broadcast(w_final)).select(
+        "doc_id", _qct_z().alias("z"), "y"
+    )
+    return _pr_sweep_spark(scored, []).orderBy("threshold")
+
+
+def _qct_disagreement_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    ctes.append(
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT t.doc_id, {_QCT_Z_SQL} AS z, t.y\n"
+        f"  FROM train t CROSS JOIN w{rounds} w\n"
+        ")"
+    )
+    ctes.append(
+        "dis AS (\n"
+        "  SELECT doc_id, z, z > 0 AS pred_keep, y > 0.5 AS label_keep\n"
+        "  FROM scored WHERE (z > 0) <> (y > 0.5)\n"
+        ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT doc_id, z, pred_keep, label_keep,\n"
+        "       CASE WHEN label_keep THEN 'false_reject'"
+        " ELSE 'false_accept' END AS error_type,\n"
+        "       CAST(rank AS BIGINT) AS rank\n"
+        "FROM (SELECT *, ROW_NUMBER() OVER"
+        " (ORDER BY ABS(z) DESC, doc_id) AS rank FROM dis)\n"
+        "WHERE rank <= 20 ORDER BY rank"
+    )
+
+
+@query("quality_label_disagreement", _qct_disagreement_oracle(_QCT_ROUNDS))
+def quality_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REVIEW QUEUE — the active-learning loop's next batch: the 20
+    documents where the trained classifier and the rule gate disagree
+    most confidently (largest |z| on the wrong side), split into
+    false_reject (gate keeps, model rejects) and false_accept (gate
+    rejects, model keeps). This is the table a curation team actually
+    reads after training: confident disagreements are either label
+    noise in the rule gate (fix the rules) or systematic model error
+    (add features) — and sampling them beats random audit sampling by
+    construction.
+
+    Scale: one broadcast-weight scoring pass, the disagreement filter,
+    then the salted two-level top-k (never a global row sort) — the
+    bm25/weighted-sample discipline on a relation that is already a
+    small fraction of the corpus (the ~6% the two gates disagree on).
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    _chain, w_final = _qct_chain(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir)
+    scored = train.crossJoin(F.broadcast(w_final)).select(
+        "doc_id", _qct_z().alias("z"), "y"
+    )
+    dis = scored.filter(
+        (F.col("z") > 0) != (F.col("y") > 0.5)
+    ).select(
+        "doc_id",
+        "z",
+        (F.col("z") > 0).alias("pred_keep"),
+        (F.col("y") > 0.5).alias("label_keep"),
+        F.abs(F.col("z")).alias("__az"),
+    )
+    top = topk_per_group(
+        dis.withColumn("__g", F.lit(1)),
+        group_col="__g",
+        k=20,
+        sim_col="__az",
+        tie_col="doc_id",
+    )
+    return top.select(
+        "doc_id",
+        "z",
+        "pred_keep",
+        "label_keep",
+        F.when(F.col("label_keep"), F.lit("false_reject"))
+        .otherwise(F.lit("false_accept"))
+        .alias("error_type"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("rank")
+
+
+_QCT_FEATS = [
+    ("f_distinct", "w1"),
+    ("f_top", "w2"),
+    ("f_len", "w3"),
+    ("f_stop", "w4"),
+]
+
+
+def _qct_importance_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    sums = ",\n         ".join(
+        f"{sql_dsum(feat, 7)} AS sx_{feat},\n"
+        f"         {sql_dsum(f'{feat} * {feat}', 7)} AS sxx_{feat}"
+        for feat, _w in _QCT_FEATS
+    )
+    ctes.append(
+        "stats AS MATERIALIZED (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS n,\n"
+        f"         {sums}\n"
+        "  FROM train\n"
+        ")"
+    )
+    legs = "\n  UNION ALL\n".join(
+        f"  SELECT '{feat}' AS feature, w.{w} AS weight,"
+        f" s.sx_{feat} AS sx, s.sxx_{feat} AS sxx, s.n AS n"
+        f" FROM stats s CROSS JOIN w{rounds} w"
+        for feat, w in _QCT_FEATS
+    )
+    ctes.append("feats AS (\n" + legs + "\n)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+, m AS (
+  SELECT feature, weight,
+         FLOOR((sx / n) * 1000000 + 0.5) / 1000000 AS mean6,
+         FLOOR((sxx / n) * 1000000 + 0.5) / 1000000 AS ex2_6
+  FROM feats
+),
+v AS (
+  SELECT feature, weight, mean6,
+         FLOOR((ex2_6 - mean6 * mean6) * 1000000 + 0.5) / 1000000 AS var6
+  FROM m
+),
+s AS (
+  SELECT *, FLOOR(SQRT(GREATEST(var6, 0.0)) * 1000000 + 0.5) / 1000000
+         AS std6
+  FROM v
+)
+SELECT feature, weight, mean6, std6,
+       FLOOR((ABS(weight) * std6) * 1000000 + 0.5) / 1000000 AS importance6
+FROM s ORDER BY importance6 DESC, feature"""
+    )
+
+
+@query("quality_feature_importance", _qct_importance_oracle(_QCT_ROUNDS))
+def quality_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH FEATURE CARRIES THE MODEL — standardized coefficients
+    (|w_j| · std(x_j), the classical comparable-importance measure for
+    a linear model over unstandardized features): per feature the
+    trained weight, the corpus mean and std of the feature (exact
+    decimal-quantized moments, var = E[x²] − E[x]² at 6 dp, IEEE sqrt),
+    and the importance. The table that tells a curation team whether
+    the classifier is a length detector in disguise (f_len dominating)
+    or actually reads vocabulary structure — the first sanity check on
+    any trained quality filter before it gates a corpus.
+
+    Scale: the GD chain + ONE extra pass over the train relation with
+    8 decimal-sum aggregates; the importance rollup is 4 rows.
+    """
+    _chain, w_final = _qct_chain(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for feat, _w in _QCT_FEATS:
+        aggs.append(dsum(F.col(feat), 7).alias(f"sx_{feat}"))
+        aggs.append(dsum(F.col(feat) * F.col(feat), 7).alias(f"sxx_{feat}"))
+    stats = train.agg(*aggs).localCheckpoint(eager=False)
+    legs = None
+    for feat, w in _QCT_FEATS:
+        leg = stats.crossJoin(F.broadcast(w_final)).select(
+            F.lit(feat).alias("feature"),
+            F.col(w).alias("weight"),
+            F.col(f"sx_{feat}").alias("sx"),
+            F.col(f"sxx_{feat}").alias("sxx"),
+            "n",
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    m = legs.select(
+        "feature",
+        "weight",
+        rnd(F.col("sx") / F.col("n"), 6).alias("mean6"),
+        rnd(F.col("sxx") / F.col("n"), 6).alias("ex2_6"),
+    )
+    v = m.select(
+        "feature",
+        "weight",
+        "mean6",
+        rnd(F.col("ex2_6") - F.col("mean6") * F.col("mean6"), 6).alias("var6"),
+    )
+    s = v.select(
+        "*",
+        rnd(F.sqrt(F.greatest(F.col("var6"), F.lit(0.0))), 6).alias("std6"),
+    )
+    return s.select(
+        "feature",
+        "weight",
+        "mean6",
+        "std6",
+        rnd(F.abs(F.col("weight")) * F.col("std6"), 6).alias("importance6"),
+    ).orderBy(F.desc("importance6"), "feature")

@@ -204,6 +204,14 @@ OPS = [
     "langid_confusion_matrix",
     # 32-byte fingerprint diff join + |sources| rollup
     "snapshot_diff_report",
+    # round-8 training tier: GD chain = rounds x (broadcast-weight
+    # scoring pass + 9-number reduce) over the narrow feature relation;
+    # the holdout/disagreement/importance legs add one bounded pass each
+    "quality_classifier_train",
+    "quality_pr_curve_trained",
+    "quality_classifier_holdout",
+    "quality_label_disagreement",
+    "quality_feature_importance",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

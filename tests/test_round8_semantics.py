@@ -343,3 +343,49 @@ def test_snapshot_diff_cli(spark, tmp_path, capsys):
         if ln.startswith("{")
     ][0]
     assert sk["n_seeds"] == 16
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 2: holdout generalization, disagreement queue, feature
+# importance
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_holdout_generalizes(spark, sf_dir):
+    """Held-out best F1 must beat the all-keep baseline (threshold -1
+    row: keep everything) — the model carries signal onto docs it never
+    saw; and the sweep rows must be internally consistent."""
+    rows = q.queries()["quality_classifier_holdout"](spark, sf_dir).collect()
+    assert len(rows) == 9
+    n_eval = rows[0]["tp"] + rows[0]["fp"] + rows[0]["fn"] + rows[0]["tn"]
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n_eval
+    baseline_f1 = rows[0]["f1_6"]  # threshold -1: everything kept
+    assert max(r["f1_6"] for r in rows) > baseline_f1
+    # recall is monotone non-increasing in the threshold
+    recalls = [r["recall6"] for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+
+
+def test_quality_label_disagreement_queue(spark, sf_dir):
+    rows = q.queries()["quality_label_disagreement"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    azs = [abs(r["z"]) for r in rows]
+    assert all(a >= b for a, b in zip(azs, azs[1:]))  # most confident first
+    for r in rows:
+        assert r["pred_keep"] != r["label_keep"]  # every row is a disagreement
+        expect = "false_reject" if r["label_keep"] else "false_accept"
+        assert r["error_type"] == expect
+
+
+def test_quality_feature_importance_semantics(spark, sf_dir):
+    rows = q.queries()["quality_feature_importance"](spark, sf_dir).collect()
+    assert {r["feature"] for r in rows} == {
+        "f_distinct", "f_top", "f_len", "f_stop",
+    }
+    imps = [r["importance6"] for r in rows]
+    assert all(a >= b for a, b in zip(imps, imps[1:]))  # sorted desc
+    for r in rows:
+        assert r["std6"] >= 0.0
+        assert abs(r["importance6"] - abs(r["weight"]) * r["std6"]) < 2e-6
