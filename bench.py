@@ -284,6 +284,10 @@ HEADLINE = [
     "quality_classifier_holdout",
     "quality_label_disagreement",
     "quality_feature_importance",
+    # round-8 wave 3: training dynamics + agreement/calibration
+    "training_data_map",
+    "gate_agreement_kappa",
+    "quality_calibration_curve",
 ]
 
 

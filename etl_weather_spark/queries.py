@@ -19102,3 +19102,399 @@ def quality_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "std6",
         rnd(F.abs(F.col("weight")) * F.col("std6"), 6).alias("importance6"),
     ).orderBy(F.desc("importance6"), "feature")
+
+
+# ---------------------------------------------------------------------------
+# round 8, wave 3: training dynamics + agreement/calibration — data
+# maps over the GD trajectory, Cohen's kappa between the three keep
+# signals, and the classifier's reliability curve.
+# ---------------------------------------------------------------------------
+
+
+def _qct_scored_round_sql(r: int) -> str:
+    """(doc_id, y, p) for round r's weights — the trainer's own
+    hard-sigmoid probability, identical algebra to the a{r} CTEs."""
+    return (
+        f"sc{r} AS MATERIALIZED (\n"
+        f"  SELECT t.doc_id, t.y,\n"
+        f"         FLOOR(LEAST(GREATEST(0.5 + ({_QCT_Z_SQL}) / 4.0, 0.0),"
+        f" 1.0) * 1000000 + 0.5) / 1000000 AS p\n"
+        f"  FROM train t CROSS JOIN w{r} w\n"
+        f")"
+    )
+
+
+def _data_map_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    for r in range(1, rounds + 1):
+        ctes.append(_qct_scored_round_sql(r))
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, y,"
+        f" CASE WHEN y > 0.5 THEN p ELSE"
+        f" FLOOR((1.0 - p) * 1000000 + 0.5) / 1000000 END AS q"
+        f" FROM sc{r}"
+        for r in range(1, rounds + 1)
+    )
+    ctes.append("allr AS (\n" + union + "\n)")
+    ctes.append(
+        "per AS (\n"
+        "  SELECT doc_id, MAX(y) AS y,\n"
+        f"         {sql_dsum('q', 7)} AS sq,\n"
+        f"         {sql_dsum('q * q', 7)} AS sqq,\n"
+        "         CAST(COUNT(*) AS BIGINT) AS nr\n"
+        "  FROM allr GROUP BY doc_id\n"
+        ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+, m AS (
+  SELECT doc_id, y,
+         FLOOR((sq / nr) * 1000000 + 0.5) / 1000000 AS conf6,
+         FLOOR((sqq / nr) * 1000000 + 0.5) / 1000000 AS eq2_6
+  FROM per
+),
+v AS (
+  SELECT doc_id, y, conf6,
+         FLOOR(SQRT(GREATEST(
+           FLOOR((eq2_6 - conf6 * conf6) * 1000000 + 0.5) / 1000000,
+           0.0)) * 1000000 + 0.5) / 1000000 AS var6
+  FROM m
+)
+SELECT doc_id, y > 0.5 AS label_keep, conf6, var6,
+       CASE WHEN var6 >= 0.045 THEN 'ambiguous'
+            WHEN conf6 >= 0.58 THEN 'easy_to_learn'
+            WHEN conf6 <= 0.50 THEN 'hard_to_learn'
+            ELSE 'mid' END AS region
+FROM v ORDER BY doc_id"""
+    )
+
+
+@query("training_data_map", _data_map_oracle(_QCT_ROUNDS))
+def training_data_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA MAPS over the GD trajectory (Swayamdipta et al. 2020,
+    "Dataset Cartography"): per document, the CONFIDENCE (mean
+    probability assigned to the doc's true label across the 8 training
+    rounds) and VARIABILITY (std of that series), plus the region —
+    high-variability docs are 'ambiguous' (the ones worth human review
+    or up-weighting), high-confidence 'easy_to_learn' (safe but
+    low-information), low-confidence 'hard_to_learn' (often label
+    errors in the rule gate). This is the modern data-selection
+    artifact a curation team computes from training dynamics they
+    already paid for — no extra model, just the trajectory.
+
+    Region thresholds (0.045 variability, 0.58/0.50 confidence) are
+    tuned to THIS score scale and say so: the hard-sigmoid z/4
+    activation compresses probabilities toward 0.5, so Swayamdipta's
+    absolute cutoffs for softmax models do not transfer; the conf6/
+    var6 columns carry the raw signal for any other cut.
+
+    Scale: 8 broadcast-weight scoring passes (the chain's own cost
+    shape) unioned into one doc-keyed moment agg — Θ(rounds·N) map
+    work, one shuffle on doc_id; decimal-quantized moments, IEEE sqrt.
+    """
+    chain, _w = _qct_chain(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir)
+    allr = None
+    p = rnd(
+        F.least(
+            F.greatest(F.lit(0.5) + F.col("z") / F.lit(4.0), F.lit(0.0)),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    for r, (w, _agg) in enumerate(chain):
+        if r == 0:
+            continue  # w0 is all-zero: p = 0.5 for every doc, no signal
+        scored = train.crossJoin(F.broadcast(w)).select(
+            "doc_id", "y", _qct_z().alias("z")
+        )
+        leg = scored.select(
+            "doc_id",
+            "y",
+            F.when(F.col("y") > 0.5, p)
+            .otherwise(rnd(F.lit(1.0) - p, 6))
+            .alias("q"),
+        )
+        allr = leg if allr is None else allr.unionByName(leg)
+    per = allr.groupBy("doc_id").agg(
+        F.max("y").alias("y"),
+        dsum(F.col("q"), 7).alias("sq"),
+        dsum(F.col("q") * F.col("q"), 7).alias("sqq"),
+        F.count(F.lit(1)).cast("long").alias("nr"),
+    )
+    m = per.select(
+        "doc_id",
+        "y",
+        rnd(F.col("sq") / F.col("nr"), 6).alias("conf6"),
+        rnd(F.col("sqq") / F.col("nr"), 6).alias("eq2_6"),
+    )
+    v = m.select(
+        "doc_id",
+        "y",
+        "conf6",
+        rnd(
+            F.sqrt(
+                F.greatest(
+                    rnd(F.col("eq2_6") - F.col("conf6") * F.col("conf6"), 6),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("var6"),
+    )
+    return v.select(
+        "doc_id",
+        (F.col("y") > 0.5).alias("label_keep"),
+        "conf6",
+        "var6",
+        F.when(F.col("var6") >= 0.045, F.lit("ambiguous"))
+        .when(F.col("conf6") >= 0.58, F.lit("easy_to_learn"))
+        .when(F.col("conf6") <= 0.50, F.lit("hard_to_learn"))
+        .otherwise(F.lit("mid"))
+        .alias("region"),
+    ).orderBy("doc_id")
+
+
+def _kappa_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    ctes.append(
+        "fixedkeep AS MATERIALIZED (SELECT doc_id, keep FROM ("
+        + _ORACLES["quality_logistic_filter"]
+        + "\n))"
+    )
+    ctes.append(
+        "sigs AS MATERIALIZED (\n"
+        "  SELECT t.doc_id,\n"
+        "         t.y > 0.5 AS g,\n"
+        "         f.keep AS l,\n"
+        f"         ({_QCT_Z_SQL}) > 0 AS tr\n"
+        f"  FROM train t CROSS JOIN w{rounds} w\n"
+        "  JOIN fixedkeep f ON f.doc_id = t.doc_id\n"
+        ")"
+    )
+    legs = "\n  UNION ALL\n".join(
+        f"  SELECT '{pair}' AS pair, {a} AS a, {b} AS b FROM sigs"
+        for pair, a, b in [
+            ("gate_vs_fixed", "g", "l"),
+            ("gate_vs_trained", "g", "tr"),
+            ("fixed_vs_trained", "l", "tr"),
+        ]
+    )
+    ctes.append("pairs AS (\n" + legs + "\n)")
+    ctes.append(
+        "cnt AS (\n"
+        "  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "         CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n11,\n"
+        "         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n00,\n"
+        "         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na1,\n"
+        "         CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb1\n"
+        "  FROM pairs GROUP BY pair\n"
+        ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+, po AS (
+  SELECT *,
+         FLOOR(((n11 + n00) * 1.0 / n) * 1000000 + 0.5) / 1000000 AS po6,
+         FLOOR(((na1 * 1.0 / n) * (nb1 * 1.0 / n)
+                + ((n - na1) * 1.0 / n) * ((n - nb1) * 1.0 / n))
+               * 1000000 + 0.5) / 1000000 AS pe6
+  FROM cnt
+)
+SELECT pair, n, n11 AS n_both_keep, n00 AS n_both_drop,
+       n - n11 - n00 AS n_disagree, po6, pe6,
+       CASE WHEN 1.0 - pe6 > 0
+            THEN FLOOR(((po6 - pe6) / (1.0 - pe6)) * 1000000 + 0.5)
+                 / 1000000
+            ELSE 0.0 END AS kappa6
+FROM po ORDER BY pair"""
+    )
+
+
+@query("gate_agreement_kappa", _kappa_oracle(_QCT_ROUNDS))
+def gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-GATE AGREEMENT — Cohen's κ between the three keep signals
+    a curation pipeline now owns (the tuned Gopher rule gate, the
+    fixed-weight logistic filter, the TRAINED classifier), pairwise:
+    chance-corrected agreement is the standard answer to "are these
+    gates redundant or complementary?" — κ near 1 means drop one, κ
+    near 0 means they see different things and the funnel needs both.
+    Per pair: confusion mass, observed agreement po, chance agreement
+    pe (from the marginals), and κ = (po−pe)/(1−pe), all at 6 dp with
+    the divide-identical-rounded-doubles discipline.
+
+    Scale: ONE fenced (doc, g, l, t) spine (the gate-audit pattern)
+    exploded into 3 pair legs that collapse map-side into 3 count
+    rows; κ is arithmetic on the dimension table.
+    """
+    _chain, w_final = _qct_chain(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    fixed = _quality_logistic_core(docs).select("doc_id", F.col("keep").alias("l"))
+    sigs = (
+        train.crossJoin(F.broadcast(w_final))
+        .select("doc_id", (F.col("y") > 0.5).alias("g"), (_qct_z() > 0).alias("tr"))
+        .join(fixed, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    pair_structs = [
+        F.struct(F.lit(p).alias("pair"), F.col(a).alias("a"), F.col(b).alias("b"))
+        for p, a, b in [
+            ("gate_vs_fixed", "g", "l"),
+            ("gate_vs_trained", "g", "tr"),
+            ("fixed_vs_trained", "l", "tr"),
+        ]
+    ]
+    pairs = sigs.select(
+        F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.pair", "p.a", "p.b")
+    cnt = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("long").alias("na1"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).cast("long").alias("nb1"),
+    )
+    po = cnt.select(
+        "*",
+        rnd((F.col("n11") + F.col("n00")) * 1.0 / F.col("n"), 6).alias("po6"),
+        rnd(
+            (F.col("na1") * 1.0 / F.col("n")) * (F.col("nb1") * 1.0 / F.col("n"))
+            + ((F.col("n") - F.col("na1")) * 1.0 / F.col("n"))
+            * ((F.col("n") - F.col("nb1")) * 1.0 / F.col("n")),
+            6,
+        ).alias("pe6"),
+    )
+    return po.select(
+        "pair",
+        "n",
+        F.col("n11").alias("n_both_keep"),
+        F.col("n00").alias("n_both_drop"),
+        (F.col("n") - F.col("n11") - F.col("n00")).alias("n_disagree"),
+        "po6",
+        "pe6",
+        F.when(
+            F.lit(1.0) - F.col("pe6") > 0,
+            rnd((F.col("po6") - F.col("pe6")) / (F.lit(1.0) - F.col("pe6")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kappa6"),
+    ).orderBy("pair")
+
+
+def _calibration_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    ctes.append(_qct_scored_round_sql(rounds))
+    ctes.append(
+        "binned AS (\n"
+        f"  SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin, p, y\n"
+        f"  FROM sc{rounds}\n"
+        ")"
+    )
+    ctes.append(
+        "cells AS MATERIALIZED (\n"
+        "  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        f"         {sql_dsum('p', 7)} AS sp,\n"
+        "         CAST(SUM(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS nk\n"
+        "  FROM binned GROUP BY bin\n"
+        ")"
+    )
+    ctes.append(
+        "curve AS MATERIALIZED (\n"
+        "  SELECT bin, n,\n"
+        "         FLOOR((sp / n) * 1000000 + 0.5) / 1000000 AS mean_p6,\n"
+        "         FLOOR((nk * 1.0 / n) * 1000000 + 0.5) / 1000000"
+        " AS keep_rate6\n"
+        "  FROM cells\n"
+        ")"
+    )
+    ctes.append(
+        "gaps AS MATERIALIZED (\n"
+        "  SELECT bin, n, mean_p6, keep_rate6,\n"
+        "         FLOOR(ABS(mean_p6 - keep_rate6) * 1000000 + 0.5) / 1000000"
+        " AS gap6\n"
+        "  FROM curve\n"
+        ")"
+    )
+    ctes.append(
+        "ece AS (\n"
+        "  SELECT FLOOR((SUM(n * gap6) / SUM(n)) * 1000000 + 0.5) / 1000000"
+        " AS ece6\n"
+        "  FROM gaps\n"
+        ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT g.bin, g.n, g.mean_p6, g.keep_rate6, g.gap6, e.ece6\n"
+        "FROM gaps g CROSS JOIN ece e ORDER BY g.bin"
+    )
+
+
+@query("quality_calibration_curve", _calibration_oracle(_QCT_ROUNDS))
+def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS THE SCORE A PROBABILITY — the reliability curve of the
+    trained classifier: the hard-sigmoid scores bucketed into ten
+    equal-width bins, per bin the mean predicted probability vs the
+    empirical keep rate (vs the same tuned-gate labels), the |gap|,
+    and the expected calibration error (ECE, bin-mass-weighted mean
+    gap) repeated on every row. A well-calibrated filter can be
+    THRESHOLDED BY BUDGET ("keep the top p≥0.8 mass"); a miscalibrated
+    one can only be ranked — this table is how you know which you have
+    before a data-budget decision relies on the scores.
+
+    Scale: one broadcast-weight scoring pass, a ≤10-bin keyed agg, and
+    dimension-table arithmetic; the ECE rollup reads 10 rows.
+    """
+    chain, _w = _qct_chain(spark, sf_dir)
+    w_final = chain[-1][0]
+    train = _qct_train_relation(spark, sf_dir)
+    p = rnd(
+        F.least(
+            F.greatest(F.lit(0.5) + F.col("z") / F.lit(4.0), F.lit(0.0)),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    scored = train.crossJoin(F.broadcast(w_final)).select(
+        "doc_id", "y", _qct_z().alias("z")
+    )
+    binned = scored.select(
+        F.least(F.floor(p * 10), F.lit(9)).cast("long").alias("bin"),
+        p.alias("p"),
+        "y",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("p"), 7).alias("sp"),
+        F.sum(F.when(F.col("y") > 0.5, 1).otherwise(0)).cast("long").alias("nk"),
+    )
+    curve = cells.select(
+        "bin",
+        "n",
+        rnd(F.col("sp") / F.col("n"), 6).alias("mean_p6"),
+        rnd(F.col("nk") * 1.0 / F.col("n"), 6).alias("keep_rate6"),
+    )
+    gaps = curve.select(
+        "*",
+        rnd(F.abs(F.col("mean_p6") - F.col("keep_rate6")), 6).alias("gap6"),
+    ).localCheckpoint(eager=False)
+    ece = gaps.agg(
+        rnd(F.sum(F.col("n") * F.col("gap6")) / F.sum("n"), 6).alias("ece6")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(ece))
+        .select("bin", "n", "mean_p6", "keep_rate6", "gap6", "ece6")
+        .orderBy("bin")
+    )

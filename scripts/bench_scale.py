@@ -212,6 +212,12 @@ OPS = [
     "quality_classifier_holdout",
     "quality_label_disagreement",
     "quality_feature_importance",
+    # round-8 wave 3: rounds x scoring passes + doc-keyed moment agg
+    # (data map); one fenced 3-signal spine -> 3 count rows (kappa);
+    # one scoring pass + <=10-bin agg (calibration)
+    "training_data_map",
+    "gate_agreement_kappa",
+    "quality_calibration_curve",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

@@ -389,3 +389,59 @@ def test_quality_feature_importance_semantics(spark, sf_dir):
     for r in rows:
         assert r["std6"] >= 0.0
         assert abs(r["importance6"] - abs(r["weight"]) * r["std6"]) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 3: data maps, gate agreement, calibration
+# ---------------------------------------------------------------------------
+
+
+def test_training_data_map_regions(spark, sf_dir):
+    rows = q.queries()["training_data_map"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    regions = {r["region"] for r in rows}
+    assert regions <= {"ambiguous", "easy_to_learn", "hard_to_learn", "mid"}
+    for r in rows:
+        assert 0.0 <= r["conf6"] <= 1.0
+        assert r["var6"] >= 0.0
+        # region consistency with the documented thresholds
+        if r["var6"] >= 0.045:
+            assert r["region"] == "ambiguous"
+        elif r["conf6"] >= 0.58:
+            assert r["region"] == "easy_to_learn"
+        elif r["conf6"] <= 0.50:
+            assert r["region"] == "hard_to_learn"
+        else:
+            assert r["region"] == "mid"
+
+
+def test_gate_agreement_kappa_semantics(spark, sf_dir):
+    rows = {r["pair"]: r for r in q.queries()["gate_agreement_kappa"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "gate_vs_fixed", "gate_vs_trained", "fixed_vs_trained",
+    }
+    for r in rows.values():
+        assert r["n_both_keep"] + r["n_both_drop"] + r["n_disagree"] == r["n"]
+        assert -1.0 <= r["kappa6"] <= 1.0
+    # the trained model learned FROM the gate: that pair must agree far
+    # beyond chance, and beyond the never-fit fixed weights' agreement
+    assert rows["gate_vs_trained"]["kappa6"] > 0.5
+    assert rows["gate_vs_trained"]["kappa6"] > rows["gate_vs_fixed"]["kappa6"]
+
+
+def test_quality_calibration_curve_semantics(spark, sf_dir):
+    rows = q.queries()["quality_calibration_curve"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    n_total = sum(r["n"] for r in rows)
+    ece = rows[0]["ece6"]
+    assert all(r["ece6"] == ece for r in rows)  # repeated scalar
+    # recompute ECE from the rows (same rounding discipline)
+    import math
+
+    expect = math.floor(
+        (sum(r["n"] * r["gap6"] for r in rows) / n_total) * 1e6 + 0.5
+    ) / 1e6
+    assert abs(ece - expect) < 2e-6
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert r["bin"] / 10 - 1e-9 <= r["mean_p6"] <= (r["bin"] + 1) / 10 + 1e-9
