@@ -288,6 +288,9 @@ HEADLINE = [
     "training_data_map",
     "gate_agreement_kappa",
     "quality_calibration_curve",
+    # round-8 wave 4: governance ladder top rung + eval uncertainty
+    "t_closeness_audit",
+    "quality_f1_bootstrap",
 ]
 
 

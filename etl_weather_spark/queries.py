@@ -19498,3 +19498,334 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n", "mean_p6", "keep_rate6", "gap6", "ece6")
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8, wave 4: t-closeness (the governance ladder's last rung) and
+# a deterministic Poisson-bootstrap confidence interval for F1.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_closeness_audit",
+    f"""
+WITH cls AS (
+  SELECT source, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_band, lang
+  FROM documents
+),
+cl AS (
+  SELECT source, len_band, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cls GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT source, len_band, CAST(SUM(n) AS BIGINT) AS n_docs
+  FROM cl GROUP BY 1, 2
+),
+langs AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM cl GROUP BY 1),
+tot AS (SELECT CAST(SUM(nl) AS BIGINT) AS total FROM langs),
+grid AS (
+  SELECT c.source, c.len_band, c.n_docs,
+         FLOOR((COALESCE(x.n, 0) * 1.0 / c.n_docs) * 1000000 + 0.5)
+           / 1000000 AS p6,
+         FLOOR((l.nl * 1.0 / t.total) * 1000000 + 0.5) / 1000000 AS q6
+  FROM classes c
+  CROSS JOIN langs l
+  CROSS JOIN tot t
+  LEFT JOIN cl x ON x.source = c.source AND x.len_band = c.len_band
+                AND x.lang = l.lang
+),
+tv AS (
+  SELECT source, len_band, MAX(n_docs) AS n_docs,
+         FLOOR(({sql_dsum('ABS(p6 - q6)', 7)} * 0.5) * 1000000 + 0.5)
+           / 1000000 AS tvd6
+  FROM grid GROUP BY 1, 2
+),
+mx AS (
+  SELECT MAX(tvd6) AS max_tvd6,
+         CAST(SUM(CASE WHEN tvd6 > 0.2 THEN n_docs ELSE 0 END) AS BIGINT)
+           AS risk_docs,
+         CAST(SUM(n_docs) AS BIGINT) AS total_docs
+  FROM tv
+)
+SELECT v.source, v.len_band, v.n_docs, v.tvd6, v.tvd6 <= 0.2 AS t_ok,
+       m.max_tvd6,
+       FLOOR((m.risk_docs * 1.0 / m.total_docs) * 10000 + 0.5) / 10000
+         AS risk_share4
+FROM tv v CROSS JOIN mx m
+ORDER BY v.source, v.len_band
+""",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007 — the rung
+    above l-diversity on the anonymity ladder this registry now walks
+    end to end: k-anonymity → l-diversity → t-closeness → DP release):
+    a QI class can be k-anonymous AND l-diverse yet still leak — if its
+    sensitive-attribute DISTRIBUTION differs sharply from the global
+    one, an observer learns a posterior shift (the skewness attack).
+    Per class (source × 100-char length band, the registry's QI
+    discipline): the total-variation distance between the class's
+    language distribution and the corpus's, the t ≤ 0.2 verdict
+    (categorical attributes take the variational distance; 0.2 is the
+    paper's illustrative setting, documented as configurable), the
+    corpus max t, and the share of documents in failing classes.
+
+    Scale: one (QI × lang) partial agg, then a classes × |langs| grid
+    — both dimension-sized at any corpus size; per-class TVD sums fold
+    through the decimal dsum so cell order cannot matter.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cls = docs.select(
+        "source",
+        F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("len_band"),
+        "lang",
+    )
+    cl = cls.groupBy("source", "len_band", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cl = cl.localCheckpoint(eager=False)
+    classes = cl.groupBy("source", "len_band").agg(
+        F.sum("n").cast("long").alias("n_docs")
+    )
+    langs = cl.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    tot = langs.agg(F.sum("nl").cast("long").alias("total"))
+    grid = (
+        classes.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(tot))
+        .join(cl, ["source", "len_band", "lang"], "left")
+        .select(
+            "source",
+            "len_band",
+            "n_docs",
+            rnd(
+                F.coalesce(F.col("n"), F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("p6"),
+            rnd(F.col("nl") * 1.0 / F.col("total"), 6).alias("q6"),
+        )
+    )
+    tv = grid.groupBy("source", "len_band").agg(
+        F.max("n_docs").alias("n_docs"),
+        rnd(dsum(F.abs(F.col("p6") - F.col("q6")), 7) * 0.5, 6).alias("tvd6"),
+    )
+    tv = tv.localCheckpoint(eager=False)
+    mx = tv.agg(
+        F.max("tvd6").alias("max_tvd6"),
+        F.sum(F.when(F.col("tvd6") > 0.2, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("risk_docs"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    return (
+        tv.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "len_band",
+            "n_docs",
+            "tvd6",
+            (F.col("tvd6") <= 0.2).alias("t_ok"),
+            "max_tvd6",
+            rnd(F.col("risk_docs") * 1.0 / F.col("total_docs"), 4).alias(
+                "risk_share4"
+            ),
+        )
+        .orderBy("source", "len_band")
+    )
+
+
+#: Poisson(1) CDF cut points as 8-hex-digit md5-prefix boundaries
+#: (floor(cdf · 2³²) in hex) — lexicographic comparison on the fixed-
+#: width lowercase hex prefix IS the numeric comparison, so both
+#: engines draw the identical deterministic Poisson weight without any
+#: engine-specific hash or hex-to-int conversion.
+_POISSON_HEX_BOUNDS = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71",
+]
+_BOOT_B = 32
+
+
+def _boot_weight_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < '{b}' THEN {k}"
+        for k, b in enumerate(_POISSON_HEX_BOUNDS)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+def _f1_bootstrap_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    ctes.append(
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT t.doc_id, ({_QCT_Z_SQL}) > 0 AS pred, t.y > 0.5 AS label\n"
+        f"  FROM train t CROSS JOIN w{rounds} w\n"
+        ")"
+    )
+    w = _boot_weight_sql(
+        "substr(md5(CAST(s.doc_id AS VARCHAR) || '|'"
+        " || CAST(b.b AS VARCHAR)), 1, 8)"
+    )
+    ctes.append(
+        "expanded AS MATERIALIZED (\n"
+        "  SELECT b.b, s.pred, s.label,\n"
+        f"         {w} AS w\n"
+        f"  FROM scored s CROSS JOIN"
+        f" (SELECT UNNEST(generate_series(0, {_BOOT_B - 1})) AS b) b\n"
+        ")"
+    )
+    ctes.append(
+        "resamp AS MATERIALIZED (\n"
+        "  SELECT b,\n"
+        "         CAST(SUM(CASE WHEN pred AND label THEN w ELSE 0 END)"
+        " AS BIGINT) AS tp,\n"
+        "         CAST(SUM(CASE WHEN pred AND NOT label THEN w ELSE 0 END)"
+        " AS BIGINT) AS fp,\n"
+        "         CAST(SUM(CASE WHEN NOT pred AND label THEN w ELSE 0 END)"
+        " AS BIGINT) AS fn\n"
+        "  FROM expanded GROUP BY b\n"
+        ")"
+    )
+    ctes.append(
+        "f1s AS MATERIALIZED (\n"
+        "  SELECT b, tp, fp, fn,\n"
+        "         FLOOR((tp * 1.0 / GREATEST(tp + fp, 1)) * 1000000 + 0.5)"
+        " / 1000000 AS precision6,\n"
+        "         FLOOR((tp * 1.0 / GREATEST(tp + fn, 1)) * 1000000 + 0.5)"
+        " / 1000000 AS recall6\n"
+        "  FROM resamp\n"
+        ")"
+    )
+    ctes.append(
+        "f1v AS MATERIALIZED (\n"
+        "  SELECT b, tp, fp, fn, precision6, recall6,\n"
+        "         CASE WHEN precision6 + recall6 > 0\n"
+        "              THEN FLOOR((2.0 * precision6 * recall6"
+        " / (precision6 + recall6)) * 1000000 + 0.5) / 1000000\n"
+        "              ELSE 0.0 END AS f1_6\n"
+        "  FROM f1s\n"
+        ")"
+    )
+    ctes.append(
+        "stats AS (\n"
+        f"  SELECT FLOOR(({sql_dsum('f1_6', 7)} / {_BOOT_B})"
+        " * 1000000 + 0.5) / 1000000 AS mean_f1_6,\n"
+        "         (list(f1_6 ORDER BY f1_6))[2] AS f1_lo6,\n"
+        f"         (list(f1_6 ORDER BY f1_6))[{_BOOT_B - 1}] AS f1_hi6\n"
+        "  FROM f1v\n"
+        ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT v.b, v.tp, v.fp, v.fn, v.precision6, v.recall6, v.f1_6,\n"
+        "       s.mean_f1_6, s.f1_lo6, s.f1_hi6\n"
+        "FROM f1v v CROSS JOIN stats s ORDER BY v.b"
+    )
+
+
+@query("quality_f1_bootstrap", _f1_bootstrap_oracle(_QCT_ROUNDS))
+def quality_f1_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW SURE IS THAT F1 — a deterministic Poisson bootstrap over the
+    trained classifier's confusion counts: 32 resamples where each doc
+    enters resample b with weight ~ Poisson(1), drawn by comparing an
+    md5(doc_id|b) prefix against precomputed CDF cut points (fixed-
+    width lowercase hex compares lexicographically AS the number, so
+    both engines draw identical weights with zero RNG and zero
+    engine-specific hash). Per resample the weighted confusion counts
+    and F1 at the z > 0 operating point; every row carries the mean
+    and the [2nd, 31st] order-statistic band (≈94% interval for B=32).
+    The Poisson bootstrap is THE distributed-bootstrap formulation
+    (weights are independent per doc, so no global resample pass) —
+    this is how you find out whether a 0.01 F1 'improvement' between
+    two classifier versions is real or resampling noise.
+
+    Scale: one broadcast-weight scoring pass, a 32-way dimension
+    explode collapsed map-side into 32 confusion rows, and order
+    statistics over a 32-row relation (sort_array over a bounded
+    collect_list — executor-side, dimension-sized, never a driver
+    collect).
+    """
+    _chain, w_final = _qct_chain(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir)
+    scored = train.crossJoin(F.broadcast(w_final)).select(
+        "doc_id", (_qct_z() > 0).alias("pred"), (F.col("y") > 0.5).alias("label")
+    )
+    expanded = scored.select(
+        "doc_id",
+        "pred",
+        "label",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_BOOT_B)])
+        ).alias("b"),
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    w = F.lit(7)
+    for k in range(len(_POISSON_HEX_BOUNDS) - 1, -1, -1):
+        w = F.when(h < _POISSON_HEX_BOUNDS[k], F.lit(k)).otherwise(w)
+    expanded = expanded.select("b", "pred", "label", w.alias("w"))
+    resamp = expanded.groupBy("b").agg(
+        F.sum(F.when(F.col("pred") & F.col("label"), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("label"), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("label"), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    f1s = resamp.select(
+        "*",
+        rnd(
+            F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6
+        ).alias("precision6"),
+        rnd(
+            F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6
+        ).alias("recall6"),
+    )
+    f1v = f1s.select(
+        "*",
+        F.when(
+            F.col("precision6") + F.col("recall6") > 0,
+            rnd(
+                F.lit(2.0)
+                * F.col("precision6")
+                * F.col("recall6")
+                / (F.col("precision6") + F.col("recall6")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1_6"),
+    ).localCheckpoint(eager=False)
+    stats = f1v.agg(
+        rnd(dsum(F.col("f1_6"), 7) / F.lit(_BOOT_B), 6).alias("mean_f1_6"),
+        F.element_at(F.sort_array(F.collect_list("f1_6")), 2).alias("f1_lo6"),
+        F.element_at(
+            F.sort_array(F.collect_list("f1_6")), _BOOT_B - 1
+        ).alias("f1_hi6"),
+    )
+    return (
+        f1v.crossJoin(F.broadcast(stats))
+        .select(
+            "b",
+            "tp",
+            "fp",
+            "fn",
+            "precision6",
+            "recall6",
+            "f1_6",
+            "mean_f1_6",
+            "f1_lo6",
+            "f1_hi6",
+        )
+        .orderBy("b")
+    )

@@ -218,6 +218,10 @@ OPS = [
     "training_data_map",
     "gate_agreement_kappa",
     "quality_calibration_curve",
+    # round-8 wave 4: (QI x lang) dimension grid (t-closeness); 32-way
+    # dimension explode collapsed map-side into 32 confusion rows
+    "t_closeness_audit",
+    "quality_f1_bootstrap",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

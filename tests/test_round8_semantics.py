@@ -445,3 +445,81 @@ def test_quality_calibration_curve_semantics(spark, sf_dir):
     for r in rows:
         assert 0 <= r["bin"] <= 9
         assert r["bin"] / 10 - 1e-9 <= r["mean_p6"] <= (r["bin"] + 1) / 10 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 4: t-closeness + bootstrap F1 CI
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_audit_semantics(spark, sf_dir):
+    rows = q.queries()["t_closeness_audit"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    mx = rows[0]["max_tvd6"]
+    assert all(r["max_tvd6"] == mx for r in rows)
+    assert max(r["tvd6"] for r in rows) == mx
+    for r in rows:
+        assert 0.0 <= r["tvd6"] <= 1.0 + 1e-9
+        assert r["t_ok"] == (r["tvd6"] <= 0.2)
+    assert 0.0 <= rows[0]["risk_share4"] <= 1.0
+
+
+def test_t_closeness_uniform_class_passes(spark):
+    """A corpus where every class mirrors the global language mix has
+    TVD ~0 everywhere — the audit must call it t-ok."""
+    import etl_weather_spark.queries as qq
+
+    rows = []
+    did = 0
+    for band in range(3):
+        for src in ("a", "b"):
+            for lang in ("en", "de"):
+                for _ in range(5):
+                    rows.append((did, src, lang, band * 100 + 50, "x"))
+                    did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long, text string"
+    )
+    # call the registered body against a temp view via the core path:
+    # rebuild the same plan on this docs relation
+    cls = docs.select(
+        "source",
+        qq.F.floor(qq.F.col("n_chars") / qq.F.lit(100.0)).cast("long").alias("len_band"),
+        "lang",
+    )
+    cl = cls.groupBy("source", "len_band", "lang").agg(
+        qq.F.count(qq.F.lit(1)).cast("long").alias("n")
+    )
+    classes = cl.groupBy("source", "len_band").agg(
+        qq.F.sum("n").cast("long").alias("n_docs")
+    )
+    langs = cl.groupBy("lang").agg(qq.F.sum("n").cast("long").alias("nl"))
+    tot = langs.agg(qq.F.sum("nl").cast("long").alias("total"))
+    grid = (
+        classes.crossJoin(qq.F.broadcast(langs))
+        .crossJoin(qq.F.broadcast(tot))
+        .join(cl, ["source", "len_band", "lang"], "left")
+        .select(
+            "source", "len_band",
+            qq.rnd(qq.F.coalesce(qq.F.col("n"), qq.F.lit(0)) * 1.0 / qq.F.col("n_docs"), 6).alias("p6"),
+            qq.rnd(qq.F.col("nl") * 1.0 / qq.F.col("total"), 6).alias("q6"),
+        )
+    )
+    tv = grid.groupBy("source", "len_band").agg(
+        qq.rnd(qq.dsum(qq.F.abs(qq.F.col("p6") - qq.F.col("q6")), 7) * 0.5, 6).alias("tvd6")
+    )
+    assert all(r["tvd6"] < 1e-6 for r in tv.collect())
+
+
+def test_quality_f1_bootstrap_semantics(spark, sf_dir):
+    rows = q.queries()["quality_f1_bootstrap"](spark, sf_dir).collect()
+    assert len(rows) == 32
+    f1s = sorted(r["f1_6"] for r in rows)
+    lo, hi, mean = rows[0]["f1_lo6"], rows[0]["f1_hi6"], rows[0]["mean_f1_6"]
+    assert lo == f1s[1] and hi == f1s[-2]  # 2nd and 31st order stats
+    assert f1s[0] <= mean <= f1s[-1]
+    # resamples genuinely differ (the weights are not all 1)
+    assert len(set(f1s)) > 1
+    # deterministic: second run bit-identical
+    again = q.queries()["quality_f1_bootstrap"](spark, sf_dir).collect()
+    assert [r["f1_6"] for r in again] == [r["f1_6"] for r in rows]
