@@ -291,6 +291,8 @@ HEADLINE = [
     # round-8 wave 4: governance ladder top rung + eval uncertainty
     "t_closeness_audit",
     "quality_f1_bootstrap",
+    # round-8 flagship: the funnel with the trained quality gate
+    "corpus_prep_funnel_v4",
 ]
 
 

@@ -19829,3 +19829,120 @@ def quality_f1_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8, flagship: the curation funnel with the TRAINED quality gate —
+# the fixed-weight logistic stage replaced by the GD-trained model,
+# i.e. the funnel a production pipeline actually ships after training.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_v4_oracle() -> str:
+    """v2's mechanical assembly with ONE swap: the quality_keep stage's
+    gate is the trained classifier (keep ⇔ z > 0 under the GD chain's
+    final weights) instead of the fixed-weight logistic. The chain CTEs
+    are prepended verbatim (the composition discipline), every other
+    gate embeds its registered oracle unchanged, so the only semantic
+    difference from v2 IS the trained gate."""
+    ctes = list(_qct_ctes(_QCT_ROUNDS))
+    trained_gate = (
+        f"(SELECT t.doc_id FROM train t CROSS JOIN w{_QCT_ROUNDS} w"
+        f" WHERE ({_QCT_Z_SQL}) > 0)"
+    )
+    gates = []
+    for name, key, cond, _flt, _core in _FUNNEL_GATES:
+        if name == "quality_keep":
+            gates.append(("quality_trained_keep", None, None))
+        else:
+            gates.append((name, _ORACLES[key], cond))
+    ctes.append("s0 AS (SELECT doc_id FROM documents)")
+    rows = [
+        "SELECT 0 AS stage, 'all_docs' AS stage_name,"
+        " CAST(COUNT(*) AS BIGINT) AS n_kept,"
+        " CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM s0"
+    ]
+    for i, (name, oracle, cond) in enumerate(gates, start=1):
+        if oracle is None:
+            ctes.append(f"g{i} AS {trained_gate}")
+        else:
+            ctes.append(
+                f"g{i} AS (SELECT doc_id FROM ({oracle}\n) WHERE {cond})"
+            )
+        ctes.append(
+            f"s{i} AS (SELECT s.doc_id FROM s{i-1} s"
+            f" JOIN g{i} g ON g.doc_id = s.doc_id)"
+        )
+        rows.append(
+            f"SELECT {i} AS stage, '{name}' AS stage_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_kept,"
+            f" CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM s{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY stage"
+    )
+
+
+@query("corpus_prep_funnel_v4", _funnel_v4_oracle())
+def corpus_prep_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FUNNEL YOU SHIP AFTER TRAINING — corpus_prep_funnel_v2 with
+    exactly one stage swapped: the fixed-weight logistic quality gate
+    becomes the GD-TRAINED classifier (keep ⇔ z > 0 under
+    quality_classifier_train's final weights, trained on the full
+    corpus — v2's globally-fit-gates semantics). Every other gate is
+    the registered query reused verbatim, and the oracle prepends the
+    training chain's CTEs unchanged, so the diff between v2's and v4's
+    stage rows measures PRECISELY what swapping in the trained model
+    does to the funnel — the before/after table a curation team reads
+    when deciding to promote a trained filter into production.
+
+    Scale: v2's shape (each gate's own bounded plan, survivor semi-
+    joins over narrow doc_id relations, lazy fences) plus the GD
+    chain's Θ(rounds·N) — the trained gate itself is one broadcast-
+    weight codegen projection, cheaper than the fixed gate's two
+    token-pass aggs because the chain's fenced feature relation is
+    reused.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    _chain, w_final = _qct_chain(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir)
+    trained_keep = (
+        train.crossJoin(F.broadcast(w_final))
+        .filter(_qct_z() > 0)
+        .select("doc_id")
+    )
+    gates = []
+    for name, key, _cond, flt, _core in _FUNNEL_GATES:
+        if name == "quality_keep":
+            gates.append(("quality_trained_keep", trained_keep))
+        else:
+            gates.append(
+                (name, flt(_QUERIES[key](spark, sf_dir)).select("doc_id"))
+            )
+    survivors = docs.localCheckpoint(eager=False)
+    stages = [
+        survivors.agg(
+            F.lit(0).cast("long").alias("stage"),
+            F.lit("all_docs").alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    ]
+    for i, (name, keep) in enumerate(gates, start=1):
+        survivors = survivors.join(keep, "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
+        stages.append(
+            survivors.agg(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+        )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("stage")

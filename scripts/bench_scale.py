@@ -222,6 +222,8 @@ OPS = [
     # dimension explode collapsed map-side into 32 confusion rows
     "t_closeness_audit",
     "quality_f1_bootstrap",
+    # round-8 flagship: v2's gate chain + the GD chain, one swap
+    "corpus_prep_funnel_v4",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

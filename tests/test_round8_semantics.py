@@ -523,3 +523,30 @@ def test_quality_f1_bootstrap_semantics(spark, sf_dir):
     # deterministic: second run bit-identical
     again = q.queries()["quality_f1_bootstrap"](spark, sf_dir).collect()
     assert [r["f1_6"] for r in again] == [r["f1_6"] for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# round-8 flagship: the funnel with the trained gate
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_v4_trained_gate_semantics(spark, sf_dir):
+    """v4 must share v2's monotone-survivor contract, differ from v2
+    only at/after the swapped quality stage, and its trained gate must
+    be near-transparent after the Gopher stage it learned from (the
+    redundancy gate_agreement_kappa's 0.86 predicts)."""
+    v4 = q.queries()["corpus_prep_funnel_v4"](spark, sf_dir).collect()
+    v2 = q.queries()["corpus_prep_funnel_v2"](spark, sf_dir).collect()
+    names4 = [r["stage_name"] for r in v4]
+    assert names4[4] == "quality_trained_keep"
+    assert [r["stage_name"] for r in v2][4] == "quality_keep"
+    # monotone survivors
+    kept = [r["n_kept"] for r in v4]
+    assert all(a >= b for a, b in zip(kept, kept[1:]))
+    # stages before the swap are identical populations
+    for i in range(4):
+        assert v4[i]["n_kept"] == v2[i]["n_kept"]
+        assert v4[i]["id_checksum"] == v2[i]["id_checksum"]
+    # the trained gate learned from the gopher gate, so it keeps almost
+    # every gopher survivor (>=90% here; exact transparency at small SF)
+    assert v4[4]["n_kept"] >= 0.9 * v4[3]["n_kept"]
