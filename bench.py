@@ -293,6 +293,8 @@ HEADLINE = [
     "quality_f1_bootstrap",
     # round-8 flagship: the funnel with the trained quality gate
     "corpus_prep_funnel_v4",
+    # budget-targeted quality thresholds (histogram-rank, sortless)
+    "quality_budget_threshold",
 ]
 
 

@@ -19946,3 +19946,130 @@ def corpus_prep_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out.orderBy("stage")
+
+
+_BUDGET_FRACS = [(1, 4), (1, 2), (3, 4), (1, 1)]
+
+
+def _budget_threshold_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    ctes.append(
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT t.doc_id, {_QCT_Z_SQL} AS z\n"
+        f"  FROM train t CROSS JOIN w{rounds} w\n"
+        ")"
+    )
+    ctes.append(
+        "hist AS MATERIALIZED (\n"
+        "  SELECT z, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY z\n"
+        ")"
+    )
+    ctes.append(
+        "cum AS MATERIALIZED (\n"
+        "  SELECT z, CAST(SUM(c) OVER (ORDER BY z DESC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS n_at_or_above\n"
+        "  FROM hist\n"
+        ")"
+    )
+    ctes.append(
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist)"
+    )
+    fr = ", ".join(f"({n}, {d})" for n, d in _BUDGET_FRACS)
+    ctes.append(
+        "fracs AS (SELECT f.* FROM (VALUES " + fr + ") AS f(num, den))"
+    )
+    ctes.append(
+        "picks AS (\n"
+        "  SELECT f.num, f.den, t.n,\n"
+        "         (t.n * f.num + f.den - 1) // f.den AS target,\n"
+        "         MAX(c.z) AS threshold_z\n"
+        "  FROM fracs f CROSS JOIN tot t\n"
+        "  JOIN cum c ON c.n_at_or_above >= (t.n * f.num + f.den - 1) // f.den\n"
+        "  GROUP BY f.num, f.den, t.n\n"
+        ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT FLOOR((p.num * 1.0 / p.den) * 1000000 + 0.5) / 1000000
+         AS budget_frac6,
+       p.threshold_z, p.target, c.n_at_or_above AS n_kept,
+       FLOOR((c.n_at_or_above * 1.0 / p.n) * 1000000 + 0.5) / 1000000
+         AS kept_share6
+FROM picks p JOIN cum c ON c.z = p.threshold_z
+ORDER BY budget_frac6"""
+    )
+
+
+@query("quality_budget_threshold", _budget_threshold_oracle(_QCT_ROUNDS))
+def quality_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP THE TOP p% — the data-budget selector: for each budget
+    fraction (25/50/75/100%), the trained-score threshold that keeps
+    the smallest set of at least ⌈frac·N⌉ documents (ties at the
+    threshold keep together, so kept_share can exceed the budget by
+    the tie mass — reported honestly). This is how a token-budget
+    decision actually consumes a quality score: not "z > 0" but "the
+    best 50% we can afford" — and because quality_calibration_curve
+    showed the scores are NOT calibrated probabilities, rank-based
+    budget cuts are the only safe way to threshold them (the two
+    queries are two halves of one decision).
+
+    Exactness: targets are pure integer ceilings ((N·num + den−1) DIV
+    den — no float budget math), and the threshold comes from the
+    VALUE-HISTOGRAM cumulative rank (the quality_ensemble_rank
+    sortless pattern): the single-partition window runs over distinct
+    6-dp scores, never rows.
+
+    Scale: one broadcast-weight scoring pass, a score-keyed histogram
+    agg (bounded by distinct 6-dp score cardinality), a window over
+    that histogram, and a 4-row dimension join.
+    """
+    _chain, w_final = _qct_chain(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir)
+    scored = train.crossJoin(F.broadcast(w_final)).select(
+        "doc_id", _qct_z().alias("z")
+    )
+    hist = scored.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hist = hist.localCheckpoint(eager=False)
+    w = (
+        Window.orderBy(F.desc("z"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "z", F.sum("c").over(w).cast("long").alias("n_at_or_above")
+    ).localCheckpoint(eager=False)
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    fracs = None
+    for num, den in _BUDGET_FRACS:
+        leg = tot.select(
+            F.lit(num).alias("num"), F.lit(den).alias("den"), "n"
+        )
+        fracs = leg if fracs is None else fracs.unionByName(leg)
+    picks = (
+        fracs.withColumn(
+            "target",
+            F.expr("(n * num + den - 1) div den"),
+        )
+        .join(cum, F.col("n_at_or_above") >= F.col("target"))
+        .groupBy("num", "den", "n", "target")
+        .agg(F.max("z").alias("threshold_z"))
+    )
+    return (
+        picks.join(
+            cum.select(
+                F.col("z").alias("threshold_z"),
+                F.col("n_at_or_above").alias("n_kept"),
+            ),
+            "threshold_z",
+        )
+        .select(
+            rnd(F.col("num") * 1.0 / F.col("den"), 6).alias("budget_frac6"),
+            "threshold_z",
+            "target",
+            "n_kept",
+            rnd(F.col("n_kept") * 1.0 / F.col("n"), 6).alias("kept_share6"),
+        )
+        .orderBy("budget_frac6")
+    )

@@ -224,6 +224,8 @@ OPS = [
     "quality_f1_bootstrap",
     # round-8 flagship: v2's gate chain + the GD chain, one swap
     "corpus_prep_funnel_v4",
+    # score-histogram window + 4-row dimension join
+    "quality_budget_threshold",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

@@ -550,3 +550,15 @@ def test_funnel_v4_trained_gate_semantics(spark, sf_dir):
     # the trained gate learned from the gopher gate, so it keeps almost
     # every gopher survivor (>=90% here; exact transparency at small SF)
     assert v4[4]["n_kept"] >= 0.9 * v4[3]["n_kept"]
+
+
+def test_quality_budget_threshold_semantics(spark, sf_dir):
+    """Each budget row keeps the smallest ≥⌈frac·N⌉ set; thresholds are
+    monotone decreasing in the budget; ties keep together."""
+    rows = q.queries()["quality_budget_threshold"](spark, sf_dir).collect()
+    assert [r["budget_frac6"] for r in rows] == [0.25, 0.5, 0.75, 1.0]
+    ts = [r["threshold_z"] for r in rows]
+    assert all(a >= b for a, b in zip(ts, ts[1:]))  # lower budget = stricter
+    for r in rows:
+        assert r["n_kept"] >= r["target"]  # at least the budget
+    assert rows[-1]["kept_share6"] == 1.0
