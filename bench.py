@@ -295,6 +295,8 @@ HEADLINE = [
     "corpus_prep_funnel_v4",
     # budget-targeted quality thresholds (histogram-rank, sortless)
     "quality_budget_threshold",
+    # dedup-band x quality interaction (CC membership + GD chain)
+    "dedup_quality_interaction",
 ]
 
 

@@ -20073,3 +20073,112 @@ def quality_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("budget_frac6")
     )
+
+
+def _dedup_quality_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    ctes.append(
+        "mem AS MATERIALIZED (SELECT doc_id, cluster_id FROM ("
+        + _ORACLES["dedup_clusters"]
+        + "\n))"
+    )
+    ctes.append(
+        "siz AS MATERIALIZED (SELECT cluster_id,"
+        " CAST(COUNT(*) AS BIGINT) AS csize FROM mem GROUP BY cluster_id)"
+    )
+    ctes.append(
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT t.doc_id, {_QCT_Z_SQL} AS z, t.y\n"
+        f"  FROM train t CROSS JOIN w{rounds} w\n"
+        ")"
+    )
+    ctes.append(
+        "j AS (\n"
+        "  SELECT CASE WHEN sz.csize IS NULL THEN 'no_dup'\n"
+        "              WHEN sz.csize = 2 THEN 'dup_2'\n"
+        "              ELSE 'dup_3_plus' END AS band,\n"
+        "         s.z, s.y\n"
+        "  FROM scored s\n"
+        "  LEFT JOIN mem m ON m.doc_id = s.doc_id\n"
+        "  LEFT JOIN siz sz ON sz.cluster_id = m.cluster_id\n"
+        ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       FLOOR(({sql_dsum('z', 7)} / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS mean_z6,
+       FLOOR((SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             * 1000000 + 0.5) / 1000000 AS pred_keep_rate6,
+       FLOOR((SUM(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+             * 1000000 + 0.5) / 1000000 AS gate_keep_rate6
+FROM j GROUP BY band ORDER BY band"""
+    )
+
+
+@query("dedup_quality_interaction", _dedup_quality_oracle(_QCT_ROUNDS))
+def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARE DUPLICATED DOCS LOW-QUALITY — the interaction table every
+    curation writeup reports (C4/RefinedWeb observe near-dup text skews
+    boilerplate): per near-dup BAND (no_dup / dup_2 / dup_3_plus from
+    the registered dedup_clusters membership), the document count, the
+    mean trained quality score, the trained keep rate and the rule-gate
+    keep rate. If the dup bands score systematically lower, dedup and
+    quality filtering are partially redundant and the funnel can run
+    the cheaper one first; if they score the same, the two gates prune
+    independent populations and BOTH earn their cost — this table is
+    the evidence either way.
+
+    Both legs are REGISTERED pipelines reused verbatim (the
+    cross_source_dup_matrix composition discipline on the dedup side,
+    the GD chain on the quality side).
+
+    Scale: the CC membership's own documented plan + one broadcast-
+    weight scoring pass, joined on doc_id and rolled to ≤3 rows; the
+    band CASE rides the (doc, cluster-size) relation, never text.
+    """
+    _chain, w_final = _qct_chain(spark, sf_dir)
+    train = _qct_train_relation(spark, sf_dir)
+    scored = train.crossJoin(F.broadcast(w_final)).select(
+        "doc_id", _qct_z().alias("z"), "y"
+    )
+    mem = _QUERIES["dedup_clusters"](spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    siz = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    j = (
+        scored.join(mem, "doc_id", "left")
+        .join(siz, "cluster_id", "left")
+        .select(
+            F.when(F.col("csize").isNull(), F.lit("no_dup"))
+            .when(F.col("csize") == 2, F.lit("dup_2"))
+            .otherwise(F.lit("dup_3_plus"))
+            .alias("band"),
+            "z",
+            "y",
+        )
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            rnd(dsum(F.col("z"), 7) / F.count(F.lit(1)), 6).alias("mean_z6"),
+            rnd(
+                F.sum(F.when(F.col("z") > 0, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pred_keep_rate6"),
+            rnd(
+                F.sum(F.when(F.col("y") > 0.5, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("gate_keep_rate6"),
+        )
+        .orderBy("band")
+    )

@@ -226,6 +226,7 @@ OPS = [
     "corpus_prep_funnel_v4",
     # score-histogram window + 4-row dimension join
     "quality_budget_threshold",
+    "dedup_quality_interaction",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

@@ -562,3 +562,16 @@ def test_quality_budget_threshold_semantics(spark, sf_dir):
     for r in rows:
         assert r["n_kept"] >= r["target"]  # at least the budget
     assert rows[-1]["kept_share6"] == 1.0
+
+
+def test_dedup_quality_interaction_semantics(spark, sf_dir):
+    rows = {r["band"]: r for r in q.queries()["dedup_quality_interaction"](spark, sf_dir).collect()}
+    assert set(rows) <= {"no_dup", "dup_2", "dup_3_plus"}
+    assert "no_dup" in rows
+    total = sum(r["n_docs"] for r in rows.values())
+    # every trained-relation doc lands in exactly one band
+    n_train = q._qct_train_relation(spark, sf_dir).count()
+    assert total == n_train
+    for r in rows.values():
+        assert 0.0 <= r["pred_keep_rate6"] <= 1.0
+        assert 0.0 <= r["gate_keep_rate6"] <= 1.0
