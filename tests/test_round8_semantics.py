@@ -575,3 +575,55 @@ def test_dedup_quality_interaction_semantics(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r["pred_keep_rate6"] <= 1.0
         assert 0.0 <= r["gate_keep_rate6"] <= 1.0
+
+
+def test_audio_envelope_pairs_star_equivalence_property(spark):
+    """Property: for ANY fingerprint multiset, the star-capped pair set
+    yields the same connected components as the full quadratic
+    expansion — checked over a grid of crafted bucket layouts
+    (hypothesis-style, deterministic cases for session-fixture speed).
+    """
+    cases = [
+        [1],                      # singleton only
+        [5],                      # one hot bucket
+        [2, 2, 2],                # all cold
+        [7, 1, 3, 2],             # mixed hot/cold/singleton
+        [4, 4],                   # exactly at cap
+        [5, 5, 1],                # two hot buckets
+    ]
+    for sizes in cases:
+        rows, nid, fp = [], 0, 100
+        for s in sizes:
+            for _ in range(s):
+                rows.append((nid, 64, 8000, fp))
+                nid += 1
+            fp += 1
+        fps = spark.createDataFrame(
+            rows, "media_id long, n_frames long, sample_rate long, fp long"
+        )
+        star = audio_envelope_pairs(fps, hot_bucket_cap=4).collect()
+        full = audio_envelope_pairs(fps).collect()
+
+        def comps(edges, n):
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for e in edges:
+                ra, rb = find(e["id_a"]), find(e["id_b"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            return [find(i) for i in range(n)]
+
+        assert comps(star, nid) == comps(full, nid), sizes
+        # star never exceeds linear edges per bucket
+        from collections import Counter
+
+        per_fp = Counter(r["fp"] for r in star)
+        for f, s in zip(range(100, 100 + len(sizes)), sizes):
+            if s > 4:
+                assert per_fp[f] == s - 1  # star edges exactly
