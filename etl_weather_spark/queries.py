@@ -42,6 +42,11 @@ from etl_weather_spark.functions.rounding import (
     sql_round,
 )
 from etl_weather_spark.functions.text import doc_fingerprint, slugify_ascii, token_count
+from etl_weather_spark.operators.artifacts import (
+    artifact_if_absent,
+    dataset_fingerprint,
+    dataset_key,
+)
 from etl_weather_spark.operators.joins import asof_join_union
 from etl_weather_spark.operators.windows import (
     centered_mean,
@@ -282,6 +287,39 @@ _PRIORITY = [
     # kcenter_coreset_selection, dp_laplace_release) plus the two
     # round-8 trainer rows (quality_classifier_train,
     # quality_pr_curve_trained — triple-verified at sf0.001/0.01/0.1).
+    # round-9 rotation (VERDICT r8 next-item #2: the entire unexposed
+    # r8 analytics tier in; TWELVE rotate in, every out-row is
+    # r08-driver-green AND keeps a checked family sibling staying in):
+    # OUT: gate_attribution_audit + gate_bias_audit (gate-audit family
+    # gains gate_agreement_kappa; the funnel v2/v3 rows staying embed
+    # every gate oracle verbatim), quality_ensemble_rank (quality
+    # family keeps quality_classifier_train + gains the whole trained
+    # tier), cross_source_dup_matrix (dedup-audit family keeps
+    # dedup_clusters, containment_pairs, simhash_near_dupes + gains
+    # dedup_quality_interaction, which embeds the same committed-CC
+    # read), quality_pr_curve (quality_pr_curve_trained STAYS — its
+    # fixed leg embeds the same oracle), readability_flesch_gate
+    # (readability family keeps gopher_quality_gate, whose oracle the
+    # staying funnels also embed), join_skew_audit + zorder_pruning_audit
+    # (layout-audit family stays pinned by test_skew_bucketed.py +
+    # test_plans.py; both r08-green), langid_confusion_matrix (lang
+    # family keeps lang_quality), snapshot_diff_report (snapshot family
+    # keeps the e2e committed-version tests in test_round8_semantics +
+    # test_snapshots; diff shape also inside union/dedup rows),
+    # kcenter_coreset_selection (embedding family keeps
+    # embedding_outlier_knn + ann_cosine_topk + ann_ivf_recall_audit),
+    # dp_laplace_release (governance family gains t_closeness_audit;
+    # k-anon/l-div/DP pytest suite stays).
+    # IN: the eleven VERDICT-r8-named rows with zero driver exposure
+    # (quality_classifier_holdout, training_data_map,
+    # gate_agreement_kappa, quality_calibration_curve,
+    # quality_f1_bootstrap, quality_feature_importance,
+    # quality_label_disagreement, quality_budget_threshold,
+    # corpus_prep_funnel_v4, dedup_quality_interaction,
+    # t_closeness_audit) plus the round-9 flagship
+    # quality_classifier_publish (the committed-model registry's write
+    # path under the hash gate). publish precedes the audits so the
+    # driver run trains once and every audit reads the committed model.
     "daily_agg", "global_summary",
     "corpus_prep_funnel_v2",
     "rank_pct_diff", "corpus_prep_funnel_v3", "asof_join",
@@ -292,11 +330,12 @@ _PRIORITY = [
     "bm25_topk",
     "boilerplate_strip", "ngram_repetition",
     "pii_scrub_stats",
-    "gate_attribution_audit", "gate_bias_audit", "quality_ensemble_rank",
-    "cross_source_dup_matrix", "quality_pr_curve",
-    "readability_flesch_gate", "join_skew_audit", "zorder_pruning_audit",
-    "langid_confusion_matrix", "snapshot_diff_report",
-    "kcenter_coreset_selection", "dp_laplace_release",
+    "quality_classifier_publish", "quality_classifier_holdout",
+    "training_data_map", "gate_agreement_kappa",
+    "quality_calibration_curve", "quality_f1_bootstrap",
+    "quality_feature_importance", "quality_label_disagreement",
+    "quality_budget_threshold", "corpus_prep_funnel_v4",
+    "dedup_quality_interaction", "t_closeness_audit",
     "quality_classifier_train", "quality_pr_curve_trained",
     # round-3 rotations: today_lookup (J4 — J family keeps asof_join/
     # nearest_event/daily_left_join), format_dates (C7 — C family keeps
@@ -15809,18 +15848,28 @@ def corpus_resemblance_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME plan runs over two REAL committed versions of a snapshots.py
     table via :func:`snapshot_resemblance_between`.
     """
+    from etl_weather_spark.operators.dedup import exploded_shingles
+
+    # parity split derives from doc_id AFTER one shingle pass — the
+    # full text explode runs ONCE over documents, not once per half
+    # (the two-relation core below is for genuinely distinct snapshot
+    # versions, where two scans are the semantics)
     docs = load(spark, sf_dir, "documents")
-    return corpus_resemblance_core(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
+    half = (
+        exploded_shingles(docs, text_col="text", keep_cols=["doc_id"], n=3)
+        .select((F.col("doc_id") % 2).cast("int").alias("h"), "sh")
+        .distinct()
     )
+    return _resemblance_from_half(half)
 
 
 def corpus_resemblance_core(a: DataFrame, b: DataFrame) -> DataFrame:
     """corpus_resemblance_sketch over two ARBITRARY document relations
-    (anything with a ``text`` column) — the registered query passes the
-    parity halves; :func:`snapshot_resemblance_between` passes two REAL
-    versions of a snapshots.py table (VERDICT r7 item #5)."""
+    (anything with a ``text`` column) — the registered query derives
+    its halves from doc_id parity in one shingle pass;
+    :func:`snapshot_resemblance_between` passes two REAL versions of a
+    snapshots.py table (VERDICT r7 item #5), which are two scans by
+    nature."""
     from etl_weather_spark.operators.dedup import exploded_shingles
 
     def shingles(df: DataFrame, h: int) -> DataFrame:
@@ -15829,6 +15878,11 @@ def corpus_resemblance_core(a: DataFrame, b: DataFrame) -> DataFrame:
         ).select(F.lit(h).alias("h"), "sh")
 
     half = shingles(a, 0).unionByName(shingles(b, 1)).distinct()
+    return _resemblance_from_half(half)
+
+
+def _resemblance_from_half(half: DataFrame) -> DataFrame:
+    """Sketch + exact Jaccard from the distinct (h, sh) relation."""
     mins = half.groupBy("h").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"m{i}")
@@ -16481,9 +16535,10 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     that decides whether boilerplate capping needs tightening before a
     full dedup run.
 
-    The membership is the REGISTERED dedup_clusters result reused
-    verbatim (Spark side calls it; the oracle embeds its oracle — the
-    composition discipline), so the histogram cannot drift from the
+    The membership is the registered dedup_clusters pipeline's
+    COMMITTED output (the artifact registry — CC runs once per corpus
+    version; the oracle embeds dedup_clusters' oracle, hash-verifying
+    the committed bytes), so the histogram cannot drift from the
     clustering it summarizes.
 
     Scale: membership is the LSH-pruned pair graph's CC output (narrow
@@ -16491,7 +16546,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id) then (size) — both bounded dimensions downstream of
     the clustering itself.
     """
-    cc = _QUERIES["dedup_clusters"](spark, sf_dir).select(
+    cc = _cc_membership_committed(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
     sizes = cc.groupBy("cluster_id").agg(
@@ -16903,11 +16958,12 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     just src0 re-crawled?"); a hot off-diagonal cell redirects the
     dedup budget before training ever starts.
 
-    The membership is the REGISTERED dedup_clusters result reused
-    verbatim (oracle embeds its oracle — the composition discipline).
-    Zero cells are materialized from the full source×source grid so
-    the matrix is always |sources|² rows regardless of what dedup
-    found.
+    The membership is the registered dedup_clusters pipeline's
+    COMMITTED output (the artifact registry — CC runs once per corpus
+    version, this audit scans the committed relation; the oracle embeds
+    dedup_clusters' oracle, hash-verifying the committed bytes). Zero
+    cells are materialized from the full source×source grid so the
+    matrix is always |sources|² rows regardless of what dedup found.
 
     Scale: pairs are NEVER enumerated — membership rolls up to
     per-(cluster, source) counts and the matrix is count PRODUCTS on a
@@ -16915,7 +16971,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-cluster costs |sources| rows, not size² pairs. The grid and
     totals are |sources|-sized broadcasts.
     """
-    cc = _QUERIES["dedup_clusters"](spark, sf_dir).select(
+    cc = _cc_membership_committed(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
@@ -18447,8 +18503,10 @@ def _qct_chain(
     """Run the GD chain; returns ([(w_r, a_r)] for r=0..rounds, w_final).
     Weights stay a broadcast 1-row DataFrame end to end — no driver
     collect (the kmeans/k-center discipline); every 1-row stage is
-    lazily fenced so the unrolled lineage never replays."""
-    train = _qct_train_relation(spark, sf_dir, parity)
+    lazily fenced so the unrolled lineage never replays. The feature/
+    label relation comes from the COMMITTED feature table (one token
+    pass per corpus version, not one per training run)."""
+    train = _qct_train_committed(spark, sf_dir, parity)
     w = (
         spark.range(1)
         .select(
@@ -18490,6 +18548,136 @@ def _qct_chain(
     return out, w
 
 
+# -- committed-model registry (operators/artifacts.py): train ONCE,
+# commit the trajectory + feature table, audits read the committed
+# artifacts instead of re-running the Θ(rounds·N) chain per query.
+# Determinism makes this exact: the chain's 6-dp decimal discipline
+# means the committed weights are bit-identical to a recomputation, so
+# every audit's oracle keeps unrolling the chain as MATERIALIZED CTEs
+# and still hash-matches the committed values at any SF. Staleness is
+# fingerprint-guarded (data or recipe change → rebuild, never a silent
+# stale-model audit).
+
+_QCT_FEAT_PARAMS = {
+    "features": "lexical4-6dp-v1",
+    "labels": "gopher_quality_gate_tuned-v1",
+}
+_QCT_PARAMS = {
+    **_QCT_FEAT_PARAMS,
+    "algo": "batch-gd",
+    "activation": "hard-sigmoid-z4-6dp",
+    "rounds": _QCT_ROUNDS,
+    "lr": _QCT_LR,
+}
+
+
+def _qct_train_committed(
+    spark: SparkSession, sf_dir: str, parity: int | None = None
+) -> DataFrame:
+    """The committed feature/label table (doc_id, 4 features, y) — the
+    feature-store read. Built by ONE distributed token pass the first
+    time (or after the corpus changes), then every trainer/audit scans
+    the committed parquet instead of re-tokenizing the corpus. The
+    parity filter applies on read (pure doc_id predicate — commutes
+    with the per-doc feature computation, the holdout discipline)."""
+    fp = dataset_fingerprint(sf_dir, ("documents",), _QCT_FEAT_PARAMS)
+    df = artifact_if_absent(
+        spark,
+        "quality_train_features",
+        dataset_key(sf_dir),
+        fingerprint=fp,
+        build=lambda: _qct_train_relation(spark, sf_dir),
+        meta={"producer": "quality_logistic features + tuned-gate labels"},
+    )
+    if parity is not None:
+        df = df.filter(F.col("doc_id") % 2 == parity)
+    return df
+
+
+def _qct_trajectory_df(
+    spark: SparkSession, sf_dir: str, parity: int | None = None
+) -> DataFrame:
+    """Run the GD chain and shape its full trajectory as one relation:
+    (round, wb..w4, n, n_pred_keep, n_correct), round = 0.._QCT_ROUNDS.
+    This is the publishable model artifact — the final weights are the
+    round = _QCT_ROUNDS row, and the per-round rows are what the
+    training-dynamics audits (data maps) consume."""
+    chain, _w = _qct_chain(spark, sf_dir, parity=parity)
+    rows = None
+    for r, (w, agg) in enumerate(chain):
+        row = w.crossJoin(F.broadcast(agg)).select(
+            F.lit(r).cast("long").alias("round"),
+            "wb",
+            "w1",
+            "w2",
+            "w3",
+            "w4",
+            "n",
+            "n_pred_keep",
+            "n_correct",
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("round")
+
+
+def _qct_trajectory(
+    spark: SparkSession, sf_dir: str, parity: int | None = None
+) -> DataFrame:
+    """The COMMITTED training trajectory: read from the registry when
+    current, train-and-commit once when missing or stale."""
+    name = "quality_classifier" + ("" if parity is None else f"_p{parity}")
+    fp = dataset_fingerprint(
+        sf_dir, ("documents",), {**_QCT_PARAMS, "parity": parity}
+    )
+    return artifact_if_absent(
+        spark,
+        name,
+        dataset_key(sf_dir),
+        fingerprint=fp,
+        build=lambda: _qct_trajectory_df(spark, sf_dir, parity),
+        meta={"producer": "quality_classifier_train GD chain"},
+    )
+
+
+def _qct_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    parity: int | None = None,
+    at_round: int = _QCT_ROUNDS,
+) -> DataFrame:
+    """The committed 1-row weight table (wb..w4) at a given round
+    (final by default) — what every trained-model audit broadcasts.
+    Reading this replaces re-running the 8-round chain per audit: at
+    100 TB, one training pass instead of eleven."""
+    return (
+        _qct_trajectory(spark, sf_dir, parity)
+        .filter(F.col("round") == at_round)
+        .select("wb", "w1", "w2", "w3", "w4")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _cc_membership_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The committed dedup_clusters membership (doc_id, cluster_id) —
+    connected components run once per corpus version, and every
+    downstream audit (cross-source matrix, dedup×quality interaction)
+    reads the committed relation instead of re-running the multi-round
+    CC job. Same fingerprint discipline as the model registry."""
+    fp = dataset_fingerprint(
+        sf_dir,
+        ("documents",),
+        {"algo": "dedup_clusters", "shingle_n": 3, "min_jaccard": 0.5},
+    )
+    return artifact_if_absent(
+        spark,
+        "dedup_cc_membership",
+        dataset_key(sf_dir),
+        fingerprint=fp,
+        build=lambda: _QUERIES["dedup_clusters"](spark, sf_dir),
+        meta={"producer": "pruned_jaccard_pairs + connected_components"},
+    )
+
+
 @query("quality_classifier_train", _qct_oracle(_QCT_ROUNDS))
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN the quality classifier distributed — the FineWeb/CCNet
@@ -18523,25 +18711,60 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. At 100 TB this is exactly distributed-data-parallel batch
     GD: Θ(rounds · N) map work, Θ(rounds) tiny reduces.
     """
-    chain, _w = _qct_chain(spark, sf_dir)
-    rows = None
-    for r, (w, agg) in enumerate(chain):
-        row = (
-            w.crossJoin(F.broadcast(agg))
-            .select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("wb").alias("w_bias"),
-                F.col("w1").alias("w_distinct"),
-                F.col("w2").alias("w_top"),
-                F.col("w3").alias("w_len"),
-                F.col("w4").alias("w_stop"),
-                "n_pred_keep",
-                "n_correct",
-                rnd(F.col("n_correct") * 1.0 / F.col("n"), 6).alias("acc6"),
-            )
-        )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows.orderBy("round")
+    return _qct_trajectory_out(_qct_trajectory_df(spark, sf_dir))
+
+
+def _qct_trajectory_out(traj: DataFrame) -> DataFrame:
+    """Driver-facing shape of a trajectory relation (committed or
+    freshly trained): rename to the published column names and derive
+    the per-round train accuracy."""
+    return traj.select(
+        "round",
+        F.col("wb").alias("w_bias"),
+        F.col("w1").alias("w_distinct"),
+        F.col("w2").alias("w_top"),
+        F.col("w3").alias("w_len"),
+        F.col("w4").alias("w_stop"),
+        "n_pred_keep",
+        "n_correct",
+        rnd(F.col("n_correct") * 1.0 / F.col("n"), 6).alias("acc6"),
+    ).orderBy("round")
+
+
+@query(
+    "quality_classifier_publish",
+    "SELECT 'quality_classifier' AS artifact, round, w_bias, w_distinct,"
+    " w_top, w_len, w_stop, n_pred_keep, n_correct, acc6 FROM ("
+    + _qct_oracle(_QCT_ROUNDS)
+    + "\n) ORDER BY round",
+)
+def quality_classifier_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBLISH the trained model to the committed-artifact registry
+    (operators/artifacts.py) and return what was committed — the
+    deploy step between quality_classifier_train and every audit that
+    consumes the model: trains the GD chain ONCE (compute-if-absent:
+    a current committed version is reused, a missing or stale one is
+    rebuilt), commits the full trajectory as a snapshot version with
+    the dataset fingerprint, and emits the COMMITTED rows. Because the
+    chain is 6-dp-decimal deterministic, the oracle unrolls the same
+    training as MATERIALIZED CTEs and hash-verifies that the bytes in
+    the registry are exactly what training produces — the write path
+    itself is under the correctness gate.
+
+    Every trained-model audit in the registry (PR curves, data maps,
+    kappa, calibration, bootstrap, funnel v4, budget thresholds) reads
+    this committed artifact instead of re-training; the streaming
+    scorer pins its weights from the same table
+    (streaming/classifier_scorer.pin_trained_weights).
+
+    Scale: training cost once per corpus version (Θ(rounds·N) map,
+    Θ(rounds) 9-number reduces); the committed artifact is 9 rows, and
+    the publish is a snapshot commit (immutable data + atomic pointer
+    swap), so racing publishers and concurrent readers are safe.
+    """
+    return _qct_trajectory_out(_qct_trajectory(spark, sf_dir)).select(
+        F.lit("quality_classifier").alias("artifact"), "*"
+    )
 
 
 def _qct_pr_trained_oracle(rounds: int) -> str:
@@ -18620,13 +18843,14 @@ def quality_pr_curve_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition away and deliberately out of scope for the hash-
     verified comparison.
 
-    Scale: the trained leg re-runs the 8-round GD chain (Θ(rounds·N)
-    map work, tiny reduces); both score legs are broadcast-weight
-    codegen projections; the sweep is the PR-curve dimension explode
-    collapsed map-side into 2×9 confusion rows.
+    Scale: the trained leg reads the COMMITTED weights (the model
+    registry — training ran once at publish time, not per audit); both
+    score legs are broadcast-weight codegen projections over the
+    committed feature table; the sweep is the PR-curve dimension
+    explode collapsed map-side into 2×9 confusion rows.
     """
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     fixed = _quality_logistic_core(docs).select("doc_id", "z")
     s_fixed = train.join(fixed, "doc_id").select(
@@ -18905,8 +19129,8 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-weight scoring pass over the other half, and the 9-row
     dimension sweep — nothing beyond the registered pieces it composes.
     """
-    _chain, w_final = _qct_chain(spark, sf_dir, parity=0)
-    evalset = _qct_train_relation(spark, sf_dir, parity=1)
+    w_final = _qct_weights(spark, sf_dir, parity=0)
+    evalset = _qct_train_committed(spark, sf_dir, parity=1)
     scored = evalset.crossJoin(F.broadcast(w_final)).select(
         "doc_id", _qct_z().alias("z"), "y"
     )
@@ -18959,8 +19183,8 @@ def quality_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_weather_spark.operators.similarity import topk_per_group
 
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     scored = train.crossJoin(F.broadcast(w_final)).select(
         "doc_id", _qct_z().alias("z"), "y"
     )
@@ -19062,8 +19286,8 @@ def quality_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the GD chain + ONE extra pass over the train relation with
     8 decimal-sum aggregates; the importance rollup is 4 rows.
     """
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for feat, _w in _QCT_FEATS:
         aggs.append(dsum(F.col(feat), 7).alias(f"sx_{feat}"))
@@ -19190,13 +19414,20 @@ def training_data_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute cutoffs for softmax models do not transfer; the conf6/
     var6 columns carry the raw signal for any other cut.
 
-    Scale: 8 broadcast-weight scoring passes (the chain's own cost
-    shape) unioned into one doc-keyed moment agg — Θ(rounds·N) map
+    Scale: ONE pass over the committed feature table cross-joined with
+    the committed 8-round weight trajectory (an 8-row broadcast — the
+    per-round scores materialize map-side, no re-training and no
+    8-legged union), then one doc-keyed moment agg — Θ(rounds·N) map
     work, one shuffle on doc_id; decimal-quantized moments, IEEE sqrt.
     """
-    chain, _w = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
-    allr = None
+    # w0 is all-zero: p = 0.5 for every doc, no signal — rounds 1..R
+    traj = (
+        _qct_trajectory(spark, sf_dir)
+        .filter(F.col("round") >= 1)
+        .select("round", "wb", "w1", "w2", "w3", "w4")
+        .localCheckpoint(eager=False)
+    )
+    train = _qct_train_committed(spark, sf_dir)
     p = rnd(
         F.least(
             F.greatest(F.lit(0.5) + F.col("z") / F.lit(4.0), F.lit(0.0)),
@@ -19204,20 +19435,16 @@ def training_data_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    for r, (w, _agg) in enumerate(chain):
-        if r == 0:
-            continue  # w0 is all-zero: p = 0.5 for every doc, no signal
-        scored = train.crossJoin(F.broadcast(w)).select(
-            "doc_id", "y", _qct_z().alias("z")
-        )
-        leg = scored.select(
-            "doc_id",
-            "y",
-            F.when(F.col("y") > 0.5, p)
-            .otherwise(rnd(F.lit(1.0) - p, 6))
-            .alias("q"),
-        )
-        allr = leg if allr is None else allr.unionByName(leg)
+    scored = train.crossJoin(F.broadcast(traj)).select(
+        "doc_id", "y", _qct_z().alias("z")
+    )
+    allr = scored.select(
+        "doc_id",
+        "y",
+        F.when(F.col("y") > 0.5, p)
+        .otherwise(rnd(F.lit(1.0) - p, 6))
+        .alias("q"),
+    )
     per = allr.groupBy("doc_id").agg(
         F.max("y").alias("y"),
         dsum(F.col("q"), 7).alias("sq"),
@@ -19333,8 +19560,8 @@ def gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded into 3 pair legs that collapse map-side into 3 count
     rows; κ is arithmetic on the dimension table.
     """
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     fixed = _quality_logistic_core(docs).select("doc_id", F.col("keep").alias("l"))
     sigs = (
@@ -19429,8 +19656,8 @@ def _calibration_oracle(rounds: int) -> str:
     )
     ctes.append(
         "ece AS (\n"
-        "  SELECT FLOOR((SUM(n * gap6) / SUM(n)) * 1000000 + 0.5) / 1000000"
-        " AS ece6\n"
+        f"  SELECT FLOOR(({sql_dsum('n * gap6', 7)} / SUM(n))"
+        " * 1000000 + 0.5) / 1000000 AS ece6\n"
         "  FROM gaps\n"
         ")"
     )
@@ -19457,9 +19684,8 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one broadcast-weight scoring pass, a ≤10-bin keyed agg, and
     dimension-table arithmetic; the ECE rollup reads 10 rows.
     """
-    chain, _w = _qct_chain(spark, sf_dir)
-    w_final = chain[-1][0]
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     p = rnd(
         F.least(
             F.greatest(F.lit(0.5) + F.col("z") / F.lit(4.0), F.lit(0.0)),
@@ -19490,8 +19716,11 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         rnd(F.abs(F.col("mean_p6") - F.col("keep_rate6")), 6).alias("gap6"),
     ).localCheckpoint(eager=False)
+    # decimal dsum, not a bare double SUM: n·gap6 terms are 6-dp
+    # decimals, and partial-agg accumulation order must not be able to
+    # flip the 6-dp half-boundary (the rounding.py hazard)
     ece = gaps.agg(
-        rnd(F.sum(F.col("n") * F.col("gap6")) / F.sum("n"), 6).alias("ece6")
+        rnd(dsum(F.col("n") * F.col("gap6"), 7) / F.sum("n"), 6).alias("ece6")
     )
     return (
         gaps.crossJoin(F.broadcast(ece))
@@ -19743,8 +19972,8 @@ def quality_f1_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list — executor-side, dimension-sized, never a driver
     collect).
     """
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     scored = train.crossJoin(F.broadcast(w_final)).select(
         "doc_id", (_qct_z() > 0).alias("pred"), (F.col("y") > 0.5).alias("label")
     )
@@ -19899,15 +20128,15 @@ def corpus_prep_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     when deciding to promote a trained filter into production.
 
     Scale: v2's shape (each gate's own bounded plan, survivor semi-
-    joins over narrow doc_id relations, lazy fences) plus the GD
-    chain's Θ(rounds·N) — the trained gate itself is one broadcast-
-    weight codegen projection, cheaper than the fixed gate's two
-    token-pass aggs because the chain's fenced feature relation is
-    reused.
+    joins over narrow doc_id relations, lazy fences); the trained gate
+    itself is one broadcast-weight codegen projection over the
+    COMMITTED feature table with the COMMITTED weights — no training
+    inside the funnel, cheaper than the fixed gate's two token-pass
+    aggs.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     trained_keep = (
         train.crossJoin(F.broadcast(w_final))
         .filter(_qct_z() > 0)
@@ -20026,8 +20255,8 @@ def quality_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg (bounded by distinct 6-dp score cardinality), a window over
     that histogram, and a 4-row dimension join.
     """
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     scored = train.crossJoin(F.broadcast(w_final)).select(
         "doc_id", _qct_z().alias("z")
     )
@@ -20131,22 +20360,24 @@ def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent populations and BOTH earn their cost — this table is
     the evidence either way.
 
-    Both legs are REGISTERED pipelines reused verbatim (the
-    cross_source_dup_matrix composition discipline on the dedup side,
-    the GD chain on the quality side).
+    Both legs read COMMITTED artifacts (the registry): the dedup leg
+    scans the committed dedup_clusters membership, the quality leg the
+    committed weights + feature table — CC and training each ran once
+    at publish time, and the oracle still unrolls both pipelines as
+    CTEs to hash-verify the committed bytes.
 
-    Scale: the CC membership's own documented plan + one broadcast-
-    weight scoring pass, joined on doc_id and rolled to ≤3 rows; the
-    band CASE rides the (doc, cluster-size) relation, never text.
+    Scale: two committed-parquet scans + one broadcast-weight scoring
+    pass, joined on doc_id and rolled to ≤3 rows; the band CASE rides
+    the (doc, cluster-size) relation, never text — the audit no longer
+    pays the multi-round CC job (the r8 13.2×@100× generator-bound
+    curve collapses to the scan).
     """
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    train = _qct_train_relation(spark, sf_dir)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
     scored = train.crossJoin(F.broadcast(w_final)).select(
         "doc_id", _qct_z().alias("z"), "y"
     )
-    mem = _QUERIES["dedup_clusters"](spark, sf_dir).localCheckpoint(
-        eager=False
-    )
+    mem = _cc_membership_committed(spark, sf_dir)
     siz = mem.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("csize")
     )

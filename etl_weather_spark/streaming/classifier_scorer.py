@@ -47,13 +47,14 @@ _WEIGHT_KEYS = ("wb", "w1", "w2", "w3", "w4")
 
 
 def pin_trained_weights(spark, sf_dir: str) -> dict[str, float]:
-    """Run the batch GD chain and pin its final weights as plain floats
-    — the one-row deploy-time collect (the IVF centroid convention).
-    Production would read these from the trainer's committed output."""
-    from etl_weather_spark.queries import _qct_chain
+    """Pin the COMMITTED model's final weights as plain floats — the
+    one-row deploy-time collect (the IVF centroid convention). Reads
+    the trainer's committed registry artifact (compute-if-absent: the
+    first deploy after a corpus change trains and publishes), so the
+    stream scores with exactly the bytes the batch audits verified."""
+    from etl_weather_spark.queries import _qct_weights
 
-    _chain, w_final = _qct_chain(spark, sf_dir)
-    row = w_final.collect()[0]
+    row = _qct_weights(spark, sf_dir).collect()[0]
     return {k: float(row[k]) for k in _WEIGHT_KEYS}
 
 
@@ -136,10 +137,14 @@ def process_classifier_batch(
         batch_df, weights, train_keep_rate=train_keep_rate, tol=tol
     ).collect()[0]
     spark = batch_df.sparkSession
+    # batch_id lives ONLY in the hive-partition directory name, never
+    # in the written rows — a column present in both data and partition
+    # schemas is handled inconsistently across Spark versions/configs
+    # (duplicate-column errors under some settings); readers of the
+    # stats root get batch_id back via partition discovery.
     out = spark.createDataFrame(
         [
             (
-                int(batch_id),
                 int(row.n_docs),
                 int(row.n_scored),
                 int(row.n_keep),
@@ -148,7 +153,7 @@ def process_classifier_batch(
                 bool(row.drifted),
             )
         ],
-        "batch_id long, n_docs long, n_scored long, n_keep long, "
+        "n_docs long, n_scored long, n_keep long, "
         "keep_rate6 double, rate_delta6 double, drifted boolean",
     )
     out.coalesce(1).write.mode("overwrite").parquet(
