@@ -109,6 +109,13 @@ OVERRIDES = {
     "curated_shard_manifest": "training",
     "doc_chunks": "sampling",
     "train_eval_decontaminate": "sampling",
+    # committed CC membership is a dedup-domain artifact (its training-
+    # tier consumers import it forward)
+    "_cc_membership_committed": "dedup",
+    # the PR-sweep helpers are only consumed by the trained tier
+    "_pr_sweep_spark": "training",
+    "_PR_SWEEP_SQL_TAIL": "training",
+    "_PR_THRESHOLDS": "training",
 }
 
 KEYWORD_RULES = [
@@ -119,8 +126,7 @@ KEYWORD_RULES = [
         "quality_pr_curve", "quality_calibration", "quality_f1",
         "quality_feature_importance", "quality_label",
         "quality_budget", "corpus_prep_funnel", "funnel_v",
-        "dedup_quality_interaction", "quality_ensemble",
-        "gopher", "kappa", "cc_membership",
+        "dedup_quality_interaction", "quality_ensemble", "kappa",
     )),
     ("similarity", (
         "ann_", "embedding", "semantic_", "kmeans", "knn_", "_knn",
@@ -144,7 +150,7 @@ KEYWORD_RULES = [
         "ndcg", "c4_line", "heaps_law", "ccnet", "dsir", "ctfidf",
         "langid", "script_mixture", "code_detect", "collocation",
         "word_", "quality_logistic", "quality_score_quantile",
-        "shared_shingle", "rare_bigram", "entropy", "pii",
+        "shared_shingle", "rare_bigram", "entropy", "pii", "gopher",
     )),
 ]
 
@@ -230,6 +236,21 @@ def main() -> None:
         else:
             assign[id(u)] = natural_module(u)
 
+    # registered query name -> the unit whose decorator registers it
+    # (needed because _ORACLES["x"] / _QUERIES["x"] lookups are real
+    # dependencies on x's registration, invisible to name analysis)
+    qname_to_unit = {}
+    for u in units:
+        if isinstance(u, ast.FunctionDef):
+            for d in u.decorator_list:
+                if (
+                    isinstance(d, ast.Call)
+                    and getattr(d.func, "id", "") == "query"
+                    and d.args
+                    and isinstance(d.args[0], ast.Constant)
+                ):
+                    qname_to_unit[d.args[0].value] = u
+
     deps = {}
     for u in units:
         refs = {
@@ -237,9 +258,20 @@ def main() -> None:
             for n in ast.walk(u)
             if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
         }
-        deps[id(u)] = {
+        d = {
             all_defined[r] for r in refs if r in all_defined and all_defined[r] is not u
         }
+        for node in ast.walk(u):
+            if (
+                isinstance(node, ast.Subscript)
+                and isinstance(node.value, ast.Name)
+                and node.value.id in ("_ORACLES", "_QUERIES")
+                and isinstance(node.slice, ast.Constant)
+            ):
+                tgt = qname_to_unit.get(node.slice.value)
+                if tgt is not None and tgt is not u:
+                    d.add(tgt)
+        deps[id(u)] = d
 
     bumped = []
     changed = True
