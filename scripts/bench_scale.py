@@ -233,7 +233,11 @@ OPS = [
 
 
 def build(spark) -> None:
+    # SPARK_GRAFT_SCALE_REUSE=1 keeps an existing Rx corpus (e.g. the
+    # CC executor-count sweep times the same data at 8/16/32 threads)
     if os.path.isdir(OUT):
+        if os.environ.get("SPARK_GRAFT_SCALE_REUSE") == "1":
+            return
         shutil.rmtree(OUT)
     os.makedirs(OUT)
     docs = q.load(spark, BASE, "documents")
@@ -259,11 +263,29 @@ def build(spark) -> None:
     # at scale; shared isolated unigrams add no cross-replica shingles
     # (a shared trigram would need 3 consecutive unsalted tokens).
     _keep = r"(?!(?:table|scan|merge)(?!\S))"
+    # FEATURE-perturbing tail (VERDICT r8 next-item #4): salting alone
+    # renames tokens bijectively, so the quality features (stopword
+    # density, length, top-token share) collapse to near-constants and
+    # the trained-vs-gate audits degenerate (0 disagreements, 1
+    # calibration bin) at 10x/30x. Appending a deterministic per-(doc,
+    # replica) amount of REAL stopwords interleaved with salted filler
+    # shifts f_stop/f_len/f_top continuously — and never creates a
+    # cross-replica shared shingle (no 3 consecutive unsalted tokens:
+    # every other appended token carries the replica suffix).
+    def _tail(r: int):
+        unit = f" the fillx{r} of fillx{r} a fillx{r}"
+        return F.expr(
+            f"repeat('{unit}', CAST(pmod(doc_id * 31 + {r}, 5) AS INT))"
+        )
+
     reps = [
         docs.select(
             (F.col("doc_id") + F.lit(r * 100_000_000)).alias("doc_id"),
-            F.regexp_replace(
-                "text", r"(?<!\S)" + _keep + r"(\S+)", f"$1x{r}"
+            F.concat(
+                F.regexp_replace(
+                    "text", r"(?<!\S)" + _keep + r"(\S+)", f"$1x{r}"
+                ),
+                _tail(r),
             ).alias("text"),
             "lang", "source", "n_chars",
         )
