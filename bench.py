@@ -295,8 +295,13 @@ HEADLINE = [
     "corpus_prep_funnel_v4",
     # budget-targeted quality thresholds (histogram-rank, sortless)
     "quality_budget_threshold",
-    # dedup-band x quality interaction (CC membership + GD chain)
+    # dedup-band x quality interaction (committed CC membership +
+    # committed weights — two registry scans + one scoring pass)
     "dedup_quality_interaction",
+    # round 9: the committed-model registry write path (trains the GD
+    # chain once per corpus version, commits trajectory + weights; all
+    # trainer audits above read the committed artifacts)
+    "quality_classifier_publish",
 ]
 
 

@@ -272,6 +272,61 @@ def cmd_snapshot_diff(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_model(args: argparse.Namespace) -> int:
+    """Committed-model registry surface (operators/artifacts.py):
+
+    - ``publish``  — train the quality classifier once for --sf-dir and
+      commit trajectory+weights (compute-if-absent: a current committed
+      version is a no-op read);
+    - ``show``     — print the committed trajectory rows + meta
+      (STRICT: refuses a missing or fingerprint-stale model, the audit
+      contract);
+    - ``history``  — list committed versions (time travel surface).
+    """
+    import json as _json
+
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.operators.artifacts import (
+        ArtifactMissingError,
+        ArtifactStaleError,
+        artifact_meta,
+        artifact_table,
+        dataset_fingerprint,
+        dataset_key,
+        read_artifact,
+    )
+    from etl_weather_spark.sources.snapshots import snapshot_history
+
+    key = dataset_key(args.sf_dir)
+    if args.action == "history":
+        hist = snapshot_history(artifact_table("quality_classifier", key))
+        for h in hist:
+            print(_json.dumps(h))
+        return 0 if hist else 1
+    spark = _spark(args.cpus)
+    if args.action == "publish":
+        ver_df = q.quality_classifier_publish(spark, args.sf_dir)
+        for line in ver_df.toJSON().collect():
+            print(line)
+        print(_json.dumps(artifact_meta("quality_classifier", key)))
+        return 0
+    # show — strict read, refuses stale/missing
+    fp = dataset_fingerprint(
+        args.sf_dir, ("documents",), {**q._QCT_PARAMS, "parity": None}
+    )
+    try:
+        df = read_artifact(
+            spark, "quality_classifier", key, expect_fingerprint=fp
+        )
+    except (ArtifactMissingError, ArtifactStaleError) as e:
+        print(f"REFUSED: {e}", file=sys.stderr)
+        return 3
+    for line in df.orderBy("round").toJSON().collect():
+        print(line)
+    print(_json.dumps(artifact_meta("quality_classifier", key)))
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Print the formatted physical plan of a registered query — the
     review surface for pushdown/pruning/broadcast decisions (same
@@ -451,6 +506,13 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--v-b", type=int, default=None, dest="v_b")
     sd.add_argument("--sketch", action="store_true")
     sd.set_defaults(fn=cmd_snapshot_diff)
+
+    mo = sub.add_parser(
+        "model",
+        help="committed-model registry: publish / show (strict) / history",
+    )
+    mo.add_argument("action", choices=["publish", "show", "history"])
+    mo.set_defaults(fn=cmd_model)
 
     args = p.parse_args(argv)
     return args.fn(args)

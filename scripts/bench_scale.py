@@ -208,6 +208,7 @@ OPS = [
     # scoring pass + 9-number reduce) over the narrow feature relation;
     # the holdout/disagreement/importance legs add one bounded pass each
     "quality_classifier_train",
+    "quality_classifier_publish",
     "quality_pr_curve_trained",
     "quality_classifier_holdout",
     "quality_label_disagreement",

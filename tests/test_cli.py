@@ -68,3 +68,43 @@ def test_cli_explain(sf_dir, capsys):
     out = capsys.readouterr().out
     assert "PushedFilters" in out or "Physical Plan" in out
     assert main(["--sf-dir", sf_dir, "explain", "nope"]) == 2
+
+
+def test_cli_model_publish_show_history_and_stale_refusal(
+    spark, sf_dir, tmp_path, monkeypatch, capsys
+):
+    """model publish commits once; show is a STRICT read (refuses a
+    fingerprint-stale model with rc=3); history lists versions."""
+    import json
+    import os
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "artifacts"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", corpus / "documents.parquet")
+
+    rc = main(["--sf-dir", str(corpus), "model", "publish"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(line) for line in out]
+    # 9 trajectory rows + 1 meta line
+    assert sum(1 for r in rows if "round" in r) == 9
+    assert rows[-1]["name"] == "quality_classifier"
+
+    assert main(["--sf-dir", str(corpus), "model", "show"]) == 0
+    capsys.readouterr()
+    assert main(["--sf-dir", str(corpus), "model", "history"]) == 0
+    hist = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert [h["version"] for h in hist] == [0]
+
+    # corpus changes -> strict show REFUSES (the audit contract)
+    os.utime(corpus / "documents.parquet")
+    rc = main(["--sf-dir", str(corpus), "model", "show"])
+    assert rc == 3
+    assert "REFUSED" in capsys.readouterr().err
+
+    # publish again -> new version, show works again
+    assert main(["--sf-dir", str(corpus), "model", "publish"]) == 0
+    capsys.readouterr()
+    assert main(["--sf-dir", str(corpus), "model", "show"]) == 0
