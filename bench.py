@@ -302,6 +302,13 @@ HEADLINE = [
     # chain once per corpus version, commits trajectory + weights; all
     # trainer audits above read the committed artifacts)
     "quality_classifier_publish",
+    # uncertainty x diversity annotation-batch selector (top-40 |z|
+    # shortlist + greedy k-center over the feature space, both on
+    # committed artifacts)
+    "active_learning_batch",
+    # the data card with the trained-model tier (v1's seven governance
+    # scalars + trained keep/F1, ECE, t-closeness, near-dup share)
+    "corpus_release_report_v2",
 ]
 
 

@@ -2582,3 +2582,300 @@ def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: active-learning batch selection (uncertainty x diversity) and
+# the data card extended with the trained-model tier.
+# ---------------------------------------------------------------------------
+
+_AL_SHORTLIST = 40
+_AL_K = 10
+_AL_FEATS = ("f_distinct", "f_top", "f_len", "f_stop")
+
+
+def _al_sqdist_sql(c: str) -> str:
+    """6-dp-quantized squared L2 between shortlist row s and the single
+    row of CTE ``c`` over the 4 trained features — left-associated sum
+    of exact-squared 6-dp terms, identical shape both engines."""
+    terms = [
+        f"(s.{f} - (SELECT {f} FROM {c})) * (s.{f} - (SELECT {f} FROM {c}))"
+        for f in _AL_FEATS
+    ]
+    return f"FLOOR(({' + '.join(terms)}) * 1000000 + 0.5) / 1000000"
+
+
+def _al_batch_oracle(rounds: int) -> str:
+    ctes = _qct_ctes(rounds)
+    ctes.append(
+        "scored AS MATERIALIZED (\n"
+        "  SELECT t.doc_id, t.f_distinct, t.f_top, t.f_len, t.f_stop,\n"
+        f"         {_QCT_Z_SQL} AS z\n"
+        f"  FROM train t CROSS JOIN w{rounds} w\n"
+        ")"
+    )
+    ctes.append(
+        "sl AS MATERIALIZED (\n"
+        "  SELECT doc_id, z, f_distinct, f_top, f_len, f_stop,\n"
+        "         CAST(rank AS BIGINT) AS unc_rank\n"
+        "  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(z) ASC, doc_id)"
+        " AS rank FROM scored)\n"
+        f"  WHERE rank <= {_AL_SHORTLIST}\n"
+        ")"
+    )
+    ctes.append("c1 AS MATERIALIZED (SELECT * FROM sl WHERE unc_rank = 1)")
+    for i in range(2, _AL_K + 1):
+        dists = ", ".join(_al_sqdist_sql(f"c{j}") for j in range(1, i))
+        md = f"LEAST({dists})" if i > 2 else dists
+        chosen = ", ".join(f"(SELECT doc_id FROM c{j})" for j in range(1, i))
+        ctes.append(
+            f"c{i} AS MATERIALIZED (\n"
+            f"  SELECT s.doc_id, s.z, s.f_distinct, s.f_top, s.f_len,"
+            f" s.f_stop, s.unc_rank, {md} AS md\n"
+            f"  FROM sl s WHERE s.doc_id NOT IN ({chosen})\n"
+            f"  ORDER BY md DESC, s.doc_id ASC LIMIT 1\n"
+            f")"
+        )
+    rows = [
+        "SELECT CAST(1 AS BIGINT) AS pick, doc_id, z, unc_rank,"
+        " CAST(NULL AS DOUBLE) AS sel_dist6 FROM c1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT) AS pick, doc_id, z, unc_rank,"
+        f" md AS sel_dist6 FROM c{i}"
+        for i in range(2, _AL_K + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY pick"
+    )
+
+
+@query("active_learning_batch", _al_batch_oracle(_QCT_ROUNDS))
+def active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE NEXT ANNOTATION BATCH — uncertainty x diversity selection,
+    the standard active-learning composite (uncertainty sampling per
+    Lewis & Gale; diversity via greedy k-center per Sener & Savarese's
+    coreset argument): shortlist the 40 documents the COMMITTED trained
+    classifier is least sure about (smallest |z| — nearest the decision
+    boundary; the disagreement queue samples confident errors, this
+    samples the boundary), then pick 10 by greedy farthest-point over
+    the 4-dim trained-feature space (6-dp-quantized squared L2, ties to
+    the lowest doc_id, seeded at the most uncertain doc) so the batch
+    spans the boundary region instead of sampling one dense blob of
+    near-identical borderline docs. Emits (pick, doc_id, z, unc_rank,
+    sel_dist6) — pick order IS the labeling priority.
+
+    Reads the committed model (registry) — selection never retrains.
+    The oracle unrolls the greedy rounds as chained MATERIALIZED CTEs
+    over the same shortlist (the kcenter proof pattern) on top of the
+    GD chain, so every pick is hash-verified.
+
+    Scale: one broadcast-weight scoring pass + the salted two-level
+    top-40 (never a global row sort); the greedy runs on the 40-row
+    shortlist with a broadcast chosen-set array — 9 argmax rounds over
+    a dimension-sized relation.
+    """
+    from etl_weather_spark.operators.similarity import topk_per_group
+
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
+    scored = train.crossJoin(F.broadcast(w_final)).select(
+        "doc_id", *_AL_FEATS, _qct_z().alias("z")
+    )
+    top = topk_per_group(
+        scored.withColumn("__g", F.lit(1)).withColumn(
+            "__negaz", -F.abs(F.col("z"))
+        ),
+        group_col="__g",
+        k=_AL_SHORTLIST,
+        sim_col="__negaz",
+        tie_col="doc_id",
+    )
+    sl = top.select(
+        "doc_id",
+        "z",
+        *_AL_FEATS,
+        F.col("rank").cast("long").alias("unc_rank"),
+    ).localCheckpoint(eager=False)
+
+    def sqdist(c) -> F.Column:
+        terms = None
+        for f, cf in zip(_AL_FEATS, ("cd", "ct", "cl", "cw"), strict=True):
+            t = (F.col(f) - c[cf]) * (F.col(f) - c[cf])
+            terms = t if terms is None else terms + t
+        return rnd(terms, 6)
+
+    def center_struct(prefix):
+        return F.struct(
+            prefix["f_distinct"].alias("cd"),
+            prefix["f_top"].alias("ct"),
+            prefix["f_len"].alias("cl"),
+            prefix["f_stop"].alias("cw"),
+            prefix["doc_id"].alias("cid"),
+        )
+
+    seed = sl.filter(F.col("unc_rank") == 1).localCheckpoint(eager=False)
+    centers = seed.select(
+        F.array(center_struct(F.struct(*[F.col(c) for c in sl.columns]))).alias("cs")
+    ).localCheckpoint(eager=False)
+    rows = [
+        seed.select(
+            F.lit(1).cast("long").alias("pick"),
+            "doc_id",
+            "z",
+            "unc_rank",
+            F.lit(None).cast("double").alias("sel_dist6"),
+        )
+    ]
+    for i in range(2, _AL_K + 1):
+        cand = (
+            sl.crossJoin(F.broadcast(centers))
+            .filter(
+                ~F.array_contains(
+                    F.transform(F.col("cs"), lambda c: c["cid"]),
+                    F.col("doc_id"),
+                )
+            )
+            .select(
+                "doc_id",
+                "z",
+                "unc_rank",
+                *_AL_FEATS,
+                F.array_min(
+                    F.transform(F.col("cs"), sqdist)
+                ).alias("md"),
+            )
+        )
+        top1 = cand.orderBy(F.desc("md"), F.asc("doc_id")).limit(1)
+        top1 = top1.localCheckpoint(eager=False)
+        rows.append(
+            top1.select(
+                F.lit(i).cast("long").alias("pick"),
+                "doc_id",
+                "z",
+                "unc_rank",
+                F.col("md").alias("sel_dist6"),
+            )
+        )
+        centers = (
+            centers.crossJoin(F.broadcast(top1))
+            .select(
+                F.array_append(
+                    F.col("cs"),
+                    center_struct(
+                        F.struct(*[F.col(c) for c in top1.columns])
+                    ),
+                ).alias("cs")
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("pick")
+
+
+def _release_report_v2_oracle() -> str:
+    """v1's card embedded verbatim + the trained-model tier reduced to
+    release scalars: trained keep rate at the z>0 operating point and
+    best F1 (from the registered trained-PR oracle), calibration ECE,
+    t-closeness max TVD + failing-class share, and the near-dup doc
+    share from the dedup_clusters membership."""
+    return f"""
+WITH v1 AS (SELECT * FROM ({_ORACLES["corpus_release_report"]})),
+prt AS (
+  SELECT MAX(f1_6) AS trained_best_f1_6,
+         MAX(CASE WHEN threshold = 0.0 THEN
+           FLOOR(((tp + fp) * 1.0 / (tp + fp + fn + tn)) * 1000000 + 0.5)
+             / 1000000 END) AS trained_keep_rate6
+  FROM ({_ORACLES["quality_pr_curve_trained"]}) WHERE model = 'trained'
+),
+cal AS (
+  SELECT MAX(ece6) AS calibration_ece6
+  FROM ({_ORACLES["quality_calibration_curve"]})
+),
+tc AS (
+  SELECT MAX(max_tvd6) AS t_closeness_max_tvd6,
+         MAX(risk_share4) AS t_risk_share4
+  FROM ({_ORACLES["t_closeness_audit"]})
+),
+nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS neardup_docs
+  FROM ({_ORACLES["dedup_clusters"]})
+)
+SELECT v1.*,
+       prt.trained_keep_rate6, prt.trained_best_f1_6,
+       cal.calibration_ece6,
+       tc.t_closeness_max_tvd6, tc.t_risk_share4,
+       FLOOR((nd.neardup_docs * 1.0 / v1.n_docs) * 1000000 + 0.5) / 1000000
+         AS neardup_doc_share6
+FROM v1 CROSS JOIN prt CROSS JOIN cal CROSS JOIN tc CROSS JOIN nd
+"""
+
+
+@query("corpus_release_report_v2", _release_report_v2_oracle())
+def corpus_release_report_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE DATA CARD A MODEL-GATED RELEASE SIGNS OFF ON — v1's seven
+    governance scalars (dup rate, PII, verbatim + semantic
+    contamination, k-anonymity risk, Gopher keep rate, mixed-script
+    share) extended with the trained-model tier a modern curation
+    pipeline also publishes: the COMMITTED classifier's keep rate at
+    the z>0 operating point and its best F1 vs the tuned labels, the
+    calibration ECE (can the score be budget-thresholded?), the
+    t-closeness worst-class TVD + failing-class doc share (the
+    anonymity ladder's top rung), and the near-dup document share from
+    the committed CC membership. One row; every column definitionally
+    consistent with the standalone audit it summarizes because every
+    leg IS the registered query (Spark side) and its embedded oracle
+    (DuckDB side).
+
+    Scale: v1's legs keep their documented bounded plans; the trained
+    tier reads committed artifacts (weights, membership) — the card
+    adds registry scans + dimension-sized rollups, never a second
+    training or CC run.
+    """
+    v1 = _QUERIES["corpus_release_report"](spark, sf_dir)
+    prt_rows = _QUERIES["quality_pr_curve_trained"](spark, sf_dir).filter(
+        F.col("model") == "trained"
+    )
+    prt = prt_rows.agg(
+        F.max("f1_6").alias("trained_best_f1_6"),
+        F.max(
+            F.when(
+                F.col("threshold") == 0.0,
+                rnd(
+                    (F.col("tp") + F.col("fp"))
+                    * 1.0
+                    / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+                    6,
+                ),
+            )
+        ).alias("trained_keep_rate6"),
+    )
+    cal = _QUERIES["quality_calibration_curve"](spark, sf_dir).agg(
+        F.max("ece6").alias("calibration_ece6")
+    )
+    tc = _QUERIES["t_closeness_audit"](spark, sf_dir).agg(
+        F.max("max_tvd6").alias("t_closeness_max_tvd6"),
+        F.max("risk_share4").alias("t_risk_share4"),
+    )
+    nd = _cc_membership_committed(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("neardup_docs")
+    )
+    out = v1
+    for leg in (prt, cal, tc, nd):
+        out = out.crossJoin(F.broadcast(leg))
+    return out.select(
+        *[c for c in v1.columns],
+        "trained_keep_rate6",
+        "trained_best_f1_6",
+        "calibration_ece6",
+        "t_closeness_max_tvd6",
+        "t_risk_share4",
+        rnd(F.col("neardup_docs") * 1.0 / F.col("n_docs"), 6).alias(
+            "neardup_doc_share6"
+        ),
+    )

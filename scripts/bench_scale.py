@@ -228,6 +228,9 @@ OPS = [
     # score-histogram window + 4-row dimension join
     "quality_budget_threshold",
     "dedup_quality_interaction",
+    # round 9: committed-artifact consumers (selection + data card v2)
+    "active_learning_batch",
+    "corpus_release_report_v2",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.
