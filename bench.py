@@ -309,6 +309,10 @@ HEADLINE = [
     # the data card with the trained-model tier (v1's seven governance
     # scalars + trained keep/F1, ECE, t-closeness, near-dup share)
     "corpus_release_report_v2",
+    # tokenizer registry: publish (warm read after first train+commit)
+    # and per-source token-cost accounting off the committed vocab
+    "bpe_vocab_publish",
+    "tokenizer_cost_report",
 ]
 
 

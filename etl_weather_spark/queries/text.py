@@ -3733,3 +3733,175 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: the tokenizer joins the committed-artifact registry — the
+# merge table is trained once per corpus version and committed; token
+# accounting reads the committed vocab (the quality-classifier pattern
+# applied to the second fitted-artifact class).
+# ---------------------------------------------------------------------------
+
+_BPE_ARTIFACT_PARAMS = {
+    "algo": "bpe-greedy",
+    "rounds": 3,
+    "token_filter": "^[a-z0-9]+$",
+}
+
+
+def _bpe_merges_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMITTED BPE merge table: read from the registry when the
+    corpus fingerprint is current, train-and-commit once when missing
+    or stale (operators/artifacts.py — same contract as the quality
+    classifier's trajectory and the dedup CC membership)."""
+    from etl_weather_spark.operators.artifacts import (
+        artifact_if_absent,
+        dataset_fingerprint,
+        dataset_key,
+    )
+
+    fp = dataset_fingerprint(sf_dir, ("documents",), _BPE_ARTIFACT_PARAMS)
+    return artifact_if_absent(
+        spark,
+        "bpe_merges",
+        dataset_key(sf_dir),
+        fingerprint=fp,
+        build=lambda: _QUERIES["bpe_merge_rounds"](spark, sf_dir),
+        meta={"producer": "bpe_merge_rounds (3 greedy merges)"},
+    )
+
+
+@query(
+    "bpe_vocab_publish",
+    "SELECT 'bpe_merges' AS artifact, merge_round, left_sym, right_sym,"
+    " merged, pair_count FROM ("
+    + _ORACLES["bpe_merge_rounds"]
+    + "\n) ORDER BY merge_round",
+)
+def bpe_vocab_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBLISH the tokenizer to the committed-artifact registry — the
+    deploy step between bpe_merge_rounds (training) and every consumer
+    that tokenizes with the result: trains the greedy merge table ONCE
+    per corpus version (compute-if-absent), commits it with the dataset
+    fingerprint, and emits the COMMITTED rows. Training is
+    deterministic (frequency ties break lexicographically), so the
+    oracle re-runs the merge rounds as CTEs and hash-verifies that the
+    registry bytes equal what training produces — the same
+    write-path-under-the-gate contract as quality_classifier_publish.
+
+    Scale: training cost once per corpus version (vocab-bound rounds);
+    the committed artifact is |merges| rows — KBs at a production 32k
+    budget — and consumers broadcast it.
+    """
+    return _bpe_merges_committed(spark, sf_dir).select(
+        F.lit("bpe_merges").alias("artifact"), "*"
+    ).orderBy("merge_round")
+
+
+@query(
+    "tokenizer_cost_report",
+    """
+WITH tok AS (
+  SELECT doc_id, source, word FROM (
+    SELECT doc_id, source,
+           UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+),
+words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+v0 AS (
+  SELECT array_to_string(string_split(word, ''), chr(31)) AS ws, freq, word FROM words
+),"""
+    + ",".join(_bpe_oracle_round(i, carry=", word") for i in (1, 2, 3))
+    + """,
+seg AS (SELECT word, len(string_split(ws, chr(31))) AS n_pieces FROM v3),
+per AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+  FROM tok JOIN seg USING (word) GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_pieces) AS BIGINT) AS total_pieces FROM per)
+SELECT p.source, p.n_docs, p.n_words, p.n_pieces,
+       CAST((10000 * p.n_pieces) // p.n_words AS BIGINT) AS pieces_per_word_1e4,
+       FLOOR((p.n_pieces * 1.0 / t.total_pieces) * 1000000 + 0.5) / 1000000
+         AS piece_share6
+FROM per p CROSS JOIN tot t
+ORDER BY p.source
+""",
+)
+def tokenizer_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE TOKEN-COST accounting under the COMMITTED tokenizer —
+    the table a training-budget/mixture plan actually consumes: for
+    each source, documents, words, BPE pieces under the committed merge
+    table, the pieces-per-word fertility (integer 1e4 fixed point, the
+    tokenizer_fertility_by_lang convention), and each source's share of
+    the total token budget. Downstream: temperature/DoReMi mixture
+    weights operate on TOKEN shares, not doc counts — this is the
+    bridge from the committed tokenizer to those plans.
+
+    The merge table comes from the registry (bpe_vocab_publish;
+    compute-if-absent) and is applied with the PRODUCTION rank-based
+    encoder (operators/textops.bpe_encode_ranked — a broadcast rank
+    dict, one Arrow pass over the vocab), while the oracle replays
+    training + fold segmentation via the DuckDB list_reduce twin — a
+    cross-algorithm, cross-engine proof on top of committed bytes.
+
+    Scale: the committed merge table is a KB-scale broadcast (a
+    deploy-time pin, the IVF-centroid convention); encode runs on the
+    VOCAB and fans back over a word-keyed join; the rollup is
+    |sources| rows.
+    """
+    from etl_weather_spark.operators.dedup import tokens
+    from etl_weather_spark.operators.textops import bpe_encode_ranked
+
+    merges = _bpe_merges_committed(spark, sf_dir)
+    pairs = [
+        (r.left_sym, r.right_sym)
+        for r in merges.orderBy("merge_round").collect()
+    ]
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .persist()
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("syms"), "freq", "word")
+        .persist()
+    )
+    seg = bpe_encode_ranked(vocab, pairs).select(
+        "word", F.size("syms").cast("long").alias("n_pieces")
+    )
+    per = (
+        tok.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(F.sum("n_pieces").cast("long").alias("total_pieces"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr("(10000 * n_pieces) div n_words")
+            .cast("long")
+            .alias("pieces_per_word_1e4"),
+            rnd(F.col("n_pieces") * 1.0 / F.col("total_pieces"), 6).alias(
+                "piece_share6"
+            ),
+        )
+        .orderBy("source")
+    )

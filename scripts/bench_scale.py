@@ -228,9 +228,12 @@ OPS = [
     # score-histogram window + 4-row dimension join
     "quality_budget_threshold",
     "dedup_quality_interaction",
-    # round 9: committed-artifact consumers (selection + data card v2)
+    # round 9: committed-artifact consumers (selection + data card v2
+    # + per-source token-cost accounting off the committed vocab)
     "active_learning_batch",
     "corpus_release_report_v2",
+    "bpe_vocab_publish",
+    "tokenizer_cost_report",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

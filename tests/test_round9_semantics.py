@@ -105,3 +105,30 @@ def test_card_v2_trained_tier_matches_standalone_audits(spark, sf_dir, card_v2):
         mem / card_v2.n_docs * 1e6 + 0.5
     ) / 1e6
     assert 0.0 <= card_v2.t_closeness_max_tvd6 <= 1.0
+
+
+def test_bpe_publish_equals_training(spark, sf_dir):
+    """Committed merge table == retraining, bit for bit (the registry's
+    determinism contract, tokenizer edition)."""
+    pub = q.queries()["bpe_vocab_publish"](spark, sf_dir).collect()
+    fresh = q.queries()["bpe_merge_rounds"](spark, sf_dir).collect()
+    assert [
+        (r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in pub
+    ] == [
+        (r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in fresh
+    ]
+    assert all(r.artifact == "bpe_merges" for r in pub)
+
+
+def test_tokenizer_cost_report_consistency(spark, sf_dir):
+    """Shares sum to ~1; totals equal the registered per-doc encode's
+    corpus totals (cross-query consistency on committed bytes)."""
+    rep = q.queries()["tokenizer_cost_report"](spark, sf_dir).collect()
+    assert abs(sum(r.piece_share6 for r in rep) - 1.0) < 1e-4
+    enc = q.queries()["bpe_encode_stats"](spark, sf_dir).collect()
+    assert sum(r.n_pieces for r in rep) == sum(r.n_pieces for r in enc)
+    assert sum(r.n_words for r in rep) == sum(r.n_words for r in enc)
+    for r in rep:
+        assert r.pieces_per_word_1e4 == (10000 * r.n_pieces) // r.n_words
