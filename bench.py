@@ -313,6 +313,9 @@ HEADLINE = [
     # and per-source token-cost accounting off the committed vocab
     "bpe_vocab_publish",
     "tokenizer_cost_report",
+    # temperature mixture over TOKEN shares (corpus -> committed vocab
+    # -> token accounting -> mixture plan, hash-verified end to end)
+    "token_mixture_plan",
 ]
 
 

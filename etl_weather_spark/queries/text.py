@@ -3905,3 +3905,109 @@ def tokenizer_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "token_mixture_plan",
+    f"""
+WITH rep AS (
+  SELECT source, n_pieces, piece_share6
+  FROM ({_ORACLES['tokenizer_cost_report']})
+),
+tot AS (SELECT CAST(SUM(n_pieces) AS BIGINT) AS total_pieces FROM rep),
+s AS (
+  SELECT source, n_pieces, piece_share6,
+         FLOOR(sqrt(piece_share6) * 1000000 + 0.5) / 1000000 AS s6
+  FROM rep
+),
+z AS (SELECT {sql_dsum('s6', 6)} AS zs FROM s),
+qq AS (
+  SELECT s.source, s.n_pieces, s.piece_share6,
+         FLOOR((s.s6 / z.zs) * 1000000 + 0.5) / 1000000 AS q6,
+         t.total_pieces
+  FROM s CROSS JOIN z CROSS JOIN tot t
+),
+a AS (
+  SELECT source, n_pieces, piece_share6, q6,
+         CAST(FLOOR(q6 * total_pieces + 0.5) AS BIGINT) AS alloc_tokens
+  FROM qq
+)
+SELECT source, n_pieces, piece_share6, q6, alloc_tokens,
+       CASE WHEN piece_share6 > 0
+            THEN FLOOR((q6 / piece_share6) * 10000 + 0.5) / 10000 END
+         AS boost4,
+       CASE WHEN n_pieces > 0
+            THEN FLOOR((alloc_tokens * 1.0 / n_pieces) * 10000 + 0.5) / 10000
+       END AS epochs4,
+       alloc_tokens > 4 * n_pieces AS over_repeated
+FROM a ORDER BY source
+""",
+)
+def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MIXTURE PLAN IN TOKENS — the composition the tokenizer
+    registry exists for: temperature rebalancing (α = 1/2, the
+    lang_temperature_sampling libm-safe √ discipline) over per-source
+    TOKEN shares from the committed tokenizer's cost report, not doc
+    counts — a source of long documents weighs what it actually costs
+    the token budget. Per source: natural token share, temperature
+    weight q ∝ √share, the token allocation under a one-epoch total
+    budget, the boost q/share, the implied per-source EPOCHS
+    (alloc / own tokens, 4 dp), and the Muennighoff-style
+    over-repetition flag at > 4 epochs — the number that says a tail
+    source would repeat too often under this plan and the budget or
+    temperature must change.
+
+    Oracle embeds the tokenizer_cost_report oracle verbatim (which
+    itself replays the committed tokenizer's training) — so the whole
+    chain corpus → committed vocab → token accounting → mixture plan
+    is hash-verified end to end.
+
+    Scale: the cost report's own plan + |sources|-row dimension math.
+    """
+    rep = _QUERIES["tokenizer_cost_report"](spark, sf_dir).select(
+        "source", "n_pieces", "piece_share6"
+    ).localCheckpoint(eager=False)
+    tot = rep.agg(F.sum("n_pieces").cast("long").alias("total_pieces"))
+    s = rep.select(
+        "source",
+        "n_pieces",
+        "piece_share6",
+        rnd(F.sqrt("piece_share6"), 6).alias("s6"),
+    )
+    z = s.agg(dsum("s6", 6).alias("zs"))
+    qq = (
+        s.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_pieces",
+            "piece_share6",
+            rnd(F.col("s6") / F.col("zs"), 6).alias("q6"),
+            "total_pieces",
+        )
+    )
+    a = qq.select(
+        "source",
+        "n_pieces",
+        "piece_share6",
+        "q6",
+        F.floor(F.col("q6") * F.col("total_pieces") + F.lit(0.5))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+    return a.select(
+        "source",
+        "n_pieces",
+        "piece_share6",
+        "q6",
+        "alloc_tokens",
+        F.when(
+            F.col("piece_share6") > 0,
+            rnd(F.col("q6") / F.col("piece_share6"), 4),
+        ).alias("boost4"),
+        F.when(
+            F.col("n_pieces") > 0,
+            rnd(F.col("alloc_tokens") * 1.0 / F.col("n_pieces"), 4),
+        ).alias("epochs4"),
+        (F.col("alloc_tokens") > 4 * F.col("n_pieces")).alias("over_repeated"),
+    ).orderBy("source")

@@ -234,6 +234,7 @@ OPS = [
     "corpus_release_report_v2",
     "bpe_vocab_publish",
     "tokenizer_cost_report",
+    "token_mixture_plan",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

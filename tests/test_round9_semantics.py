@@ -132,3 +132,20 @@ def test_tokenizer_cost_report_consistency(spark, sf_dir):
     assert sum(r.n_words for r in rep) == sum(r.n_words for r in enc)
     for r in rep:
         assert r.pieces_per_word_1e4 == (10000 * r.n_pieces) // r.n_words
+
+
+def test_token_mixture_plan_semantics(spark, sf_dir):
+    """Temperature flattening over token shares: q compresses toward
+    uniform (head shrinks, tail grows), allocations ≈ budget, epochs
+    consistent with alloc/own-tokens."""
+    rows = q.queries()["token_mixture_plan"](spark, sf_dir).collect()
+    total = sum(r.n_pieces for r in rows)
+    assert abs(sum(r.q6 for r in rows) - 1.0) < 1e-4
+    # allocation sums to the budget within per-source rounding
+    assert abs(sum(r.alloc_tokens for r in rows) - total) <= len(rows)
+    for r in rows:
+        if r.piece_share6 and r.piece_share6 > 1 / len(rows):
+            assert r.boost4 <= 1.0 + 1e-9  # head sources shrink
+        if r.piece_share6 and r.piece_share6 < 1 / (4 * len(rows)):
+            assert r.boost4 >= 1.0  # tail sources grow
+        assert r.over_repeated == (r.alloc_tokens > 4 * r.n_pieces)
