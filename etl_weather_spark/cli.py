@@ -327,6 +327,62 @@ def cmd_model(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_artifacts(args: argparse.Namespace) -> int:
+    """Registry lifecycle surface (operators/artifacts.py):
+
+    - ``list``            — inventory: every artifact table, current
+      version, version count, fingerprints;
+    - ``gc``              — release-aware garbage collection: keeps the
+      newest --keep-last versions per table PLUS anything pinned by the
+      newest --keep-releases releases; drops the rest (bounded registry
+      across N rebuild cycles);
+    - ``release-show``    — the committed release for --sf-dir: release
+      id, corpus data fingerprint, and per-artifact pins (THE release
+      id the data card cites);
+    - ``release-publish`` — build-then-pin the atomic corpus release
+      (classifier trajectory + CC membership + BPE merges as ONE
+      catalog version; a half-rebuilt set is refused as mixed).
+    """
+    import json as _json
+
+    from etl_weather_spark.operators.artifacts import (
+        ArtifactMissingError,
+        artifacts_gc,
+        artifacts_list,
+        dataset_key,
+        release_meta,
+    )
+
+    if args.action == "list":
+        for row in artifacts_list():
+            print(_json.dumps(row))
+        return 0
+    if args.action == "gc":
+        print(
+            _json.dumps(
+                artifacts_gc(
+                    keep_last=args.keep_last, keep_releases=args.keep_releases
+                )
+            )
+        )
+        return 0
+    key = dataset_key(args.sf_dir)
+    if args.action == "release-show":
+        try:
+            print(_json.dumps(release_meta(key)))
+        except ArtifactMissingError as e:
+            print(f"REFUSED: {e}", file=sys.stderr)
+            return 3
+        return 0
+    # release-publish
+    from etl_weather_spark import queries as q
+
+    spark = _spark(args.cpus)
+    v = q._ensure_release(spark, args.sf_dir)
+    print(_json.dumps({"released": v, **release_meta(key, version=v)}))
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Print the formatted physical plan of a registered query — the
     review surface for pushdown/pruning/broadcast decisions (same
@@ -513,6 +569,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     mo.add_argument("action", choices=["publish", "show", "history"])
     mo.set_defaults(fn=cmd_model)
+
+    ar = sub.add_parser(
+        "artifacts",
+        help="registry lifecycle: list / gc (release-aware) /"
+        " release-show / release-publish",
+    )
+    ar.add_argument(
+        "action",
+        choices=["list", "gc", "release-show", "release-publish"],
+    )
+    ar.add_argument("--keep-last", type=int, default=2, dest="keep_last")
+    ar.add_argument(
+        "--keep-releases", type=int, default=2, dest="keep_releases"
+    )
+    ar.set_defaults(fn=cmd_artifacts)
 
     args = p.parse_args(argv)
     return args.fn(args)

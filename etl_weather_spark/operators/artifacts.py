@@ -52,14 +52,23 @@ from etl_weather_spark.sources.snapshots import (
 __all__ = [
     "ArtifactMissingError",
     "ArtifactStaleError",
+    "MixedReleaseError",
     "artifact_if_absent",
     "artifact_meta",
     "artifact_table",
+    "artifacts_gc",
+    "artifacts_list",
     "artifacts_root",
     "dataset_fingerprint",
     "dataset_key",
     "publish_artifact",
+    "publish_release",
     "read_artifact",
+    "read_release_artifact",
+    "release_artifact_read",
+    "release_catalog",
+    "release_if_absent",
+    "release_meta",
 ]
 
 
@@ -70,6 +79,14 @@ class ArtifactMissingError(FileNotFoundError):
 class ArtifactStaleError(RuntimeError):
     """The committed artifact was produced from different data or
     parameters than the caller is auditing (fingerprint skew)."""
+
+
+class MixedReleaseError(RuntimeError):
+    """The artifacts a release would pin (or has pinned) were not all
+    produced from the release's corpus — a half-rebuilt registry (one
+    artifact republished after a corpus or recipe change, others not).
+    Committing or serving such a set would mix artifact versions that
+    are each individually plausible but mutually inconsistent."""
 
 
 def artifacts_root() -> str:
@@ -133,14 +150,26 @@ def _meta_path(table: str, version: int) -> str:
 
 
 def artifact_meta(name: str, key: str, version: int | None = None) -> dict:
-    """Committed metadata of a version (latest by default)."""
+    """Committed metadata of a version (latest by default).
+
+    A version whose meta file is absent (a publisher crashed between
+    the snapshot pointer swap and the meta write) surfaces as
+    :class:`ArtifactMissingError` — NOT a bare ``FileNotFoundError`` —
+    so :func:`artifact_if_absent` self-heals by republishing instead of
+    wedging the registry on an unreadable half-publish."""
     table = artifact_table(name, key)
     if version is None:
         version = current_version(table)
     if version is None:
         raise ArtifactMissingError(f"no committed version of {name}/{key}")
-    with open(_meta_path(table, version)) as f:
-        return json.load(f)
+    try:
+        with open(_meta_path(table, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ArtifactMissingError(
+            f"artifact {name}/{key} v{version} has no committed meta "
+            "(interrupted publish) — republish to heal"
+        ) from None
 
 
 def publish_artifact(
@@ -153,7 +182,21 @@ def publish_artifact(
 ) -> int:
     """Commit ``df`` as the new current version of ``name``/``key``
     with its dataset fingerprint; returns the version. Old versions
-    stay readable (snapshot history) — a registry keeps lineage."""
+    stay readable (snapshot history) — a registry keeps lineage.
+
+    Crash/concurrency window: the snapshot pointer swaps BEFORE the
+    meta file lands, so a reader racing the publish (or a publish that
+    crashed between the two) can resolve a current version with no
+    meta — :func:`artifact_meta` reports that as
+    :class:`ArtifactMissingError` and :func:`artifact_if_absent`
+    self-heals by republishing. Two publishers racing the SAME version
+    number are last-wins on the manifest (both computed prev+1); for
+    this registry that is benign — racing builders are compute-if-
+    absent calls over the same fingerprint, so both publish identical
+    bytes and either winner satisfies every reader. Publishers of
+    DIFFERING content must serialize externally (or go through the
+    release catalog's link-claim commit, which detects the collision).
+    """
     table = artifact_table(name, key)
     os.makedirs(table, exist_ok=True)
     version = snapshot_write(df, table, mode="overwrite")
@@ -215,3 +258,387 @@ def artifact_if_absent(
     except (ArtifactMissingError, ArtifactStaleError):
         publish_artifact(build(), name, key, fingerprint=fingerprint, meta=meta)
         return read_artifact(spark, name, key, expect_fingerprint=fingerprint)
+
+
+# ---------------------------------------------------------------------------
+# RELEASE pins: many artifacts, ONE atomic corpus-version commit.
+#
+# The per-artifact registry above keeps each artifact individually
+# consistent, but a multi-artifact consumer (the release data card
+# reads the trained classifier, the dedup CC membership, AND the BPE
+# merge table) must never mix artifacts committed against different
+# corpus states — each individually "current by fingerprint" at the
+# time it was built, yet mutually inconsistent after a partial rebuild.
+# A RELEASE fixes that with the catalog's pointer trick one level up
+# (sources/catalog.py): one atomic manifest pinning every artifact
+# table at an exact snapshot version, stamped with the corpus DATA
+# fingerprint the whole set was built from. Readers resolve the release
+# once and read every artifact AT ITS PINNED VERSION; a set that cannot
+# be proven single-corpus is REFUSED (MixedReleaseError), never served.
+# ---------------------------------------------------------------------------
+
+
+def release_catalog(key: str) -> str:
+    """The release catalog for one dataset key — a sources/catalog.py
+    catalog whose tables are artifact snapshot tables."""
+    return os.path.join(artifacts_root(), "_releases", key)
+
+
+def publish_release(
+    key: str,
+    artifacts: dict[str, str],
+    *,
+    data_fingerprint: str,
+    meta: dict | None = None,
+) -> int:
+    """Pin the CURRENT committed version of every named artifact as one
+    atomic release for ``key``. ``artifacts`` maps artifact name → the
+    fingerprint each is expected to carry (computed by the caller from
+    the corpus being released + that producer's parameters).
+
+    PIN-ONLY and strict: nothing is built here. Any artifact that is
+    missing raises :class:`ArtifactMissingError`; any whose committed
+    fingerprint differs from its expected one raises
+    :class:`MixedReleaseError` — that is the half-rebuilt registry
+    (one artifact republished after a corpus/recipe change, others
+    not), and committing it would launder the very skew the registry
+    refuses per-artifact. Use :func:`release_if_absent` for the
+    build-then-pin flow.
+
+    Scale: the release manifest is a few hundred bytes; the commit is
+    one conditional manifest create + pointer swap regardless of how
+    large the pinned artifacts are.
+    """
+    from etl_weather_spark.sources.catalog import catalog_commit_pins
+
+    pins: dict[str, dict] = {}
+    skewed: list[str] = []
+    for name, expect_fp in sorted(artifacts.items()):
+        table = artifact_table(name, key)
+        version = current_version(table)
+        if version is None:
+            raise ArtifactMissingError(
+                f"cannot pin release for {key}: artifact {name} has no "
+                "committed version"
+            )
+        committed = artifact_meta(name, key, version).get("fingerprint")
+        if committed != expect_fp:
+            skewed.append(
+                f"{name} v{version} (committed {str(committed)[:12]}…, "
+                f"release corpus expects {expect_fp[:12]}…)"
+            )
+        pins[name] = {"path": table, "version": version}
+    if skewed:
+        raise MixedReleaseError(
+            f"refusing to pin a mixed release for {key}: "
+            + "; ".join(skewed)
+            + " — republish the skewed artifact(s) against the release "
+            "corpus first (release_if_absent does this)"
+        )
+    return catalog_commit_pins(
+        release_catalog(key),
+        pins,
+        extra={
+            "__release": {
+                "data_fingerprint": data_fingerprint,
+                "artifacts": dict(sorted(artifacts.items())),
+                **(meta or {}),
+            }
+        },
+    )
+
+
+def release_meta(key: str, *, version: int | None = None) -> dict:
+    """One committed release: {"version", "data_fingerprint", "pins",
+    "artifacts" (expected fingerprints at pin time)}. Raises
+    :class:`ArtifactMissingError` when no release is committed."""
+    from etl_weather_spark.sources.catalog import (
+        catalog_current,
+        catalog_manifest,
+    )
+
+    cat = release_catalog(key)
+    if version is None:
+        version = catalog_current(cat)
+    if version is None:
+        raise ArtifactMissingError(f"no committed release for {key}")
+    manifest = catalog_manifest(cat, version=version)
+    rel = manifest.pop("__release", {})
+    return {
+        "version": version,
+        "data_fingerprint": rel.get("data_fingerprint"),
+        "artifacts": rel.get("artifacts", {}),
+        "pins": {k: v for k, v in manifest.items() if not k.startswith("__")},
+    }
+
+
+def read_release_artifact(
+    spark: SparkSession,
+    key: str,
+    name: str,
+    *,
+    expect_fingerprint: str,
+    expect_data_fingerprint: str,
+    version: int | None = None,
+) -> DataFrame:
+    """STRICT pinned read of one artifact through the release catalog.
+
+    Refusal ladder: no release → :class:`ArtifactMissingError`; the
+    release was cut from a different corpus than the caller is auditing
+    (data fingerprint skew) → :class:`ArtifactStaleError`; the release
+    claims this corpus but the PINNED artifact's committed fingerprint
+    does not match the expected one (half-rebuilt set or recipe drift
+    since the pin) → :class:`MixedReleaseError`. Only a fully
+    consistent pin is ever served, and the read is at the pinned
+    snapshot version — immune to later republishes."""
+    rel = release_meta(key, version=version)
+    if rel["data_fingerprint"] != expect_data_fingerprint:
+        raise ArtifactStaleError(
+            f"release v{rel['version']} for {key} was cut from corpus "
+            f"{str(rel['data_fingerprint'])[:12]}…, caller audits "
+            f"{expect_data_fingerprint[:12]}… — republish the release"
+        )
+    pin = rel["pins"].get(name)
+    if pin is None:
+        raise ArtifactMissingError(
+            f"release v{rel['version']} for {key} pins no artifact {name}"
+        )
+    committed = artifact_meta(name, key, pin["version"]).get("fingerprint")
+    if committed != expect_fingerprint:
+        raise MixedReleaseError(
+            f"release v{rel['version']} for {key} pins {name} "
+            f"v{pin['version']} with fingerprint {str(committed)[:12]}…, "
+            f"but the release corpus expects {expect_fingerprint[:12]}… — "
+            "mixed release (partial rebuild or recipe drift); refusing"
+        )
+    return snapshot_read(spark, pin["path"], version=pin["version"])
+
+
+def release_if_absent(
+    spark: SparkSession,
+    key: str,
+    specs: dict[str, tuple[str, Callable[[], DataFrame]]],
+    *,
+    data_fingerprint: str,
+    meta: dict | None = None,
+) -> int:
+    """Build-then-pin: ensure every artifact in ``specs`` (name →
+    (fingerprint, build)) is committed and current via
+    :func:`artifact_if_absent`, then commit ONE release pinning the
+    set. Reuses the standing release when it already matches the corpus
+    and every pin is consistent; otherwise publishes a new release
+    version. Returns the release version serving this corpus."""
+    try:
+        rel = release_meta(key)
+        if rel["data_fingerprint"] == data_fingerprint and all(
+            name in rel["pins"]
+            and artifact_meta(name, key, rel["pins"][name]["version"]).get(
+                "fingerprint"
+            )
+            == fp
+            for name, (fp, _build) in specs.items()
+        ):
+            return rel["version"]
+    except ArtifactMissingError:
+        pass
+    for name, (fp, build) in sorted(specs.items()):
+        artifact_if_absent(
+            spark,
+            name,
+            key,
+            fingerprint=fp,
+            build=build,
+            meta={"data_fingerprint": data_fingerprint},
+        )
+    return publish_release(
+        key,
+        {name: fp for name, (fp, _build) in specs.items()},
+        data_fingerprint=data_fingerprint,
+        meta=meta,
+    )
+
+
+def release_artifact_read(
+    spark: SparkSession,
+    key: str,
+    name: str,
+    *,
+    fingerprint: str,
+    data_fingerprint: str,
+    build: Callable[[], DataFrame],
+    meta: dict | None = None,
+) -> DataFrame:
+    """What multi-artifact CONSUMERS call: read the artifact AT THE
+    VERSION PINNED by the current release when that release matches the
+    corpus (so every consumer in a run scans the same mutually-
+    consistent set), falling back to the per-artifact compute-if-absent
+    when no release exists, the release predates a corpus change, or
+    the pin is mixed — the fallback still enforces the per-artifact
+    fingerprint, so correctness never degrades; only the cross-artifact
+    pinning does, until the next release publish. The STRICT refusal
+    surface is :func:`read_release_artifact` / :func:`publish_release`
+    (used by the release publisher and the CLI)."""
+    try:
+        return read_release_artifact(
+            spark,
+            key,
+            name,
+            expect_fingerprint=fingerprint,
+            expect_data_fingerprint=data_fingerprint,
+        )
+    except (ArtifactMissingError, ArtifactStaleError, MixedReleaseError):
+        return artifact_if_absent(
+            spark,
+            name,
+            key,
+            fingerprint=fingerprint,
+            build=build,
+            meta={**(meta or {}), "data_fingerprint": data_fingerprint},
+        )
+
+
+# ---------------------------------------------------------------------------
+# Lifecycle: listing + release-aware garbage collection.
+#
+# publish_artifact accretes snapshot versions forever by design (history
+# is time-travelable); a production registry bounds that with GC that is
+# RELEASE-AWARE — a version pinned by a surviving release must survive
+# even if many newer per-table versions exist, and conversely the newest
+# versions must survive even when no release pins them (they are what
+# artifact_if_absent serves next read). Blind per-table keep-last-K
+# violates the first invariant; catalog-only expiry violates the second.
+# ---------------------------------------------------------------------------
+
+
+def _artifact_tables() -> list[tuple[str, str, str]]:
+    """(name, key, table-path) for every committed artifact table under
+    the registry root (layout: <root>/<name>/<key>/_latest)."""
+    root = artifacts_root()
+    out: list[tuple[str, str, str]] = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        if name.startswith("_"):
+            continue
+        ndir = os.path.join(root, name)
+        if not os.path.isdir(ndir):
+            continue
+        for key in sorted(os.listdir(ndir)):
+            table = os.path.join(ndir, key)
+            if os.path.exists(os.path.join(table, "_latest")):
+                out.append((name, key, table))
+    return out
+
+
+def artifacts_list() -> list[dict]:
+    """Inventory of the registry: one row per artifact table with its
+    current version, version count, and (when present) the fingerprint
+    + data fingerprint of the current meta. The `cli.py artifacts list`
+    surface."""
+    from etl_weather_spark.sources.snapshots import snapshot_history
+
+    rows = []
+    for name, key, table in _artifact_tables():
+        cur = current_version(table)
+        try:
+            meta = artifact_meta(name, key, cur)
+        except ArtifactMissingError:
+            meta = {}
+        rows.append(
+            {
+                "name": name,
+                "key": key,
+                "current": cur,
+                "versions": len(snapshot_history(table)),
+                "fingerprint": str(meta.get("fingerprint", ""))[:12],
+                "data_fingerprint": str(meta.get("data_fingerprint", ""))[:12],
+            }
+        )
+    return rows
+
+
+def _release_pinned_versions(keep_releases: int) -> dict[str, set[int]]:
+    """{realpath(table): pinned versions} across the newest
+    ``keep_releases`` release versions of every dataset key, after
+    dropping older release manifests (the release history trim)."""
+    from etl_weather_spark.sources.catalog import (
+        catalog_history,
+        catalog_manifest,
+    )
+
+    pinned: dict[str, set[int]] = {}
+    rel_root = os.path.join(artifacts_root(), "_releases")
+    if not os.path.isdir(rel_root):
+        return pinned
+    for key in sorted(os.listdir(rel_root)):
+        cat = os.path.join(rel_root, key)
+        history = catalog_history(cat)
+        if not history:
+            continue
+        for v in history[:-keep_releases]:
+            os.remove(os.path.join(cat, "_versions", f"v{v}.json"))
+        for cv in history[-keep_releases:]:
+            for tname, pin in catalog_manifest(cat, version=cv).items():
+                if tname.startswith("__"):
+                    continue
+                pinned.setdefault(os.path.realpath(pin["path"]), set()).add(
+                    pin["version"]
+                )
+    return pinned
+
+
+def artifacts_gc(*, keep_last: int = 2, keep_releases: int = 2) -> dict:
+    """Garbage-collect the registry: per artifact table, keep the union
+    of (a) the newest ``keep_last`` snapshot versions (what
+    artifact_if_absent serves and what history-diff tooling reads) and
+    (b) every version pinned by one of the newest ``keep_releases``
+    releases of any dataset key (pinned reads must never break); delete
+    everything else — snapshot manifests, artifact_meta records, and
+    data dirs no surviving manifest references. Older release manifests
+    themselves are dropped first, so N rebuild cycles leave the
+    registry dir bounded instead of monotonically growing.
+
+    Returns {"expired": {"name/key": [versions…]}, "kept_pinned":
+    {"name/key": [versions kept ONLY because a release pins them]}}.
+    """
+    import shutil
+
+    from etl_weather_spark.sources.snapshots import (
+        _manifest_dir,
+        snapshot_history,
+    )
+
+    pinned = _release_pinned_versions(keep_releases)
+    expired: dict[str, list[int]] = {}
+    kept_pinned: dict[str, list[int]] = {}
+    for name, key, table in _artifact_tables():
+        history = snapshot_history(table)
+        versions = [m["version"] for m in history]
+        newest = set(versions[-keep_last:])
+        pins = pinned.get(os.path.realpath(table), set())
+        keep = newest | pins
+        only_pinned = sorted(pins - newest)
+        if only_pinned:
+            kept_pinned[f"{name}/{key}"] = only_pinned
+        keep_dirs = {
+            d
+            for m in history
+            if m["version"] in keep
+            for d in m["data_dirs"]
+        }
+        gone: list[int] = []
+        for m in history:
+            v = m["version"]
+            if v in keep:
+                continue
+            for d in m["data_dirs"]:
+                if d not in keep_dirs:
+                    shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+            os.remove(os.path.join(_manifest_dir(table), f"v{v}.json"))
+            meta = _meta_path(table, v)
+            if os.path.exists(meta):
+                os.remove(meta)
+            gone.append(v)
+        if gone:
+            expired[f"{name}/{key}"] = gone
+    return {"expired": expired, "kept_pinned": kept_pinned}

@@ -593,6 +593,13 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("edit_dist", "name_a", "name_b")
     )
 
+#: dedup_clusters producer hyperparameters — shared by the CC query
+#: and the committed-membership fingerprint (_cc_membership_committed),
+#: the _QCT_PARAMS discipline: a recipe change is ONE edit that both
+#: changes the pairs and invalidates the committed membership.
+_CC_SHINGLE_N = 3
+_CC_MIN_JACCARD = 0.5
+
 @query(
     "dedup_clusters",
     f"""
@@ -644,7 +651,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = pruned_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5)
+    pairs = pruned_jaccard_pairs(
+        docs, shingle_n=_CC_SHINGLE_N, min_jaccard=_CC_MIN_JACCARD
+    )
     return (
         connected_components(pairs)
         .select(F.col("node").alias("doc_id"), "cluster_id")
@@ -2409,22 +2418,38 @@ def snapshot_diff_core(a: DataFrame, b: DataFrame) -> DataFrame:
         ).alias("churn_rate6"),
     ).orderBy("source")
 
+def _cc_fingerprint(sf_dir: str) -> str:
+    """The CC membership artifact's fingerprint: corpus content stats +
+    the producer's OWN hyperparameter constants — recipe drift cannot
+    leave the committed fingerprint current (ADVICE r9)."""
+    return dataset_fingerprint(
+        sf_dir,
+        ("documents",),
+        {
+            "algo": "dedup_clusters",
+            "shingle_n": _CC_SHINGLE_N,
+            "min_jaccard": _CC_MIN_JACCARD,
+        },
+    )
+
+
 def _cc_membership_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The committed dedup_clusters membership (doc_id, cluster_id) —
     connected components run once per corpus version, and every
     downstream audit (cross-source matrix, dedup×quality interaction)
     reads the committed relation instead of re-running the multi-round
-    CC job. Same fingerprint discipline as the model registry."""
-    fp = dataset_fingerprint(
-        sf_dir,
-        ("documents",),
-        {"algo": "dedup_clusters", "shingle_n": 3, "min_jaccard": 0.5},
-    )
-    return artifact_if_absent(
+    CC job. Release-aware (round 10): when a committed RELEASE pins
+    this corpus, the read is at the release's pinned snapshot version —
+    every multi-artifact consumer in a run scans the same mutually-
+    consistent set; otherwise per-artifact compute-if-absent."""
+    from etl_weather_spark.operators.artifacts import release_artifact_read
+
+    return release_artifact_read(
         spark,
-        "dedup_cc_membership",
         dataset_key(sf_dir),
-        fingerprint=fp,
+        "dedup_cc_membership",
+        fingerprint=_cc_fingerprint(sf_dir),
+        data_fingerprint=dataset_fingerprint(sf_dir, ("documents",)),
         build=lambda: _QUERIES["dedup_clusters"](spark, sf_dir),
         meta={"producer": "pruned_jaccard_pairs + connected_components"},
     )

@@ -627,6 +627,15 @@ v{n} AS (
   FROM v{p}, b{n} b
 )"""
 
+#: BPE producer hyperparameters — shared by the training query, the
+#: committed-artifact fingerprint (_BPE_ARTIFACT_PARAMS), and every
+#: consumer's token filter, so a recipe change is ONE edit that
+#: simultaneously retrains and invalidates the committed artifact
+#: (the _QCT_PARAMS discipline; a hand-copied literal in the
+#: fingerprint would let a recipe drift read stale committed bytes).
+_BPE_MERGE_ROUNDS = 3
+_BPE_TOKEN_FILTER = "^[a-z0-9]+$"
+
 @query(
     "bpe_merge_rounds",
     """
@@ -681,7 +690,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
-        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .filter(F.col("word").rlike(_BPE_TOKEN_FILTER))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split("word", "").alias("syms"), "freq")
@@ -690,7 +699,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 rounds sit under BPE_LAZY_THRESHOLD: training stays fully lazy
     # (one action at materialization), so the vocab cache must outlive
     # this call — bounded, vocab-sized, same as the other input persists
-    return bpe_train(vocab, 3)
+    return bpe_train(vocab, _BPE_MERGE_ROUNDS)
 
 #: shared oracle for BOTH encode-side BPE queries: replays 3 training
 #: rounds and the fold-based segmentation via the DuckDB list_reduce
@@ -3744,30 +3753,41 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ARTIFACT_PARAMS = {
     "algo": "bpe-greedy",
-    "rounds": 3,
-    "token_filter": "^[a-z0-9]+$",
+    # derived from the SAME constants the producer trains with — a
+    # recipe change cannot leave the committed fingerprint "current"
+    "rounds": _BPE_MERGE_ROUNDS,
+    "token_filter": _BPE_TOKEN_FILTER,
 }
+
+
+def _bpe_fingerprint(sf_dir: str) -> str:
+    from etl_weather_spark.operators.artifacts import dataset_fingerprint
+
+    return dataset_fingerprint(sf_dir, ("documents",), _BPE_ARTIFACT_PARAMS)
 
 
 def _bpe_merges_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMMITTED BPE merge table: read from the registry when the
     corpus fingerprint is current, train-and-commit once when missing
     or stale (operators/artifacts.py — same contract as the quality
-    classifier's trajectory and the dedup CC membership)."""
+    classifier's trajectory and the dedup CC membership). Release-aware
+    (round 10): a committed release pin for this corpus serves the
+    pinned snapshot version, so tokenizer consumers and the other
+    artifact consumers scan ONE mutually-consistent set."""
     from etl_weather_spark.operators.artifacts import (
-        artifact_if_absent,
         dataset_fingerprint,
         dataset_key,
+        release_artifact_read,
     )
 
-    fp = dataset_fingerprint(sf_dir, ("documents",), _BPE_ARTIFACT_PARAMS)
-    return artifact_if_absent(
+    return release_artifact_read(
         spark,
-        "bpe_merges",
         dataset_key(sf_dir),
-        fingerprint=fp,
+        "bpe_merges",
+        fingerprint=_bpe_fingerprint(sf_dir),
+        data_fingerprint=dataset_fingerprint(sf_dir, ("documents",)),
         build=lambda: _QUERIES["bpe_merge_rounds"](spark, sf_dir),
-        meta={"producer": "bpe_merge_rounds (3 greedy merges)"},
+        meta={"producer": f"bpe_merge_rounds ({_BPE_MERGE_ROUNDS} greedy merges)"},
     )
 
 
@@ -3866,7 +3886,7 @@ def tokenizer_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", "source", F.explode(tokens(F.col("text"))).alias("word")
         )
-        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .filter(F.col("word").rlike(_BPE_TOKEN_FILTER))
         .persist()
     )
     vocab = (

@@ -40,8 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_weather_spark.sources.snapshots import snapshot_read, snapshot_write
 
 __all__ = [
+    "catalog_commit_pins",
     "catalog_commit_tables",
     "catalog_current",
+    "catalog_manifest",
     "catalog_read",
     "catalog_versions",
 ]
@@ -75,8 +77,21 @@ def catalog_versions(catalog: str, *, version: int | None = None) -> dict:
     if version is None:
         raise FileNotFoundError(f"no committed catalog version at {catalog}")
     pins = dict(_load(catalog, version))
-    pins.pop("__batch_id", None)  # streaming commit marker, not a table
+    # "__"-prefixed keys are commit metadata (streaming batch marker,
+    # release fingerprint), never tables
+    for k in [k for k in pins if k.startswith("__")]:
+        pins.pop(k)
     return pins
+
+
+def catalog_manifest(catalog: str, *, version: int | None = None) -> dict:
+    """The RAW manifest of one commit — pins plus any ``__``-prefixed
+    commit metadata (e.g. a release's corpus fingerprint)."""
+    if version is None:
+        version = catalog_current(catalog)
+    if version is None:
+        raise FileNotFoundError(f"no committed catalog version at {catalog}")
+    return dict(_load(catalog, version))
 
 
 def catalog_commit_tables(
@@ -132,6 +147,55 @@ def catalog_commit_tables(
             version += 1
     # forward-only pointer swap: a slow writer that claimed a lower
     # number must not regress the pointer past a faster writer's commit
+    cur = catalog_current(catalog)
+    if cur is None or cur < version:
+        tmp = _pointer(catalog) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, _pointer(catalog))  # the commit point
+    return version
+
+
+def catalog_commit_pins(
+    catalog: str,
+    pins: dict[str, dict],
+    *,
+    extra: dict | None = None,
+) -> int:
+    """Commit a COMPLETE pin set {table: {"path":…, "version":…}} of
+    already-committed per-table snapshot versions as one atomic catalog
+    version — no data is written, only the manifest + pointer. This is
+    how a RELEASE pins N independently-published artifact tables to one
+    mutually-consistent set (operators/artifacts.publish_release).
+
+    Unlike :func:`catalog_commit_tables`, previous pins are NOT carried
+    forward — a release names everything it contains, and a partial
+    carry-over would be exactly the mixed-version state releases exist
+    to prevent. ``extra`` entries must be ``__``-prefixed commit
+    metadata; they ride the manifest and are invisible to
+    :func:`catalog_versions` readers. Concurrency: the same os.link
+    claim as table commits — the loser simply retries at N+1 with its
+    own complete pin set (no rebase needed).
+    """
+    bad = [k for k in (extra or {}) if not k.startswith("__")]
+    if bad:
+        raise ValueError(f"extra keys must be __-prefixed metadata: {bad}")
+    manifest = {**pins, **(extra or {})}
+    os.makedirs(_vdir(catalog), exist_ok=True)
+    prev = catalog_current(catalog)
+    version = 0 if prev is None else prev + 1
+    while True:
+        target = os.path.join(_vdir(catalog), f"v{version}.json")
+        tmpm = target + f".tmp.{uuid.uuid4().hex}"
+        with open(tmpm, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmpm, target)
+            os.remove(tmpm)
+            break
+        except FileExistsError:
+            os.remove(tmpm)
+            version += 1
     cur = catalog_current(catalog)
     if cur is None or cur < version:
         tmp = _pointer(catalog) + f".tmp.{uuid.uuid4().hex}"

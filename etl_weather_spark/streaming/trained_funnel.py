@@ -106,14 +106,31 @@ def process_trained_funnel_batch(
     weights: dict[str, float],
 ) -> None:
     """foreachBatch body — re-callable: a replayed batch id is a no-op
-    for the snapshot append and a same-bytes rewrite for the stats."""
+    for the snapshot append and a same-bytes rewrite for the stats.
+
+    The replay marker guards ONLY the snapshot append; the stats
+    partition is always (re)written (idempotent overwrite), so a crash
+    between the append and the stats write heals on replay instead of
+    leaving stats/batch_id=N permanently absent. On replay the standing
+    index is read AT THE VERSION PRECEDING this batch's own marker
+    commit (snapshot time travel), so the recomputed survivor count —
+    and therefore the stats bytes — are identical to the first run."""
     from etl_weather_spark.functions.text import doc_fingerprint
 
     marker = f"batch-{batch_id}"
-    if any(
-        h.get("committed_at") == marker for h in snapshot_history(accepted_table)
-    ):
-        return
+    marker_version = next(
+        (
+            h["version"]
+            for h in snapshot_history(accepted_table)
+            if h.get("committed_at") == marker
+        ),
+        None,
+    )
+    if marker_version is None:
+        standing_version = current_version(accepted_table)
+    else:
+        # replay: the append already committed; audit against pre-append state
+        standing_version = marker_version - 1 if marker_version > 0 else None
     spark = batch_df.sparkSession
 
     chain = _gate_chain(batch_df, weights)
@@ -124,16 +141,18 @@ def process_trained_funnel_batch(
     )
     keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     batch_unique = fp.join(keep, ["fingerprint", "doc_id"])
-    if current_version(accepted_table) is not None:
-        standing = snapshot_read(spark, accepted_table).select("fingerprint")
+    if standing_version is not None:
+        standing = snapshot_read(
+            spark, accepted_table, version=standing_version
+        ).select("fingerprint")
         batch_unique = batch_unique.join(
             standing, "fingerprint", "left_anti"
         )
     survivors = batch_unique.localCheckpoint()  # one pass: count + append
     counts.append(survivors.count())
 
-    if counts[-1] > 0:
-        mode = "append" if current_version(accepted_table) is not None else "overwrite"
+    if marker_version is None and counts[-1] > 0:
+        mode = "append" if standing_version is not None else "overwrite"
         snapshot_write(survivors, accepted_table, mode=mode, ingest_ts=marker)
 
     row = [tuple(counts)]

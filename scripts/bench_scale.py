@@ -240,12 +240,37 @@ OPS = [
 # ad hoc against real SF dirs instead.
 
 
+# Bumped whenever the corpus generator below changes shape (salting
+# rule, feature tail, embedding jitter). Stamped into OUT at build time
+# so SPARK_GRAFT_SCALE_REUSE=1 can never silently benchmark a corpus
+# left over from an OLDER generator as if it were current (ADVICE r9).
+GEN_VERSION = "salt-v2+feature-tail-v1"
+
+
+def _marker_path() -> str:
+    return os.path.join(OUT, "_generator.json")
+
+
 def build(spark) -> None:
     # SPARK_GRAFT_SCALE_REUSE=1 keeps an existing Rx corpus (e.g. the
-    # CC executor-count sweep times the same data at 8/16/32 threads)
+    # CC executor-count sweep times the same data at 8/16/32 threads) —
+    # but only one stamped by THIS generator version; stale markers
+    # force a rebuild instead of mis-measuring old data.
     if os.path.isdir(OUT):
         if os.environ.get("SPARK_GRAFT_SCALE_REUSE") == "1":
-            return
+            try:
+                with open(_marker_path()) as f:
+                    marker = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                marker = None
+            if marker and marker.get("version") == GEN_VERSION and marker.get("base") == BASE:
+                return
+            print(
+                f"# reuse refused: {OUT} built by "
+                f"{marker and marker.get('version')!r}, current generator "
+                f"is {GEN_VERSION!r} — rebuilding",
+                file=sys.stderr,
+            )
         shutil.rmtree(OUT)
     os.makedirs(OUT)
     docs = q.load(spark, BASE, "documents")
@@ -306,6 +331,29 @@ def build(spark) -> None:
     # unscaled fact/dim tables: symlink so load() finds them if needed
     for t in ["events", "lineitem", "orders"]:
         os.symlink(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
+    with open(_marker_path(), "w") as f:
+        json.dump({"version": GEN_VERSION, "R": R, "base": BASE}, f)
+
+
+def _registry_state() -> dict:
+    """{artifact-table-path: current snapshot version} for every table
+    under the committed-artifact registry — compared before/after each
+    probed op so the JSON records whether THAT op's timing includes a
+    once-per-corpus-version artifact rebuild (VERDICT r9 What's-wrong
+    #1: first-consumer-pays-the-rebuild spikes are build cost, not scan
+    cost, and the table should say which is which)."""
+    from etl_weather_spark.operators.artifacts import artifacts_root
+    from etl_weather_spark.sources.snapshots import current_version
+
+    root = artifacts_root()
+    state = {}
+    if not os.path.isdir(root):
+        return state
+    for dirpath, dirs, files in os.walk(root):
+        if "_latest" in files:
+            state[os.path.relpath(dirpath, root)] = current_version(dirpath)
+            dirs[:] = []
+    return state
 
 
 def main() -> None:
@@ -320,18 +368,23 @@ def main() -> None:
         fn = q._QUERIES[name]
         t = []
         rows = []
+        rebuilt = False
         for d in (BASE, OUT):
             samples = []
             for _ in range(2):
+                pre = _registry_state()
                 t0 = time.perf_counter()
                 n = fn(spark, d).count()
                 samples.append(time.perf_counter() - t0)
+                if _registry_state() != pre:
+                    rebuilt = True  # this sample paid an artifact build
             t.append(min(samples))
             rows.append(n)
         results[name] = {
             "t1": round(t[0], 2), "tR": round(t[1], 2),
             "ratio": round(t[1] / t[0], 1),
             "rows1": rows[0], "rowsR": rows[1],
+            "rebuilt": rebuilt,
         }
         print(f"# {name}: {results[name]}", file=sys.stderr)
     print(json.dumps({"R": R, "ops": results}))

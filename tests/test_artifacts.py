@@ -158,3 +158,240 @@ def test_corpus_change_triggers_retrain(spark, tmp_path, art_dir):
     os.utime(sf / "documents.parquet")  # corpus "changed"
     _qct_trajectory(spark, str(sf))
     assert current_version(artifact_table(*name_key)) == 1
+
+
+def test_interrupted_publish_self_heals(spark, art_dir):
+    """A publisher that crashed between the snapshot pointer swap and
+    the meta write leaves a current version with NO meta file. The
+    registry must surface that as ArtifactMissingError (not a bare
+    FileNotFoundError) so artifact_if_absent self-heals by republishing
+    instead of wedging permanently (ADVICE r9)."""
+    publish_artifact(_one_row(spark), "model", "ds", fingerprint="fp1")
+    os.remove(
+        os.path.join(artifact_table("model", "ds"), "artifact_meta", "v0.json")
+    )
+    with pytest.raises(ArtifactMissingError):
+        artifact_meta("model", "ds")
+    with pytest.raises(ArtifactMissingError):
+        read_artifact(spark, "model", "ds", expect_fingerprint="fp1")
+    healed = artifact_if_absent(
+        spark, "model", "ds", fingerprint="fp1",
+        build=lambda: _one_row(spark, 9.0),
+    )
+    assert healed.collect()[0].w == 9.0
+    assert current_version(artifact_table("model", "ds")) == 1
+
+
+# ---------------------------------------------------------------------------
+# Atomic multi-artifact RELEASE pins (round 10)
+# ---------------------------------------------------------------------------
+
+from etl_weather_spark.operators.artifacts import (  # noqa: E402
+    MixedReleaseError,
+    publish_release,
+    read_release_artifact,
+    release_artifact_read,
+    release_if_absent,
+    release_meta,
+)
+
+
+def test_publish_release_pins_current_versions(spark, art_dir):
+    publish_artifact(_one_row(spark, 1.0), "a", "ds", fingerprint="fa",
+                     meta={"data_fingerprint": "d1"})
+    publish_artifact(_one_row(spark, 2.0), "b", "ds", fingerprint="fb",
+                     meta={"data_fingerprint": "d1"})
+    v = publish_release("ds", {"a": "fa", "b": "fb"}, data_fingerprint="d1")
+    assert v == 0
+    rel = release_meta("ds")
+    assert rel["data_fingerprint"] == "d1"
+    assert rel["pins"]["a"]["version"] == 0
+    assert rel["pins"]["b"]["version"] == 0
+    out = read_release_artifact(
+        spark, "ds", "a", expect_fingerprint="fa", expect_data_fingerprint="d1"
+    )
+    assert out.collect()[0].w == 1.0
+
+
+def test_half_rebuilt_registry_refused_as_mixed_release(spark, art_dir):
+    """THE refusal the release exists for (VERDICT r9 next-item #1): one
+    artifact was republished against a new corpus/recipe, the other was
+    not — pinning that set must raise MixedReleaseError, not commit."""
+    publish_artifact(_one_row(spark, 1.0), "a", "ds", fingerprint="fa-old")
+    publish_artifact(_one_row(spark, 2.0), "b", "ds", fingerprint="fb-new")
+    # the new corpus expects fa-new + fb-new; only b was rebuilt
+    with pytest.raises(MixedReleaseError, match="mixed"):
+        publish_release(
+            "ds", {"a": "fa-new", "b": "fb-new"}, data_fingerprint="d2"
+        )
+    # nothing was committed
+    with pytest.raises(ArtifactMissingError):
+        release_meta("ds")
+
+
+def test_release_read_refusal_ladder(spark, art_dir):
+    publish_artifact(_one_row(spark, 1.0), "a", "ds", fingerprint="fa")
+    publish_release("ds", {"a": "fa"}, data_fingerprint="d1")
+    # corpus changed since the release was cut -> stale, refuse
+    with pytest.raises(ArtifactStaleError, match="republish the release"):
+        read_release_artifact(
+            spark, "ds", "a",
+            expect_fingerprint="fa", expect_data_fingerprint="d2",
+        )
+    # same corpus, but the caller's recipe expects a different artifact
+    # fingerprint than the pin carries -> mixed, refuse
+    with pytest.raises(MixedReleaseError, match="refusing"):
+        read_release_artifact(
+            spark, "ds", "a",
+            expect_fingerprint="fa-v2", expect_data_fingerprint="d1",
+        )
+    # artifact the release never pinned -> missing
+    with pytest.raises(ArtifactMissingError):
+        read_release_artifact(
+            spark, "ds", "nope",
+            expect_fingerprint="x", expect_data_fingerprint="d1",
+        )
+
+
+def test_release_pin_immune_to_later_republish(spark, art_dir):
+    """A pinned read returns the RELEASE's bytes even after the
+    per-artifact registry moves on — that is what makes a release a
+    release."""
+    publish_artifact(_one_row(spark, 1.0), "a", "ds", fingerprint="fa")
+    publish_release("ds", {"a": "fa"}, data_fingerprint="d1")
+    publish_artifact(_one_row(spark, 9.0), "a", "ds", fingerprint="fa2")
+    out = read_release_artifact(
+        spark, "ds", "a", expect_fingerprint="fa", expect_data_fingerprint="d1"
+    )
+    assert out.collect()[0].w == 1.0  # pinned, not current
+
+
+def test_release_if_absent_builds_pins_reuses_and_heals(spark, art_dir):
+    calls = {"a": 0, "b": 0}
+
+    def build(name, x):
+        def _b():
+            calls[name] += 1
+            return _one_row(spark, x)
+        return _b
+
+    specs = {"a": ("fa", build("a", 1.0)), "b": ("fb", build("b", 2.0))}
+    v0 = release_if_absent(spark, "ds", specs, data_fingerprint="d1")
+    assert v0 == 0 and calls == {"a": 1, "b": 1}
+    # current consistent release -> reused, nothing rebuilt
+    assert release_if_absent(spark, "ds", specs, data_fingerprint="d1") == 0
+    assert calls == {"a": 1, "b": 1}
+    # corpus changed: half-rebuild a by hand (the mixed state), then
+    # release_if_absent HEALS by rebuilding the rest + pinning anew
+    publish_artifact(_one_row(spark, 1.5), "a", "ds", fingerprint="fa2",
+                     meta={"data_fingerprint": "d2"})
+    specs2 = {"a": ("fa2", build("a", 1.5)), "b": ("fb2", build("b", 2.5))}
+    v1 = release_if_absent(spark, "ds", specs2, data_fingerprint="d2")
+    assert v1 == 1
+    assert calls == {"a": 1, "b": 2}  # a was already current, b rebuilt
+    out = read_release_artifact(
+        spark, "ds", "b", expect_fingerprint="fb2", expect_data_fingerprint="d2"
+    )
+    assert out.collect()[0].w == 2.5
+
+
+def test_release_artifact_read_pinned_then_fallback(spark, art_dir):
+    # no release committed -> per-artifact compute-if-absent fallback
+    out = release_artifact_read(
+        spark, "ds", "a", fingerprint="fa", data_fingerprint="d1",
+        build=lambda: _one_row(spark, 1.0),
+    )
+    assert out.collect()[0].w == 1.0
+    publish_release("ds", {"a": "fa"}, data_fingerprint="d1")
+    # release current -> later republish is INVISIBLE (pinned read)
+    publish_artifact(_one_row(spark, 9.0), "a", "ds", fingerprint="fa",
+                     meta={"data_fingerprint": "d1"})
+    pinned = release_artifact_read(
+        spark, "ds", "a", fingerprint="fa", data_fingerprint="d1",
+        build=lambda: _one_row(spark, 7.0),
+    )
+    assert pinned.collect()[0].w == 1.0
+    # corpus moved past the release -> falls back, rebuilds current
+    fresh = release_artifact_read(
+        spark, "ds", "a", fingerprint="fa-d2", data_fingerprint="d2",
+        build=lambda: _one_row(spark, 3.0),
+    )
+    assert fresh.collect()[0].w == 3.0
+
+
+# ---------------------------------------------------------------------------
+# Lifecycle: release-aware GC (round 10)
+# ---------------------------------------------------------------------------
+
+from etl_weather_spark.operators.artifacts import (  # noqa: E402
+    artifacts_gc,
+    artifacts_list,
+)
+
+
+def test_gc_keeps_pinned_release_drops_superseded(spark, art_dir):
+    """The GC invariants: a version pinned by a surviving release
+    survives even when many newer versions exist; unpinned superseded
+    versions are PHYSICALLY dropped (manifest + meta + data dirs)."""
+    publish_artifact(_one_row(spark, 0.0), "a", "ds", fingerprint="f0")
+    publish_release("ds", {"a": "f0"}, data_fingerprint="d0")
+    for i in range(1, 5):
+        publish_artifact(_one_row(spark, float(i)), "a", "ds",
+                         fingerprint=f"f{i}")
+    table = artifact_table("a", "ds")
+    assert current_version(table) == 4
+    report = artifacts_gc(keep_last=2, keep_releases=2)
+    # newest two (v3, v4) + release-pinned v0 survive; v1, v2 dropped
+    assert report["expired"]["a/ds"] == [1, 2]
+    assert report["kept_pinned"]["a/ds"] == [0]
+    pinned = read_release_artifact(
+        spark, "ds", "a", expect_fingerprint="f0", expect_data_fingerprint="d0"
+    )
+    assert pinned.collect()[0].w == 0.0  # pinned read still serves
+    assert read_artifact(spark, "a", "ds").collect()[0].w == 4.0  # current
+    for v in (1, 2):
+        with pytest.raises(FileNotFoundError):
+            read_artifact(spark, "a", "ds", version=v)
+        assert not os.path.exists(
+            os.path.join(table, "artifact_meta", f"v{v}.json")
+        )
+
+
+def test_gc_bounds_registry_across_rebuild_cycles(spark, art_dir):
+    """N corpus-rebuild cycles (republish + re-release + gc each time)
+    must leave the registry dir BOUNDED: version files and data dirs do
+    not accrete past keep_last + keep_releases."""
+
+    def sizes():
+        table = artifact_table("a", "ds")
+        manifests = len(os.listdir(os.path.join(table, "_manifests")))
+        metas = len(os.listdir(os.path.join(table, "artifact_meta")))
+        datadirs = len(os.listdir(os.path.join(table, "data")))
+        from etl_weather_spark.operators.artifacts import release_catalog
+        rels = len(os.listdir(os.path.join(release_catalog("ds"), "_versions")))
+        return manifests, metas, datadirs, rels
+
+    steady = None
+    for cycle in range(6):
+        publish_artifact(
+            _one_row(spark, float(cycle)), "a", "ds",
+            fingerprint=f"f{cycle}", meta={"data_fingerprint": f"d{cycle}"},
+        )
+        publish_release("ds", {"a": f"f{cycle}"}, data_fingerprint=f"d{cycle}")
+        artifacts_gc(keep_last=2, keep_releases=2)
+        if cycle >= 3:
+            if steady is None:
+                steady = sizes()
+            assert sizes() == steady  # bounded: no growth cycle-over-cycle
+    manifests, metas, datadirs, rels = sizes()
+    assert manifests <= 3 and metas <= 3 and datadirs <= 3 and rels == 2
+
+
+def test_artifacts_list_inventory(spark, art_dir):
+    publish_artifact(_one_row(spark), "a", "ds", fingerprint="fa",
+                     meta={"data_fingerprint": "d1"})
+    publish_artifact(_one_row(spark), "b", "ds2", fingerprint="fb")
+    rows = {(r["name"], r["key"]): r for r in artifacts_list()}
+    assert rows[("a", "ds")]["current"] == 0
+    assert rows[("a", "ds")]["data_fingerprint"] == "d1"
+    assert rows[("b", "ds2")]["versions"] == 1

@@ -108,3 +108,45 @@ def test_cli_model_publish_show_history_and_stale_refusal(
     assert main(["--sf-dir", str(corpus), "model", "publish"]) == 0
     capsys.readouterr()
     assert main(["--sf-dir", str(corpus), "model", "show"]) == 0
+
+
+def test_cli_artifacts_lifecycle(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """artifacts release-publish pins the atomic corpus release;
+    release-show surfaces the release id + pins (REFUSES when none);
+    list inventories the registry; gc keeps the pinned release and
+    reports what it dropped."""
+    import json
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "artifacts"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", corpus / "documents.parquet")
+
+    # no release yet -> strict refusal
+    assert main(["--sf-dir", str(corpus), "artifacts", "release-show"]) == 3
+    assert "REFUSED" in capsys.readouterr().err
+
+    assert main(["--sf-dir", str(corpus), "artifacts", "release-publish"]) == 0
+    pub = json.loads(capsys.readouterr().out)
+    assert pub["released"] == 0
+    assert set(pub["pins"]) == {
+        "bpe_merges", "dedup_cc_membership", "quality_classifier",
+    }
+
+    assert main(["--sf-dir", str(corpus), "artifacts", "release-show"]) == 0
+    rel = json.loads(capsys.readouterr().out)
+    assert rel["version"] == 0 and rel["data_fingerprint"]
+
+    assert main(["artifacts", "list"]) == 0
+    rows = [json.loads(s) for s in capsys.readouterr().out.splitlines()]
+    assert {"bpe_merges", "dedup_cc_membership", "quality_classifier"} <= {
+        r["name"] for r in rows
+    }
+
+    assert main(["artifacts", "gc", "--keep-last", "1"]) == 0
+    gc = json.loads(capsys.readouterr().out)
+    assert gc == {"expired": {}, "kept_pinned": {}}  # fresh registry: no-op
+
+    # release still readable after gc
+    assert main(["--sf-dir", str(corpus), "artifacts", "release-show"]) == 0

@@ -165,3 +165,46 @@ def test_cross_batch_dedup_first_arrival(spark, sf_dir, tmp_path, weights):
         r.doc_id for r in snapshot_read(spark, accepted).select("doc_id").collect()
     )
     assert got == [keeper.doc_id]  # first arrival kept, replayed text rejected
+
+
+def test_crash_between_append_and_stats_heals_on_replay(
+    spark, sf_dir, tmp_path, weights
+):
+    """Exactly-once under the worst crash window (ADVICE r9): the
+    snapshot append committed but the stats write was lost. The replay
+    marker guards ONLY the append, so replaying the batch id must (a)
+    not duplicate snapshot rows and (b) rewrite stats/batch_id=N with
+    IDENTICAL bytes — the survivor count recomputed against the
+    pre-append standing state via snapshot time travel."""
+    import shutil
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .limit(100)
+    )
+    accepted = str(tmp_path / "accepted")
+    stats = str(tmp_path / "stats")
+    process_trained_funnel_batch(
+        docs, 0, accepted_table=accepted, stats_dir=stats, weights=weights
+    )
+    first_stats = sorted(
+        tuple(r) for r in spark.read.parquet(f"{stats}/batch_id=0").collect()
+    )
+    rows_before = sorted(
+        r.doc_id for r in snapshot_read(spark, accepted).select("doc_id").collect()
+    )
+    assert first_stats[0][-1] == len(rows_before) > 0
+
+    shutil.rmtree(stats)  # the crash: append committed, stats lost
+    process_trained_funnel_batch(
+        docs, 0, accepted_table=accepted, stats_dir=stats, weights=weights
+    )
+    healed_stats = sorted(
+        tuple(r) for r in spark.read.parquet(f"{stats}/batch_id=0").collect()
+    )
+    rows_after = sorted(
+        r.doc_id for r in snapshot_read(spark, accepted).select("doc_id").collect()
+    )
+    assert healed_stats == first_stats  # identical bytes, incl. survivors
+    assert rows_after == rows_before  # append stayed a no-op
