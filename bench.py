@@ -316,6 +316,12 @@ HEADLINE = [
     # temperature mixture over TOKEN shares (corpus -> committed vocab
     # -> token accounting -> mixture plan, hash-verified end to end)
     "token_mixture_plan",
+    # round 10: the atomic release pin's write path (ensure three
+    # artifacts + one catalog pin commit + strict pinned re-reads)
+    "corpus_release_manifest",
+    # the delta funnel: streaming per-doc gate chain + first-arrival
+    # dedup against the standing half, as one oracled batch relation
+    "corpus_prep_funnel_incremental",
 ]
 
 

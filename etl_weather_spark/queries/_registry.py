@@ -274,23 +274,59 @@ _PRIORITY = [
     # quality_classifier_publish (the committed-model registry's write
     # path under the hash gate). publish precedes the audits so the
     # driver run trains once and every audit reads the committed model.
+    # round-10 rotation (VERDICT r9 next-item #2: the five unexposed
+    # round-9 rows in, plus the two round-10 flagships and four
+    # never-checked veterans; ELEVEN rotate in, every out-row is
+    # r09-driver-green AND keeps a checked family sibling staying in):
+    # OUT: corpus_prep_funnel_v3 (funnel family keeps v2 + v4 and gains
+    # corpus_prep_funnel_incremental), quality_classifier_holdout +
+    # quality_f1_bootstrap + quality_feature_importance +
+    # training_data_map (trained-audit tier keeps train, publish,
+    # pr_curve_trained, label_disagreement, budget_threshold — five
+    # staying rows reading the same committed model),
+    # quality_calibration_curve + t_closeness_audit (their FULL oracles
+    # stay embedded verbatim inside the incoming
+    # corpus_release_report_v2 — a checked superset),
+    # gate_agreement_kappa (every gate oracle stays embedded in the
+    # staying funnels v2/v4), containment_pairs (dedup family keeps
+    # dedup_exact, prefix_filter_jaccard, simhash_near_dupes,
+    # dedup_clusters + gains dup_canonicals/winnow_candidates),
+    # dsir_importance_weights (the DSIR gate's oracle stays embedded in
+    # the staying funnel v2), boilerplate_strip (projection family
+    # keeps pii_scrub_stats, ngram_repetition, doc_stats).
+    # IN: the five VERDICT-named round-9 rows with zero driver exposure
+    # (active_learning_batch, bpe_vocab_publish, tokenizer_cost_report,
+    # token_mixture_plan, corpus_release_report_v2), the two round-10
+    # flagships (corpus_release_manifest — the atomic release pin's
+    # write path under the hash gate; corpus_prep_funnel_incremental —
+    # the delta funnel, triple-verified at sf0.001/0.01/0.1), and four
+    # never-checked veterans (doc_pagerank, dup_canonicals,
+    # cluster_safe_split, winnow_candidates).
+    # corpus_release_manifest precedes every artifact consumer so the
+    # driver run publishes the release pin once and the consumers read
+    # pinned versions.
     "daily_agg", "global_summary",
     "corpus_prep_funnel_v2",
-    "rank_pct_diff", "corpus_prep_funnel_v3", "asof_join",
+    "rank_pct_diff", "asof_join",
     "weather_code_decode",
-    "ann_ivf_recall_audit", "containment_pairs",
+    "ann_ivf_recall_audit",
     "media_jpeg_stats", "simhash_near_dupes",
-    "dsir_importance_weights",
     "bm25_topk",
-    "boilerplate_strip", "ngram_repetition",
+    "ngram_repetition",
     "pii_scrub_stats",
-    "quality_classifier_publish", "quality_classifier_holdout",
-    "training_data_map", "gate_agreement_kappa",
-    "quality_calibration_curve", "quality_f1_bootstrap",
-    "quality_feature_importance", "quality_label_disagreement",
+    "corpus_release_manifest",
+    "quality_classifier_publish",
+    "bpe_vocab_publish",
+    "tokenizer_cost_report", "token_mixture_plan",
+    "active_learning_batch",
+    "corpus_release_report_v2",
+    "corpus_prep_funnel_incremental",
+    "quality_label_disagreement",
     "quality_budget_threshold", "corpus_prep_funnel_v4",
-    "dedup_quality_interaction", "t_closeness_audit",
+    "dedup_quality_interaction",
     "quality_classifier_train", "quality_pr_curve_trained",
+    "doc_pagerank", "dup_canonicals",
+    "cluster_safe_split", "winnow_candidates",
     # round-3 rotations: today_lookup (J4 — J family keeps asof_join/
     # nearest_event/daily_left_join), format_dates (C7 — C family keeps
     # slugify_parts/weather_code_decode/split_part_types),

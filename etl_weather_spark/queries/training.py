@@ -2370,6 +2370,162 @@ def corpus_prep_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(s)
     return out.orderBy("stage")
 
+_INCR_STAGES = (
+    "raw",
+    "lang_confident",
+    "not_code",
+    "gopher_keep",
+    "trained_keep",
+    "new_unique",
+)
+
+def _funnel_incr_oracle() -> str:
+    """The incremental chain is the STREAMING per-doc gate chain
+    (streaming/trained_funnel.py STAGES — corpus-fitted gates are
+    deliberately absent from delta processing; production re-fits those
+    in the nightly full run): per-doc gates embed their registered
+    oracles verbatim, the trained gate prepends the GD chain CTEs
+    unchanged, and new_unique is within-delta keep-min plus an anti
+    join against the standing half's survivor fingerprints."""
+    ctes = list(_qct_ctes(_QCT_ROUNDS))
+    per_doc = [
+        (n, _ORACLES[k], c)
+        for n, k, c, _f, _core in _FUNNEL_GATES
+        if n in ("lang_confident", "not_code", "gopher_keep")
+    ]
+    for i, (_name, oracle, cond) in enumerate(per_doc, start=1):
+        ctes.append(f"g{i} AS (SELECT doc_id FROM ({oracle}\n) WHERE {cond})")
+    ctes.append(
+        f"g4 AS (SELECT t.doc_id FROM train t CROSS JOIN w{_QCT_ROUNDS} w"
+        f" WHERE ({_QCT_Z_SQL}) > 0)"
+    )
+    ctes.append(
+        "fpr AS (SELECT doc_id,"
+        " md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+        " AS fingerprint FROM documents)"
+    )
+    ctes.append("d0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)")
+    ctes.append("e0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)")
+    for i in range(1, 5):
+        for side in ("d", "e"):
+            ctes.append(
+                f"{side}{i} AS (SELECT s.doc_id FROM {side}{i-1} s"
+                f" JOIN g{i} g ON g.doc_id = s.doc_id)"
+            )
+    ctes.append(
+        "standing AS (SELECT DISTINCT f.fingerprint FROM e4 s"
+        " JOIN fpr f ON f.doc_id = s.doc_id)"
+    )
+    ctes.append(
+        "d5 AS (SELECT k.doc_id FROM ("
+        "SELECT f.fingerprint, MIN(s.doc_id) AS doc_id FROM d4 s"
+        " JOIN fpr f ON f.doc_id = s.doc_id GROUP BY f.fingerprint) k"
+        " WHERE k.fingerprint NOT IN (SELECT fingerprint FROM standing))"
+    )
+    rows = [
+        f"SELECT {i} AS stage, '{nm}' AS stage_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_kept,"
+        f" CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM d{i}"
+        for i, nm in enumerate(_INCR_STAGES)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY stage"
+    )
+
+@query("corpus_prep_funnel_incremental", _funnel_incr_oracle())
+def corpus_prep_funnel_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE DELTA FUNNEL — the scale answer to corpus_prep_funnel_v4's
+    full-corpus re-scan (VERDICT r9 next-item #5): process ONLY the
+    docs not yet in the standing accepted corpus through the streaming
+    per-doc gate chain (lang confidence → code detect → tuned Gopher →
+    COMMITTED trained classifier), then keep first-arrivals whose
+    fingerprints are absent from the standing survivors — the exact
+    logic streaming/trained_funnel.py runs per micro-batch, expressed
+    as one oracled batch relation. Emits the per-stage (n_kept,
+    id_checksum) report for the DELTA, same shape as the funnel family.
+
+    Standing-set convention (what makes this SQL-oracle-able): the
+    even-doc_id half plays yesterday's processed corpus — its chain
+    survivors' fingerprints are the standing index — and the odd half
+    is the delta. The production surface with a REAL standing snapshot
+    is streaming/trained_funnel.funnel_delta_report (same chain, the
+    accepted table's fingerprint projection instead of the derived
+    standing set); tests/test_streaming_trained_funnel.py pins this
+    query's stage counts to the snapshot path's batch stats row, and
+    delta-then-merge == full-recompute holds at the fingerprint level.
+
+    Corpus-FITTED gates (MAD length, CCNet terciles, DSIR) are
+    deliberately absent: their fit is a corpus-level statistic, so
+    production re-fits them in the nightly batch funnel and the delta
+    path applies per-doc gates only — stated scope, the streaming
+    module's documented contract.
+
+    Scale: THE point — delta cost ∝ delta size. Per-doc gates and the
+    broadcast-weight trained gate scan only the delta; the standing
+    side is one 32-byte-fingerprint projection (in production a
+    committed snapshot column scan, optionally Bloom-screened) — never
+    a re-scan of the accepted corpus text, never a re-train, never a
+    re-fit. scripts/funnel_delta_probe.py measures a fixed delta
+    against 1x vs Rx standing corpora."""
+    docs = load(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    standing_src = docs.filter(F.col("doc_id") % 2 == 0)
+    w_final = _qct_weights(spark, sf_dir)
+    train = _qct_train_committed(spark, sf_dir)
+    trained_keep = (
+        train.crossJoin(F.broadcast(w_final))
+        .filter(_qct_z() > 0)
+        .select("doc_id")
+    )
+    per_doc = [
+        (flt, core)
+        for n, _k, _c, flt, core in _FUNNEL_GATES
+        if n in ("lang_confident", "not_code", "gopher_keep")
+    ]
+
+    def chain(src: DataFrame) -> list[DataFrame]:
+        out = [src]
+        s = src
+        for flt, core in per_doc:
+            s = s.join(flt(core(s)).select("doc_id"), "doc_id")
+            out.append(s)
+        out.append(s.join(trained_keep, "doc_id", "left_semi"))
+        return out
+
+    stages = chain(delta)
+    standing_fp = (
+        chain(standing_src)[-1]
+        .select(doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    d4fp = stages[-1].select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    new_unique = (
+        d4fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(standing_fp, "fingerprint", "left_anti")
+        .select("doc_id")
+    )
+    stages.append(new_unique)
+    rows = [
+        df.agg(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(nm).alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        for i, (nm, df) in enumerate(zip(_INCR_STAGES, stages, strict=True))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
+
 def _budget_threshold_oracle(rounds: int) -> str:
     ctes = _qct_ctes(rounds)
     ctes.append(

@@ -53,7 +53,11 @@ from etl_weather_spark.sources.snapshots import (
     snapshot_write,
 )
 
-__all__ = ["process_trained_funnel_batch", "stream_trained_funnel"]
+__all__ = [
+    "funnel_delta_report",
+    "process_trained_funnel_batch",
+    "stream_trained_funnel",
+]
 
 STAGES = ("raw", "lang_confident", "not_code", "gopher_keep",
           "trained_keep", "new_unique")
@@ -160,6 +164,56 @@ def process_trained_funnel_batch(
     spark.createDataFrame(row, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(stats_dir, f"batch_id={batch_id}"))
+
+
+def funnel_delta_report(
+    delta_docs: DataFrame,
+    *,
+    accepted_table: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """The 6-row incremental funnel report for a DELTA against the
+    standing accepted snapshot — the batch-query face of the streaming
+    chain (no writes, one lazy relation): per-stage (stage, stage_name,
+    n_kept, id_checksum) through raw → lang_confident → not_code →
+    gopher_keep → trained_keep → new_unique, where new_unique is
+    within-delta keep-min dedup plus an anti join against the standing
+    index's 32-byte fingerprint projection.
+
+    This is the production twin of the oracled
+    ``queries.corpus_prep_funnel_incremental`` (which derives the
+    standing set in-plan for SQL verifiability); the test suite pins
+    the two to each other through the batch stats rows.
+
+    Scale: delta cost ∝ delta size — per-doc gates + a broadcast
+    5-constant trained score over the delta only; the standing side is
+    one fingerprint-column scan of the committed snapshot (never the
+    accepted text), and the report itself is 6 aggregate rows."""
+    from etl_weather_spark.functions.text import doc_fingerprint
+
+    chain = _gate_chain(delta_docs, weights)
+    fp = chain[-1].select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    new_unique = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    if current_version(accepted_table) is not None:
+        spark = delta_docs.sparkSession
+        standing = snapshot_read(spark, accepted_table).select("fingerprint")
+        new_unique = new_unique.join(standing, "fingerprint", "left_anti")
+    chain.append(new_unique)
+    rows = [
+        df.agg(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        for i, (name, df) in enumerate(zip(STAGES, chain, strict=True))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
 
 
 def stream_trained_funnel(

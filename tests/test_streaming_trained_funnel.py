@@ -208,3 +208,91 @@ def test_crash_between_append_and_stats_heals_on_replay(
     )
     assert healed_stats == first_stats  # identical bytes, incl. survivors
     assert rows_after == rows_before  # append stayed a no-op
+
+
+def _doc_frame(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def test_incremental_query_matches_snapshot_path(
+    spark, sf_dir, tmp_path, weights
+):
+    """The oracled corpus_prep_funnel_incremental (standing = even half,
+    delta = odd half, derived in-plan) must agree stage-for-stage with
+    the REAL snapshot path: feed the even half as batch 0, the odd half
+    as batch 1, and the batch-1 stats row IS the delta report."""
+    from etl_weather_spark.queries import corpus_prep_funnel_incremental
+
+    docs = _doc_frame(spark, sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    accepted = str(tmp_path / "accepted")
+    stats = str(tmp_path / "stats")
+    for bid, b in ((0, even), (1, odd)):
+        process_trained_funnel_batch(
+            b, bid, accepted_table=accepted, stats_dir=stats, weights=weights
+        )
+    batch1 = spark.read.parquet(f"{stats}/batch_id=1").collect()[0]
+    q = corpus_prep_funnel_incremental(spark, sf_dir).orderBy("stage").collect()
+    assert [r.stage_name for r in q] == list(STAGES)
+    assert [r.n_kept for r in q] == [batch1[f"n_{s}"] for s in STAGES]
+    assert q[0].n_kept > q[-1].n_kept > 0  # the funnel actually funnels
+
+
+def test_delta_then_merge_equals_full_recompute(
+    spark, sf_dir, tmp_path, weights
+):
+    """Incremental processing (standing half, then delta) must accept
+    exactly the full-recompute survivor set at the FINGERPRINT level
+    (doc_id choice differs by first-arrival vs global keep-min — the
+    documented contract)."""
+    docs = _doc_frame(spark, sf_dir)
+    accepted = str(tmp_path / "accepted")
+    stats = str(tmp_path / "stats")
+    for bid, b in (
+        (0, docs.filter(F.col("doc_id") % 2 == 0)),
+        (1, docs.filter(F.col("doc_id") % 2 == 1)),
+    ):
+        process_trained_funnel_batch(
+            b, bid, accepted_table=accepted, stats_dir=stats, weights=weights
+        )
+    merged = {
+        r.fingerprint
+        for r in snapshot_read(spark, accepted).select("fingerprint").collect()
+    }
+    full_ids = _batch_survivors(spark, docs, weights)
+    full = {
+        r.fp
+        for r in docs.filter(F.col("doc_id").isin(list(full_ids)))
+        .select(doc_fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert merged == full and len(merged) > 0
+
+
+def test_funnel_delta_report_matches_batch_stats(
+    spark, sf_dir, tmp_path, weights
+):
+    """funnel_delta_report (lazy, no writes) returns the same six
+    numbers the write path records in its stats row."""
+    from etl_weather_spark.streaming.trained_funnel import funnel_delta_report
+
+    docs = _doc_frame(spark, sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    accepted = str(tmp_path / "accepted")
+    stats = str(tmp_path / "stats")
+    process_trained_funnel_batch(
+        even, 0, accepted_table=accepted, stats_dir=stats, weights=weights
+    )
+    report = funnel_delta_report(
+        odd, accepted_table=accepted, weights=weights
+    ).collect()
+    process_trained_funnel_batch(
+        odd, 1, accepted_table=accepted, stats_dir=stats, weights=weights
+    )
+    batch1 = spark.read.parquet(f"{stats}/batch_id=1").collect()[0]
+    assert [r.n_kept for r in report] == [batch1[f"n_{s}"] for s in STAGES]
+    assert [r.stage_name for r in report] == list(STAGES)
