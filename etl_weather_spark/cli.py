@@ -452,6 +452,37 @@ def cmd_datasheet(args: argparse.Namespace) -> int:
         "",
         *(f"- {r.source}: {r['count']}" for r in srcs),
     ]
+    # the committed RELEASE this corpus's fitted artifacts are pinned
+    # to (round 10): the card names the exact release id + corpus
+    # fingerprint a consumer should cite — absent (stated) when no
+    # release has been published for this corpus
+    from etl_weather_spark.operators.artifacts import (
+        ArtifactMissingError,
+        dataset_key,
+        release_meta,
+    )
+
+    try:
+        rel = release_meta(dataset_key(args.sf_dir))
+        lines += [
+            "",
+            "## Committed artifact release",
+            "",
+            f"- release: **v{rel['version']}** "
+            f"(corpus fingerprint `{str(rel['data_fingerprint'])[:12]}…`)",
+            *(
+                f"- {name}: pinned snapshot v{pin['version']}"
+                for name, pin in sorted(rel["pins"].items())
+            ),
+        ]
+    except ArtifactMissingError:
+        lines += [
+            "",
+            "## Committed artifact release",
+            "",
+            "- none published for this corpus "
+            "(`cli.py artifacts release-publish`)",
+        ]
     if args.near_dups:
         from etl_weather_spark.operators.dedup import (
             connected_components,

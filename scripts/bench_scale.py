@@ -235,6 +235,14 @@ OPS = [
     "bpe_vocab_publish",
     "tokenizer_cost_report",
     "token_mixture_plan",
+    # round 10: release pin write path (first run pays the once-per-
+    # corpus-version artifact builds — the rebuilt flag says so; warm
+    # runs are three pinned dimension-sized scans + one pointer read)
+    "corpus_release_manifest",
+    # delta funnel at parity convention (processes half the corpus by
+    # definition — the delta-∝-delta-size story is funnel_delta_probe's
+    # fixed-delta rows; this row tracks the oracled query itself)
+    "corpus_prep_funnel_incremental",
 ]
 # zorder_pruning_audit reads orders (unscaled symlink at Rx) — probed
 # ad hoc against real SF dirs instead.

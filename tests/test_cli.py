@@ -56,6 +56,10 @@ def test_cli_datasheet(sf_dir, tmp_path, capsys):
     assert "exact-dup rate" in card
     assert "## Language mix" in card
     assert "## Near-duplicates" in card
+    # the card always carries the release section — either the pinned
+    # release id or an explicit "none published" line
+    assert "## Committed artifact release" in card
+    assert ("release: **v" in card) or ("none published" in card)
     # stdout path too
     rc = main(["--sf-dir", sf_dir, "datasheet"])
     assert rc == 0
