@@ -341,7 +341,10 @@ def cmd_artifacts(args: argparse.Namespace) -> int:
       id the data card cites);
     - ``release-publish`` — build-then-pin the atomic corpus release
       (classifier trajectory + CC membership + BPE merges as ONE
-      catalog version; a half-rebuilt set is refused as mixed).
+      catalog version; a half-rebuilt set is refused as mixed);
+    - ``release-diff``    — promotion review between two releases
+      (--v-a/--v-b; defaults latest vs previous): per artifact, rows
+      added/removed/kept between the pinned snapshot versions.
     """
     import json as _json
 
@@ -373,6 +376,18 @@ def cmd_artifacts(args: argparse.Namespace) -> int:
         except ArtifactMissingError as e:
             print(f"REFUSED: {e}", file=sys.stderr)
             return 3
+        return 0
+    if args.action == "release-diff":
+        from etl_weather_spark.operators.artifacts import release_diff
+
+        spark = _spark(args.cpus)
+        try:
+            df = release_diff(spark, key, v_a=args.v_a, v_b=args.v_b)
+        except (ArtifactMissingError, ValueError) as e:
+            print(f"REFUSED: {e}", file=sys.stderr)
+            return 3
+        for line in df.toJSON().collect():
+            print(line)
         return 0
     # release-publish
     from etl_weather_spark import queries as q
@@ -608,12 +623,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     ar.add_argument(
         "action",
-        choices=["list", "gc", "release-show", "release-publish"],
+        choices=[
+            "list", "gc", "release-show", "release-publish", "release-diff",
+        ],
     )
     ar.add_argument("--keep-last", type=int, default=2, dest="keep_last")
     ar.add_argument(
         "--keep-releases", type=int, default=2, dest="keep_releases"
     )
+    ar.add_argument("--v-a", type=int, default=None, dest="v_a")
+    ar.add_argument("--v-b", type=int, default=None, dest="v_b")
     ar.set_defaults(fn=cmd_artifacts)
 
     args = p.parse_args(argv)

@@ -67,6 +67,7 @@ __all__ = [
     "read_release_artifact",
     "release_artifact_read",
     "release_catalog",
+    "release_diff",
     "release_if_absent",
     "release_meta",
 ]
@@ -430,6 +431,10 @@ def release_if_absent(
     version. Returns the release version serving this corpus."""
     try:
         rel = release_meta(key)
+        # a pinned version whose meta vanished (interrupted publish,
+        # out-of-band deletion) raises ArtifactMissingError inside the
+        # check — caught below, so the release is simply re-cut instead
+        # of wedging the publisher
         if rel["data_fingerprint"] == data_fingerprint and all(
             name in rel["pins"]
             and artifact_meta(name, key, rel["pins"][name]["version"]).get(
@@ -495,6 +500,118 @@ def release_artifact_read(
             build=build,
             meta={**(meta or {}), "data_fingerprint": data_fingerprint},
         )
+
+
+def release_diff(
+    spark: SparkSession,
+    key: str,
+    *,
+    v_a: int | None = None,
+    v_b: int | None = None,
+) -> DataFrame:
+    """Content diff between two committed RELEASES — the promotion
+    review: for every artifact either release pins, how many rows were
+    added / removed / kept between the pinned snapshot versions
+    (full-row comparison via a canonical JSON row key), plus whether
+    the pin moved at all. ``v_b`` defaults to the latest release,
+    ``v_a`` to the one before it. One row per artifact:
+    (artifact, pin_a, pin_b, rows_a, rows_b, added, removed, unchanged,
+    pin_moved). A single-release history refuses loudly — there is
+    nothing to promote against.
+
+    Scale: committed artifacts are dimension-sized (weights, merges,
+    per-doc membership), so the diff is a keyed full-outer join on
+    row hashes — 32-byte keys, never producer re-runs; pins that did
+    not move are reported from the manifests alone (no data read).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_weather_spark.sources.catalog import catalog_history
+
+    cat = release_catalog(key)
+    history = catalog_history(cat)
+    if v_b is None:
+        v_b = history[-1] if history else None
+    if v_b is None:
+        raise ArtifactMissingError(f"no committed release for {key}")
+    if v_a is None:
+        earlier = [v for v in history if v < v_b]
+        if not earlier:
+            raise ValueError(
+                f"release history for {key} has a single version (v{v_b}); "
+                "nothing earlier to diff against"
+            )
+        v_a = earlier[-1]
+    rel_a = release_meta(key, version=v_a)
+    rel_b = release_meta(key, version=v_b)
+
+    def _keyed(pin: dict) -> DataFrame:
+        df = snapshot_read(spark, pin["path"], version=pin["version"])
+        return df.select(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("k")
+        ).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+    out_rows = []
+    for name in sorted(set(rel_a["pins"]) | set(rel_b["pins"])):
+        pa, pb = rel_a["pins"].get(name), rel_b["pins"].get(name)
+        if pa is not None and pb is not None and pa["version"] == pb["version"]:
+            n = snapshot_read(spark, pa["path"], version=pa["version"]).count()
+            out_rows.append((name, pa["version"], pb["version"],
+                             n, n, 0, 0, n, False))
+            continue
+        a = _keyed(pa) if pa is not None else None
+        b = _keyed(pb) if pb is not None else None
+        if a is None or b is None:
+            present = a if a is not None else b
+            n = present.agg(F.sum("n")).collect()[0][0] or 0
+            out_rows.append(
+                (name,
+                 pa["version"] if pa else None,
+                 pb["version"] if pb else None,
+                 n if pa else 0, n if pb else 0,
+                 n if pb and not pa else 0,
+                 n if pa and not pb else 0,
+                 0, True)
+            )
+            continue
+        j = a.withColumnRenamed("n", "na").join(
+            b.withColumnRenamed("n", "nb"), "k", "full_outer"
+        )
+        agg = j.agg(
+            F.sum(F.coalesce(F.col("na"), F.lit(0))).alias("rows_a"),
+            F.sum(F.coalesce(F.col("nb"), F.lit(0))).alias("rows_b"),
+            F.sum(
+                F.greatest(
+                    F.coalesce(F.col("nb"), F.lit(0))
+                    - F.coalesce(F.col("na"), F.lit(0)),
+                    F.lit(0),
+                )
+            ).alias("added"),
+            F.sum(
+                F.greatest(
+                    F.coalesce(F.col("na"), F.lit(0))
+                    - F.coalesce(F.col("nb"), F.lit(0)),
+                    F.lit(0),
+                )
+            ).alias("removed"),
+            F.sum(
+                F.least(
+                    F.coalesce(F.col("na"), F.lit(0)),
+                    F.coalesce(F.col("nb"), F.lit(0)),
+                )
+            ).alias("unchanged"),
+        ).collect()[0]
+        out_rows.append(
+            (name, pa["version"], pb["version"],
+             int(agg.rows_a or 0), int(agg.rows_b or 0),
+             int(agg.added or 0), int(agg.removed or 0),
+             int(agg.unchanged or 0), True)
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "artifact string, pin_a long, pin_b long, rows_a long, rows_b long,"
+        " added long, removed long, unchanged long, pin_moved boolean",
+    ).orderBy("artifact")
 
 
 # ---------------------------------------------------------------------------

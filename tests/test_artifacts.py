@@ -395,3 +395,52 @@ def test_artifacts_list_inventory(spark, art_dir):
     assert rows[("a", "ds")]["current"] == 0
     assert rows[("a", "ds")]["data_fingerprint"] == "d1"
     assert rows[("b", "ds2")]["versions"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Release diff (round 10): the promotion review between two releases
+# ---------------------------------------------------------------------------
+
+from etl_weather_spark.operators.artifacts import release_diff  # noqa: E402
+
+
+def _rows(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x long")
+
+
+def test_release_diff_counts_added_removed_unchanged(spark, art_dir):
+    publish_artifact(_rows(spark, [1, 2, 3]), "a", "ds", fingerprint="fa0",
+                     meta={"data_fingerprint": "d0"})
+    publish_artifact(_rows(spark, [7]), "b", "ds", fingerprint="fb0",
+                     meta={"data_fingerprint": "d0"})
+    publish_release("ds", {"a": "fa0", "b": "fb0"}, data_fingerprint="d0")
+    # corpus moves: a changes content, b is re-pinned unchanged, c is new
+    publish_artifact(_rows(spark, [2, 3, 4, 5]), "a", "ds", fingerprint="fa1",
+                     meta={"data_fingerprint": "d1"})
+    publish_artifact(_rows(spark, [9, 9]), "c", "ds", fingerprint="fc1",
+                     meta={"data_fingerprint": "d1"})
+    publish_release(
+        "ds", {"a": "fa1", "b": "fb0", "c": "fc1"}, data_fingerprint="d1"
+    )
+    rows = {r.artifact: r for r in release_diff(spark, "ds").collect()}
+    a = rows["a"]
+    assert (a.pin_a, a.pin_b, a.pin_moved) == (0, 1, True)
+    assert (a.rows_a, a.rows_b, a.added, a.removed, a.unchanged) == (
+        3, 4, 2, 1, 2,
+    )
+    b = rows["b"]
+    assert (b.pin_a, b.pin_b, b.pin_moved) == (0, 0, False)
+    assert (b.added, b.removed, b.unchanged) == (0, 0, 1)
+    c = rows["c"]
+    assert (c.pin_a, c.rows_a, c.rows_b, c.added, c.pin_moved) == (
+        None, 0, 2, 2, True,
+    )
+
+
+def test_release_diff_refuses_single_release(spark, art_dir):
+    publish_artifact(_rows(spark, [1]), "a", "ds", fingerprint="fa")
+    publish_release("ds", {"a": "fa"}, data_fingerprint="d0")
+    with pytest.raises(ValueError, match="single version"):
+        release_diff(spark, "ds")
+    with pytest.raises(ArtifactMissingError):
+        release_diff(spark, "nope")

@@ -120,6 +120,7 @@ def test_cli_artifacts_lifecycle(spark, sf_dir, tmp_path, monkeypatch, capsys):
     list inventories the registry; gc keeps the pinned release and
     reports what it dropped."""
     import json
+    import os
     import shutil
 
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "artifacts"))
@@ -154,3 +155,20 @@ def test_cli_artifacts_lifecycle(spark, sf_dir, tmp_path, monkeypatch, capsys):
 
     # release still readable after gc
     assert main(["--sf-dir", str(corpus), "artifacts", "release-show"]) == 0
+    capsys.readouterr()
+
+    # single release -> diff refuses; after a corpus change + republish,
+    # diff reports per-artifact pin movement
+    assert main(["--sf-dir", str(corpus), "artifacts", "release-diff"]) == 3
+    assert "REFUSED" in capsys.readouterr().err
+    os.utime(corpus / "documents.parquet")
+    assert main(["--sf-dir", str(corpus), "artifacts", "release-publish"]) == 0
+    capsys.readouterr()
+    assert main(["--sf-dir", str(corpus), "artifacts", "release-diff"]) == 0
+    rows = [json.loads(s) for s in capsys.readouterr().out.splitlines()]
+    assert {r["artifact"] for r in rows} == {
+        "bpe_merges", "dedup_cc_membership", "quality_classifier",
+    }
+    # same corpus bytes (only mtime changed) -> content identical, pins moved
+    assert all(r["pin_moved"] and r["added"] == 0 and r["removed"] == 0
+               for r in rows)
