@@ -190,13 +190,11 @@ def publish_artifact(
     crashed between the two) can resolve a current version with no
     meta — :func:`artifact_meta` reports that as
     :class:`ArtifactMissingError` and :func:`artifact_if_absent`
-    self-heals by republishing. Two publishers racing the SAME version
-    number are last-wins on the manifest (both computed prev+1); for
-    this registry that is benign — racing builders are compute-if-
-    absent calls over the same fingerprint, so both publish identical
-    bytes and either winner satisfies every reader. Publishers of
-    DIFFERING content must serialize externally (or go through the
-    release catalog's link-claim commit, which detects the collision).
+    self-heals by republishing. Two publishers racing the same prev+1
+    get DISTINCT versions (snapshot_write's os.link version claim —
+    the loser retries at the next number), so no manifest is ever
+    overwritten; both versions carry their own meta, and the
+    forward-only pointer names one winner for every reader.
     """
     table = artifact_table(name, key)
     os.makedirs(table, exist_ok=True)

@@ -81,26 +81,50 @@ def snapshot_write(
     data_dir = os.path.join(table, "data", commit_id)
     df.write.parquet(data_dir)
 
-    prev = current_version(table)
-    dirs = [os.path.join("data", commit_id)]
-    if mode == "append" and prev is not None:
-        dirs = _load_manifest(table, prev)["data_dirs"] + dirs
-    version = 0 if prev is None else prev + 1
-
+    # Version CLAIM by os.link (conditional PUT on object stores): two
+    # writers racing the same prev+1 can no longer overwrite one
+    # manifest file — the loser's link fails, it re-resolves the table
+    # state (appends rebase onto the winner's dirs) and retries at the
+    # next number. Known residual anomaly, stated: an append that
+    # serializes BEFORE a concurrent commit becomes visible does not
+    # include that commit's rows in its own lineage (optimistic
+    # concurrency without a commit log); the pointer is forward-only so
+    # no committed version ever regresses.
     os.makedirs(_manifest_dir(table), exist_ok=True)
-    manifest = {
-        "version": version,
-        "data_dirs": dirs,
-        "committed_at": ingest_ts or time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "mode": mode,
-    }
-    with open(os.path.join(_manifest_dir(table), f"v{version}.json"), "w") as f:
-        json.dump(manifest, f)
+    prev = current_version(table)
+    version = 0 if prev is None else prev + 1
+    while True:
+        dirs = [os.path.join("data", commit_id)]
+        if mode == "append" and prev is not None:
+            dirs = _load_manifest(table, prev)["data_dirs"] + dirs
+        manifest = {
+            "version": version,
+            "data_dirs": dirs,
+            "committed_at": ingest_ts
+            or time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "mode": mode,
+        }
+        target = os.path.join(_manifest_dir(table), f"v{version}.json")
+        tmpm = target + f".tmp.{uuid.uuid4().hex}"
+        with open(tmpm, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmpm, target)
+            os.remove(tmpm)
+            break
+        except FileExistsError:
+            os.remove(tmpm)
+            cur = current_version(table)
+            if cur is not None and (prev is None or cur > prev):
+                prev = cur  # rebase appends onto the now-visible winner
+            version += 1
 
-    tmp = _pointer_path(table) + f".tmp.{commit_id}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _pointer_path(table))  # the commit point
+    cur = current_version(table)
+    if cur is None or cur < version:
+        tmp = _pointer_path(table) + f".tmp.{commit_id}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, _pointer_path(table))  # the commit point
     return version
 
 

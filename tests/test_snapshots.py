@@ -144,3 +144,65 @@ def test_rollback_is_append_only_and_expiry_safe(spark, tmp_path):
     # v0's data dirs, so dropping v0/v1 must not delete them
     assert expire_snapshots(table, keep_last=1) == [0, 1]
     assert [tuple(r) for r in snapshot_read(spark, table).collect()] == [(1, "good")]
+
+
+def test_concurrent_version_claim_never_overwrites(spark, tmp_path):
+    """Two writers racing the same prev+1 (round 10: os.link claim):
+    a pre-claimed manifest for the next version — a racer mid-commit —
+    forces the writer to the NEXT number instead of overwriting; the
+    orphan manifest survives untouched and the pointer lands forward."""
+    import json
+    import os
+
+    from etl_weather_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_write(spark.createDataFrame([(1,)], "x long"), table)
+    # simulate a racer that claimed v1 but has not swapped the pointer
+    orphan = os.path.join(table, "_manifests", "v1.json")
+    with open(orphan, "w") as f:
+        json.dump({"version": 1, "data_dirs": [], "mode": "overwrite",
+                   "committed_at": "racer"}, f)
+
+    v = snapshot_write(
+        spark.createDataFrame([(1,), (2,)], "x long"), table, mode="append"
+    )
+    assert v == 2  # claim collision -> next number, never overwrite
+    assert current_version(table) == 2
+    with open(orphan) as f:
+        assert json.load(f)["committed_at"] == "racer"  # untouched
+    got = sorted(r.x for r in snapshot_read(spark, table).collect())
+    assert got == [1, 1, 2]  # append rebased on v0 (the visible state)
+
+
+def test_append_rebases_onto_visible_winner_on_collision(spark, tmp_path):
+    """A collision where the winner's commit IS visible: the loser's
+    append must include the winner's data dirs (rebase), not fork from
+    its stale prev."""
+    import json
+    import os
+
+    from etl_weather_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_write(spark.createDataFrame([(1,)], "x long"), table)     # v0
+    snapshot_write(
+        spark.createDataFrame([(2,)], "x long"), table, mode="append"
+    )                                                                   # v1
+    # orphan claim at v2 (a second racer mid-commit)
+    with open(os.path.join(table, "_manifests", "v2.json"), "w") as f:
+        json.dump({"version": 2, "data_dirs": [], "mode": "append",
+                   "committed_at": "racer"}, f)
+    v = snapshot_write(
+        spark.createDataFrame([(3,)], "x long"), table, mode="append"
+    )
+    assert v == 3
+    got = sorted(r.x for r in snapshot_read(spark, table).collect())
+    assert got == [1, 2, 3]  # rebased onto v1, the visible winner
