@@ -344,7 +344,10 @@ def cmd_artifacts(args: argparse.Namespace) -> int:
       catalog version; a half-rebuilt set is refused as mixed);
     - ``release-diff``    — promotion review between two releases
       (--v-a/--v-b; defaults latest vs previous): per artifact, rows
-      added/removed/kept between the pinned snapshot versions.
+      added/removed/kept between the pinned snapshot versions;
+    - ``release-rollback`` — append-only roll back to --to-version:
+      a NEW release re-pinning the old set (history intact, readers
+      just see the pointer advance).
     """
     import json as _json
 
@@ -388,6 +391,16 @@ def cmd_artifacts(args: argparse.Namespace) -> int:
             return 3
         for line in df.toJSON().collect():
             print(line)
+        return 0
+    if args.action == "release-rollback":
+        from etl_weather_spark.operators.artifacts import release_rollback
+
+        try:
+            v = release_rollback(key, to_version=args.to_version)
+        except ArtifactMissingError as e:
+            print(f"REFUSED: {e}", file=sys.stderr)
+            return 3
+        print(_json.dumps({"released": v, **release_meta(key, version=v)}))
         return 0
     # release-publish
     from etl_weather_spark import queries as q
@@ -625,6 +638,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "list", "gc", "release-show", "release-publish", "release-diff",
+            "release-rollback",
         ],
     )
     ar.add_argument("--keep-last", type=int, default=2, dest="keep_last")
@@ -633,6 +647,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     ar.add_argument("--v-a", type=int, default=None, dest="v_a")
     ar.add_argument("--v-b", type=int, default=None, dest="v_b")
+    ar.add_argument("--to-version", type=int, default=0, dest="to_version")
     ar.set_defaults(fn=cmd_artifacts)
 
     args = p.parse_args(argv)

@@ -70,6 +70,7 @@ __all__ = [
     "release_diff",
     "release_if_absent",
     "release_meta",
+    "release_rollback",
 ]
 
 
@@ -498,6 +499,48 @@ def release_artifact_read(
             build=build,
             meta={**(meta or {}), "data_fingerprint": data_fingerprint},
         )
+
+
+def release_rollback(key: str, *, to_version: int) -> int:
+    """Roll the release pointer back APPEND-ONLY: commit a NEW release
+    version whose pins and corpus fingerprint are copied from
+    ``to_version`` (the snapshot_rollback discipline — history stays
+    intact, the bad release remains inspectable until GC, concurrent
+    readers just see the pointer advance). Returns the new release
+    version. The rolled-to pins must still exist — GC keeps pinned
+    versions of the newest ``keep_releases`` releases, so roll back
+    before collecting, or raise ``keep_releases``."""
+    rel = release_meta(key, version=to_version)
+    missing = []
+    for name, pin in rel["pins"].items():
+        try:
+            committed = artifact_meta(name, key, pin["version"]).get(
+                "fingerprint"
+            )
+        except ArtifactMissingError:
+            committed = None
+        # identity, not mere existence: a table recreated after GC can
+        # reuse version numbers with different content
+        if committed is None or committed != rel["artifacts"].get(name):
+            missing.append(name)
+    if missing:
+        raise ArtifactMissingError(
+            f"cannot roll release {key} back to v{to_version}: pinned "
+            f"versions already expired (or replaced) for {missing}"
+        )
+    from etl_weather_spark.sources.catalog import catalog_commit_pins
+
+    return catalog_commit_pins(
+        release_catalog(key),
+        rel["pins"],
+        extra={
+            "__release": {
+                "data_fingerprint": rel["data_fingerprint"],
+                "artifacts": rel["artifacts"],
+                "rolled_back_from": to_version,
+            }
+        },
+    )
 
 
 def release_diff(

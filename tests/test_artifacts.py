@@ -444,3 +444,36 @@ def test_release_diff_refuses_single_release(spark, art_dir):
         release_diff(spark, "ds")
     with pytest.raises(ArtifactMissingError):
         release_diff(spark, "nope")
+
+
+def test_release_rollback_append_only(spark, art_dir):
+    """Rollback commits a NEW release with the old pins — pinned reads
+    serve the rolled-to bytes, history stays intact, and a rollback to
+    a release whose pins were GC'd refuses loudly."""
+    from etl_weather_spark.operators.artifacts import release_rollback
+
+    publish_artifact(_rows(spark, [1, 2]), "a", "ds", fingerprint="fa0",
+                     meta={"data_fingerprint": "d0"})
+    publish_release("ds", {"a": "fa0"}, data_fingerprint="d0")     # rel v0
+    publish_artifact(_rows(spark, [9]), "a", "ds", fingerprint="fa1",
+                     meta={"data_fingerprint": "d1"})
+    publish_release("ds", {"a": "fa1"}, data_fingerprint="d1")     # rel v1
+
+    v = release_rollback("ds", to_version=0)
+    assert v == 2  # append-only: a NEW release version
+    rel = release_meta("ds")
+    assert rel["data_fingerprint"] == "d0"
+    assert rel["pins"]["a"]["version"] == 0
+    pinned = read_release_artifact(
+        spark, "ds", "a", expect_fingerprint="fa0", expect_data_fingerprint="d0"
+    )
+    assert sorted(r.x for r in pinned.collect()) == [1, 2]
+    # the rolled-past release v1 is still inspectable
+    assert release_meta("ds", version=1)["pins"]["a"]["version"] == 1
+
+    # expire the old pin's manifest out from under a future rollback
+    import shutil
+    shutil.rmtree(artifact_table("a", "ds"))
+    publish_artifact(_rows(spark, [5]), "a", "ds", fingerprint="fa2")
+    with pytest.raises(ArtifactMissingError, match="expired"):
+        release_rollback("ds", to_version=0)
