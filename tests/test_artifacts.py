@@ -477,3 +477,87 @@ def test_release_rollback_append_only(spark, art_dir):
     publish_artifact(_rows(spark, [5]), "a", "ds", fingerprint="fa2")
     with pytest.raises(ArtifactMissingError, match="expired"):
         release_rollback("ds", to_version=0)
+
+
+def test_randomized_lifecycle_invariants(spark, art_dir):
+    """Randomized publish/release/gc/rollback sequences (fixed seed)
+    must preserve the registry invariants at every step:
+    - the current release, if any, is fully readable through strict
+      pinned reads (never a dangling pin);
+    - artifact_if_absent serves the expected bytes for the current
+      fingerprint (compute-if-absent never wedges);
+    - per-table version files stay bounded after each gc.
+    """
+    import random
+
+    from etl_weather_spark.operators.artifacts import (
+        release_if_absent,
+        release_rollback,
+    )
+
+    rng = random.Random(20260817)
+    gen = {"n": 0}
+    current = {}  # name -> (fingerprint, value)
+    released_at = {}  # what the latest release pinned, name -> value
+
+    def fresh(name):
+        gen["n"] += 1
+        fp, val = f"f{gen['n']}", float(gen["n"])
+        current[name] = (fp, val)
+        return fp, val
+
+    names = ["a", "b", "c"]
+    for name in names:
+        fresh(name)
+
+    release_versions = []
+    for step in range(40):
+        op = rng.choice(["publish", "release", "gc", "rollback", "check"])
+        if op == "publish":
+            name = rng.choice(names)
+            fp, val = fresh(name)
+            publish_artifact(
+                _one_row(spark, val), name, "ds", fingerprint=fp,
+                meta={"data_fingerprint": f"d{gen['n']}"},
+            )
+        elif op == "release":
+            data_fp = f"rel-d{gen['n']}"
+            specs = {
+                n: (current[n][0], (lambda v=current[n][1]: _one_row(spark, v)))
+                for n in names
+            }
+            v = release_if_absent(spark, "ds", specs, data_fingerprint=data_fp)
+            release_versions.append((v, dict(current), data_fp))
+        elif op == "gc":
+            artifacts_gc(keep_last=2, keep_releases=2)
+        elif op == "rollback" and len(release_versions) >= 2:
+            v, state, data_fp = release_versions[-2]
+            try:
+                nv = release_rollback("ds", to_version=v)
+            except ArtifactMissingError:
+                continue  # pins legitimately expired — refusal is correct
+            release_versions.append((nv, state, data_fp))
+        # INVARIANTS after every step
+        if release_versions:
+            v, state, data_fp = release_versions[-1]
+            rel = release_meta("ds")
+            if rel["version"] == v:  # still the current release
+                for n, (fp, val) in state.items():
+                    out = read_release_artifact(
+                        spark, "ds", n,
+                        expect_fingerprint=fp,
+                        expect_data_fingerprint=data_fp,
+                    )
+                    assert out.collect()[0].w == val  # pinned bytes intact
+        for n in names:
+            fp, val = current[n]
+            served = artifact_if_absent(
+                spark, n, "ds", fingerprint=fp,
+                build=lambda v=val: _one_row(spark, v),
+            )
+            assert served.collect()[0].w == val
+    # bounded after a final gc: per-table versions <= keep_last + pins
+    artifacts_gc(keep_last=2, keep_releases=2)
+    from etl_weather_spark.sources.snapshots import snapshot_history
+    for n in names:
+        assert len(snapshot_history(artifact_table(n, "ds"))) <= 6
