@@ -484,6 +484,12 @@ def simhash64_portable(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     hashed = tok.select(id_col, F.md5("tok").alias("h"))
+    # NOTE (optimization round 10): pre-decoding the 16 digest nibbles
+    # into int columns before the aggregate was measured SLOWER than
+    # evaluating _md5_bit_sql inline in the vote conditions (1.32 s vs
+    # 1.09 s at sf0.1 — the extra projection materializes a 16-column
+    # row the aggregate then consumes, while the inline form keeps one
+    # string column flowing through a single codegen stage); kept as-is.
     votes = [
         F.sum(
             F.when(F.expr(_md5_bit_sql(b)), 1).otherwise(-1)
@@ -1008,12 +1014,31 @@ def prefix_filter_candidates(
     Feed the result to :func:`verify_candidates_jaccard` for the exact
     join (completeness asserted against ``ngram_jaccard_pairs`` in
     tests and by the shared oracle of queries.prefix_filter_jaccard).
+
+    The per-doc distinct shingle ARRAYS are materialized once
+    (persist + eager count, the pruned_jaccard_pairs pattern): the df
+    ranking and the prefix index both re-read the shingle relation,
+    and without the barrier each consumer re-ran the tokenize+shingle
+    explode from the raw text (the explode→groupBy(sizes)→join form
+    additionally paid a per-doc size shuffle that ``size()`` on the
+    cached array answers for free).
     """
-    sh = exploded_shingles(docs, text_col=text_col, keep_cols=[id_col], n=shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    return _candidates_from_sized_shingles(
-        sh.join(sizes, id_col), id_col=id_col, t=min_jaccard
+    toked = widen_narrow_input(docs, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
+    shsets = (
+        toked.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_of_tokens(F.col("__toks"), shingle_n)
+            ).alias("__sh_arr"),
+        )
+        .withColumn("n_sh", F.size("__sh_arr"))
+        .persist()
+    )
+    shsets.count()
+    sh = shsets.select(id_col, "n_sh", F.explode("__sh_arr").alias("sh"))
+    return _candidates_from_sized_shingles(sh, id_col=id_col, t=min_jaccard)
 
 
 def _candidates_from_sized_shingles(
@@ -1749,9 +1774,25 @@ def containment_candidates(
     queries.containment_pairs' oracle (the naive shares-any-shingle
     SQL) matching at every SF.
     """
-    sh = exploded_shingles(docs, text_col=text_col, keep_cols=[id_col], n=shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sized = sh.join(sizes, id_col)
+    # per-doc distinct shingle arrays materialized once (the
+    # pruned_jaccard_pairs pattern): dfreq, the prefix window and the
+    # index side all re-read the shingle relation, and without the
+    # barrier each consumer re-ran tokenize+shingle from raw text
+    toked = widen_narrow_input(docs, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    shsets = (
+        toked.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_of_tokens(F.col("__toks"), shingle_n)
+            ).alias("__sh_arr"),
+        )
+        .withColumn("n_sh", F.size("__sh_arr"))
+        .persist()
+    )
+    shsets.count()
+    sized = shsets.select(id_col, "n_sh", F.explode("__sh_arr").alias("sh"))
     dfreq = sized.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 

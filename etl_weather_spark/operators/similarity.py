@@ -1074,3 +1074,140 @@ def power_iteration_top_component(
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-fold numpy kernels (optimization round 10).
+#
+# Catalyst higher-order functions (transform / aggregate / zip_with) are
+# INTERPRETED per element — a 256-reference cosine scan costs 256·D
+# closure invocations per row and dominated the slowest bench queries
+# (embedding_outlier_knn 8.1 s at sf0.1). These kernels move the same
+# arithmetic into Arrow-batched numpy (guide §4.2) while reproducing the
+# JVM fold BIT-FOR-BIT: `aggregate(zip_with(a,b,(x,y)->x*y), 0.0,
+# (acc,v)->acc+v)` is the exact IEEE-754 sequence acc←acc+(aᵢ·bᵢ), so the
+# kernels iterate over the dimension axis (vectorizing across rows) and
+# never use BLAS matmul / pairwise summation, whose different summation
+# order would flip 6-dp half-boundary roundings vs the SQL oracles.
+#
+# The bounded reference side is pinned driver-side via an ordered,
+# capped collect — the PQ-codebook / IVF-centroid deploy-time-broadcast
+# convention (these sets are human/config-bounded and do not grow with
+# the corpus).
+# ---------------------------------------------------------------------------
+
+
+def fold_dots(V: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """(n, m) dot products replicating the JVM fold exactly: for each
+    dimension index i (in order), acc ← acc + V[:,i]·R[:,i] — the same
+    multiply-then-add per element as `dot()`'s aggregate/zip_with."""
+    acc = np.zeros((V.shape[0], R.shape[0]))
+    for i in range(V.shape[1]):
+        acc = acc + V[:, i, None] * R[None, :, i]
+    return acc
+
+
+def fold_norms(M: np.ndarray) -> np.ndarray:
+    """Eps-clamped L2 norms replicating `norm_safe()` exactly:
+    acc ← acc + v·v per component in order, sqrt, max(·, 1e-12)."""
+    acc = np.zeros(M.shape[0])
+    for i in range(M.shape[1]):
+        acc = acc + M[:, i] * M[:, i]
+    return np.maximum(np.sqrt(acc), 1e-12)
+
+
+def collect_ref_vectors(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    limit: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic driver-side pin of a BOUNDED reference vector set
+    (ordered by id, optionally capped): (ids int64 (m,), mat float64
+    (m, D)). float→double casts are exact, so the matrix holds the
+    identical doubles the JVM sees."""
+    sel = df.select(
+        F.col(id_col).cast("long").alias("i"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).orderBy("i")
+    if limit is not None:
+        sel = sel.limit(limit)
+    rows = sel.collect()
+    ids = np.array([r.i for r in rows], dtype=np.int64)
+    if not rows:
+        return ids, np.zeros((0, 0), dtype=np.float64)
+    mat = np.array([list(r.v) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def knn_mean_dist_udf(ref_ids: np.ndarray, ref_mat: np.ndarray, *, k: int = 5):
+    """vec_id, v(double[]) → mean 6-dp cosine distance to the k nearest
+    references (self excluded) — the embedding_outlier_knn score, bit-
+    identical to the broadcast-array Catalyst form: distances quantize
+    to 1e-6 integers before selection, so the k-smallest multiset (and
+    its integer sum) is exact; the final mean replays rnd((Σ/1e6)/k, 6).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rnorm = fold_norms(ref_mat)
+
+    @pandas_udf("double")
+    def score(ids: pd.Series, vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        nv = fold_norms(V)
+        dist = 1.0 - fold_dots(V, ref_mat) / (nv[:, None] * rnorm[None, :])
+        ki = np.floor(dist * 1000000 + 0.5).astype(np.int64)
+        idv = ids.to_numpy()
+        out = np.empty(len(V), dtype=np.float64)
+        for j in range(len(V)):
+            m = ki[j][ref_ids != idv[j]]
+            sel = np.partition(m, k - 1)[:k] if m.size > k else m
+            s = float(sel.sum())
+            out[j] = np.floor(((s / 1000000) / k) * 1000000 + 0.5) / 1000000
+        return pd.Series(out)
+
+    return score
+
+
+def topk_vs_ref_udf(
+    ref_ids: np.ndarray,
+    ref_mat: np.ndarray,
+    *,
+    k: int,
+    sim_decimals: int = 6,
+):
+    """vec_id, v(double[]) → top-k references by 6-dp cosine similarity
+    (sim desc, ref id asc; self excluded) as array<struct<neighbor_id,
+    sim>> — the per-row-local half of cosine_topk_bruteforce when the
+    CORPUS side is the bounded set (label-spread seeds): similarity
+    quantizes to integers before ranking, so selection and tie-break
+    are exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    rnorm = fold_norms(ref_mat)
+    scale = float(10**sim_decimals)
+
+    @pandas_udf("array<struct<neighbor_id:bigint,sim:double>>")
+    def topk(ids: pd.Series, vs: pd.Series) -> pd.Series:
+        if ref_ids.size == 0:
+            return pd.Series([[] for _ in range(len(ids))])
+        V = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        qn = fold_norms(V)
+        sim = fold_dots(V, ref_mat) / (qn[:, None] * rnorm[None, :])
+        ki = np.floor(sim * scale + 0.5).astype(np.int64)
+        idv = ids.to_numpy()
+        out = []
+        for j in range(len(V)):
+            keep = ref_ids != idv[j]
+            kj, rj = ki[j][keep], ref_ids[keep]
+            order = np.lexsort((rj, -kj))[:k]
+            out.append(
+                [
+                    {"neighbor_id": int(rj[t]), "sim": float(kj[t]) / scale}
+                    for t in order
+                ]
+            )
+        return pd.Series(out)
+
+    return topk

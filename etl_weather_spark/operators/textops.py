@@ -262,7 +262,9 @@ def ngram_repetition_profile(docs: DataFrame, *, text_col: str = "text") -> Data
         F.when(
             F.col("nxt2").isNotNull(), F.concat_ws(" ", "tok", "nxt1", "nxt2")
         ).alias("trigram"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ two consumers (the coverage chain and the top-bigram branch)
+    # would otherwise each re-run the explode + two lead() windows
     gc = g.select(
         "*",
         F.count(F.lit(1)).over(Window.partitionBy("doc_id", "bigram")).alias("cnt2"),
@@ -907,6 +909,14 @@ def gopher_quality_profile(
     whole-stage codegen, no Python.
     """
     stoplist = GOPHER_STOPWORDS if stopwords is None else stopwords
+    # NOTE (optimization round 10): an array-function projection form
+    # (size/filter/aggregate lambdas, zero shuffles) was measured and
+    # REJECTED — Catalyst evaluates higher-order-function lambdas
+    # interpreted per element, and the per-token regex lambdas ran 1.3×
+    # slower than this explode→codegen-regex→partial-agg form at sf0.1
+    # (0.83 s vs 1.10 s A/B on the same session). The explode shuffles
+    # only (doc_id, small-int partial aggs) thanks to map-side partial
+    # aggregation, so this form also scales.
     toks = (
         docs.select(
             "doc_id", F.explode(F.split(text_col, r"\s+")).alias("tok0")

@@ -1562,9 +1562,16 @@ def _lsh_recall_core(docs: DataFrame) -> DataFrame:
     )
 
     cand0 = prefix_filter_candidates(docs, shingle_n=3, min_jaccard=0.5)
-    exact = verify_candidates_jaccard(
-        docs, cand0, shingle_n=3, min_jaccard=0.5
-    ).select("id_a", "id_b")
+    # two consumers each (the audit join + the totals row) would
+    # otherwise re-run the whole prefix-filter + verify generator and
+    # the banding generator a second time — the un-fenced plan carried
+    # 496 parquet scans / 1644 Exchanges at sf0.1 (the funnel-v2
+    # localCheckpoint lesson applied here)
+    exact = (
+        verify_candidates_jaccard(docs, cand0, shingle_n=3, min_jaccard=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     approx = minhash_lsh_pairs(
         docs, num_hashes=8, bands=4, shingle_n=3, hash_family="md5"
     )
@@ -1576,7 +1583,7 @@ def _lsh_recall_core(docs: DataFrame) -> DataFrame:
     bands = flagged.groupBy("est_jaccard").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
         F.sum("is_true").cast("long").alias("n_true"),
-    )
+    ).localCheckpoint(eager=False)
     tot = bands.agg(F.sum("n_true").cast("long").alias("n_hits_total")).crossJoin(
         exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_total"))
     )

@@ -926,20 +926,39 @@ def knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread-quality check itself.
 
     Scale: the seed set is BOUNDED (the <=200 lowest seed ids — a
-    human-labeled set does not grow with the crawl), so the brute-force
-    leg broadcasts a fixed-size side against the partitioned targets
-    and total work is linear in corpus size, never targets x corpus
-    (the label-blocked quadratic trap); the per-target top-3 rides the
-    salted two-level top-k; votes and the confusion rollup are
-    dimension-sized aggs.
+    human-labeled set does not grow with the crawl), so it is pinned
+    driver-side once (the PQ-codebook / IVF-centroid convention) and
+    the per-target top-3 is computed LOCALLY inside one Arrow-batched
+    exact-fold numpy kernel over the partitioned targets — similarities
+    quantize to 1e-6 integers before ranking, so neighbour selection
+    and tie-break are bit-identical to the broadcast crossJoin +
+    salted-top-k Catalyst form this replaces (which paid 200
+    interpreted array-fold dots per target plus a targets×seeds
+    shuffle: 3.2 s → ~0.5 s at sf0.1); votes and the confusion rollup
+    stay dimension-sized aggs.
     """
-    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+    from etl_weather_spark.operators.similarity import (
+        as_double_array,
+        collect_ref_vectors,
+        topk_vs_ref_udf,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     is_seed = (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 1000)
     seeds = emb.filter(is_seed)
     targets = emb.filter(~is_seed)
-    knn = cosine_topk_bruteforce(seeds, targets, k=3)
+    seed_ids, seed_mat = collect_ref_vectors(seeds)
+    top3 = topk_vs_ref_udf(seed_ids, seed_mat, k=3)
+    knn = (
+        targets.select(
+            F.col("vec_id").alias("query_id"),
+            top3(
+                "vec_id", as_double_array(F.col("embedding"))
+            ).alias("__nb"),
+        )
+        .select("query_id", F.explode("__nb").alias("nb"))
+        .select("query_id", F.col("nb.neighbor_id").alias("neighbor_id"))
+    )
     votes = (
         knn.join(
             seeds.select(
@@ -1438,52 +1457,38 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest eval id via the per-vector rank window).
 
     Scale: benchmark sets are small by construction — the eval slice is
-    additionally capped at the 50 lowest ids so the broadcast side can
-    never grow with the corpus; the scan is one pass over the training
-    corpus
-    (|eval| dots per row, map-side); the argmax window partitions on
-    the training vector id (never a global or few-key sort). The same
-    shape as the bounded-seed knn_label_spread leg.
+    additionally capped at the 50 lowest ids so the reference side can
+    never grow with the corpus (an unbounded mod-slice measured 4.4x at
+    10x before this bound — the knn_label_spread seed lesson); it is
+    pinned driver-side once (the PQ-codebook / IVF-centroid convention)
+    and the per-vector argmax runs LOCALLY inside one Arrow-batched
+    exact-fold numpy kernel over the training corpus — similarities
+    quantize to 1e-6 integers before the argmax, so the nearest-eval
+    pick and tie-break are bit-identical to the broadcast crossJoin +
+    per-vector window form this replaces (which paid 50 interpreted
+    array-fold dots per row plus an N×50-row window shuffle).
     """
-    from etl_weather_spark.operators.similarity import as_double_array, dot
+    from etl_weather_spark.operators.similarity import (
+        as_double_array,
+        collect_ref_vectors,
+        topk_vs_ref_udf,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.select(
+    ev_ids, ev_mat = collect_ref_vectors(
+        emb.filter(F.col("vec_id") % 50 == 0), limit=50
+    )
+    top1 = topk_vs_ref_udf(ev_ids, ev_mat, k=1)
+    tr = emb.filter(F.col("vec_id") % 50 != 0).select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    # the benchmark side is BOUNDED (the 50 lowest eval ids): eval sets
-    # are fixed-size by nature, and an unbounded mod-slice would grow
-    # with the corpus and turn the broadcast scan quadratic (measured
-    # 4.4x at 10x before this bound — the knn_label_spread seed lesson)
-    ev = (
-        e.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(50)
-        .select(F.col("vec_id").alias("eval_id"), F.col("v").alias("evv"))
-    )
-    tr = e.filter(F.col("vec_id") % 50 != 0)
-    sim6 = rnd(
-        dot(F.col("v"), F.col("evv"))
-        / (
-            F.greatest(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12))
-            * F.greatest(F.sqrt(dot(F.col("evv"), F.col("evv"))), F.lit(1e-12))
-        ),
-        6,
-    )
-    scored = tr.crossJoin(F.broadcast(ev)).select(
-        "vec_id", "eval_id", sim6.alias("sim6")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim6").desc(), F.col("eval_id").asc()
-    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        tr.select("vec_id", F.explode(top1("vec_id", "v")).alias("nb"))
         .select(
             "vec_id",
-            F.col("eval_id").alias("nearest_eval_id"),
-            F.col("sim6").alias("nearest_sim6"),
-            (F.col("sim6") >= 0.3).alias("contaminated"),
+            F.col("nb.neighbor_id").alias("nearest_eval_id"),
+            F.col("nb.sim").alias("nearest_sim6"),
+            (F.col("nb.sim") >= 0.3).alias("contaminated"),
         )
         .orderBy("vec_id")
     )
@@ -1719,18 +1724,22 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     before folding (bit-identical to the oracle's decimal-accumulated
     mean).
 
-    Scale: the reference sample rides as ONE broadcast array row, so
-    the whole scoring pass is a shuffle-free projection inside
-    whole-stage codegen — per row: 256 array-fold dots, one
-    array_sort of ≤256 structs, a 5-element slice-fold. (The explode
-    + per-vector window form of this plan shuffled N×256 rows and
-    measured 12.7 s at sf0.1; this form is the 100 TB shape.) The
-    final top-20 is the salted two-level topk_per_group, so no global
-    sort ever materializes.
+    Scale: the reference sample is pinned driver-side once (256 ids ×
+    D doubles — the PQ-codebook / IVF-centroid deploy-time-broadcast
+    convention) and the whole scoring pass is ONE Arrow-batched numpy
+    kernel over the partitioned corpus: per batch, exact-fold dots
+    (bit-identical to the JVM aggregate/zip_with sequence — see
+    operators/similarity.fold_dots), 1e-6 integer quantization, and an
+    integer k-smallest selection, so the score is byte-equal to the
+    previous broadcast-array Catalyst form (which paid 256 interpreted
+    array-fold dots + a 256-struct array_sort per row: 8.1 s at sf0.1
+    vs ~0.5 s for this kernel). The final top-20 is the salted
+    two-level topk_per_group, so no global sort ever materializes.
     """
     from etl_weather_spark.operators.similarity import (
         as_double_array,
-        dot,
+        collect_ref_vectors,
+        knn_mean_dist_udf,
         topk_per_group,
     )
 
@@ -1738,64 +1747,9 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
     )
-    # struct field order (ref_id, rv, rnorm): sort_array makes the
-    # collected order deterministic by ref_id (hygiene only — per-ref
-    # scoring is order-independent)
-    refrow = (
-        e.orderBy("vec_id")
-        .limit(256)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("ref_id"),
-                F.col("v").alias("rv"),
-                F.greatest(
-                    F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12)
-                ).alias("rnorm"),
-            ).alias("r")
-        )
-        .agg(F.sort_array(F.collect_list("r")).alias("refs"))
-    )
-    nv = F.greatest(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(1e-12))
-    top5 = F.slice(
-        F.array_sort(
-            F.transform(
-                F.filter(
-                    F.col("refs"), lambda r: r["ref_id"] != F.col("vec_id")
-                ),
-                lambda r: F.struct(
-                    rnd(
-                        F.lit(1)
-                        - dot(F.col("v"), r["rv"])
-                        / (F.col("nv") * r["rnorm"]),
-                        6,
-                    ).alias("dist6"),
-                    r["ref_id"].alias("ref_id"),
-                ),
-            )
-        ),
-        1,
-        5,
-    )
-    # exact integer micro-units of each 6-dp distance, then the same
-    # FLOOR chain as the oracle's sql_dsum(...)/5 mean
-    sum_int = F.aggregate(
-        F.col("top5"),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc
-        + F.floor(x["dist6"] * F.lit(1000000) + F.lit(0.5)).cast("long"),
-    )
-    sc = (
-        e.crossJoin(F.broadcast(refrow))
-        .withColumn("nv", nv)
-        .withColumn("top5", top5)
-        .select(
-            "vec_id",
-            "label",
-            rnd((sum_int.cast("double") / F.lit(1000000)) / F.lit(5), 6).alias(
-                "knn_dist6"
-            ),
-        )
-    )
+    ref_ids, ref_mat = collect_ref_vectors(emb, limit=256)
+    score = knn_mean_dist_udf(ref_ids, ref_mat, k=5)
+    sc = e.select("vec_id", "label", score("vec_id", "v").alias("knn_dist6"))
     return (
         topk_per_group(
             sc.withColumn("__g", F.lit(1)),
@@ -2122,10 +2076,14 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cluster")
     )
+    # two consumers (the scored ranking + the n_candidates row) would
+    # each replay the probe window and the quantizer chain behind it —
+    # fence the narrow (query_id, neighbor_id) relation once
     cand = (
         probe.join(assign.select("vec_id", "cluster"), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .localCheckpoint(eager=False)
     )
     ev = emb.select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")

@@ -1499,7 +1499,15 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bigram_logprob_core(docs: DataFrame) -> DataFrame:
     """bigram_logprob_quality on an arbitrary documents relation — the
-    bigram LM itself re-fits on whatever corpus is passed in."""
+    bigram LM itself re-fits on whatever corpus is passed in.
+
+    NOTE (optimization round 10): a zip_with array-slice bigram form
+    (no posexplode + lead() window) and a fenced (doc, bigram) relation
+    were both measured — standalone the variants tie (~1.2 s at sf0.1),
+    but inside composed consumers (ccnet_ppl_buckets fences the scored
+    relation; the funnels fence survivors) the window form pipelines
+    better under the outer localCheckpoint and won every A/B (1.76 s vs
+    2.05 s on ccnet), so it stays."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -1929,18 +1937,23 @@ def _dsir_core(docs: DataFrame) -> DataFrame:
         .select("doc_id", "lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
         .select("doc_id", "lang", F.expr(_MD5_BUCKET_SQL).alias("bucket"))
     )
-    dbc = b.groupBy("doc_id", "bucket").agg(
+    # ONE (doc, lang, bucket) partial agg fenced once — the raw/target
+    # bucket models and both scalar totals all derive from it, where
+    # the un-fenced form re-ran the tokenize→bigram→md5 chain three
+    # times (dbc + the lang='en' count + the n_t total); lang is
+    # constant per doc, so the extra group key changes nothing
+    dbc = b.groupBy("doc_id", "lang", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("c_d")
-    )
+    ).localCheckpoint(eager=False)
     qb = dbc.groupBy("bucket").agg(F.sum("c_d").cast("long").alias("c_all"))
     tb = (
-        b.filter(F.col("lang") == "en")
+        dbc.filter(F.col("lang") == "en")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+        .agg(F.sum("c_d").cast("long").alias("c_t"))
     )
     tot = qb.agg(F.sum("c_all").cast("long").alias("n_all")).crossJoin(
-        b.filter(F.col("lang") == "en").agg(
-            F.count(F.lit(1)).cast("long").alias("n_t")
+        dbc.filter(F.col("lang") == "en").agg(
+            F.sum("c_d").cast("long").alias("n_t")
         )
     )
     ratio6 = rnd(
@@ -2172,13 +2185,15 @@ def _ccnet_ppl_core(docs: DataFrame) -> DataFrame:
         # the scored relation once (lazy: materializes on first use)
         .localCheckpoint(eager=False)
     )
+    # two consumers (per-lang counts + the rank window) would each
+    # replay the salted top-k sample — fence the ≤200·L-row relation
     samp = topk_per_group(
         scores.withColumn("negid", (-F.col("doc_id")).cast("long")),
         group_col="lang",
         k=200,
         sim_col="negid",
         tie_col="doc_id",
-    ).select("doc_id", "lang", "avg_nll2")
+    ).select("doc_id", "lang", "avg_nll2").localCheckpoint(eager=False)
     cnt = samp.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("ns"))
     w = Window.partitionBy("lang").orderBy("avg_nll2", "doc_id")
     rk = (

@@ -2476,10 +2476,14 @@ def corpus_prep_funnel_incremental(
     standing_src = docs.filter(F.col("doc_id") % 2 == 0)
     w_final = _qct_weights(spark, sf_dir)
     train = _qct_train_committed(spark, sf_dir)
+    # consumed by BOTH the delta and the standing chain — fence once so
+    # the committed-registry read + scoring projection is not replayed
+    # per chain (the funnel-v2 discipline)
     trained_keep = (
         train.crossJoin(F.broadcast(w_final))
         .filter(_qct_z() > 0)
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     per_doc = [
         (flt, core)
@@ -2488,12 +2492,23 @@ def corpus_prep_funnel_incremental(
     ]
 
     def chain(src: DataFrame) -> list[DataFrame]:
+        # each survivor level has THREE consumers (its stage row, the
+        # next gate's core fit, and the next semi-join) — without the
+        # lazy fences the per-stage subtree doubled per level (the plan
+        # grew to 245 KB / every gate re-ran the whole prior chain;
+        # the funnel-v2 localCheckpoint lesson)
         out = [src]
         s = src
         for flt, core in per_doc:
-            s = s.join(flt(core(s)).select("doc_id"), "doc_id")
+            s = s.join(
+                flt(core(s)).select("doc_id"), "doc_id"
+            ).localCheckpoint(eager=False)
             out.append(s)
-        out.append(s.join(trained_keep, "doc_id", "left_semi"))
+        out.append(
+            s.join(trained_keep, "doc_id", "left_semi").localCheckpoint(
+                eager=False
+            )
+        )
         return out
 
     stages = chain(delta)

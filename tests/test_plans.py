@@ -543,6 +543,14 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         # round-7: WAV decode + envelope fingerprint is the same
         # Arrow-batched codec path
         "audio_envelope_dedup",
+        # round-10 (optimization): exact-fold numpy cosine kernels over
+        # a driver-pinned bounded reference set (bit-identical to the
+        # interpreted Catalyst array folds they replace); the release
+        # reports and the method-agreement cross-tab embed the
+        # semantic_decontaminate leg
+        "embedding_outlier_knn", "knn_label_spread",
+        "semantic_decontaminate", "decontamination_method_agreement",
+        "corpus_release_report", "corpus_release_report_v2",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():
