@@ -298,7 +298,11 @@ def embedding_near_dupes(
             "block_col=None is an all-pairs cross join; pass "
             "allow_full_cross=True to confirm the corpus is small enough"
         )
-    sim = rnd(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), sim_decimals)
+    # pair verify runs in the exact-fold Arrow kernel (bit-identical to
+    # the interpreted rnd(dot/..) Catalyst fold it replaces — see
+    # pair_cosine_udf); norms recompute per pair inside the kernel, so
+    # the join payload and the values are unchanged
+    sim = pair_cosine_udf(sim_decimals)(F.col("va"), F.col("vb"))
     if block_col is not None and block_cap is not None:
         base = emb.select(
             F.col(id_col).alias("vec_id"),
@@ -484,17 +488,24 @@ def ivf_cells_seeded(
             F.col("nv").alias("nc"),
         )
     )
-    csim = rnd(
-        dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")), sim_decimals
+    # nearest centroid via the exact-fold Arrow kernel (self-matches
+    # KEPT — a centroid assigns to itself): identical 6-dp csim values
+    # and (csim desc, cid asc) tie-break as the crossJoin + per-vector
+    # window argmax this replaces, which paid N×K interpreted fold-dots
+    # plus an N×K-row window shuffle
+    cent_rows = cent.orderBy("cid").collect()
+    c_ids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+    c_mat = (
+        np.array([list(r.cv) for r in cent_rows], dtype=np.float64)
+        if cent_rows
+        else np.zeros((0, 0), dtype=np.float64)
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "nv", "cid", csim.alias("csim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "v", "nv")
+    top1 = topk_vs_ref_udf(c_ids, c_mat, k=1, exclude_self=False)
+    return e.select(
+        "vec_id",
+        F.element_at(top1("vec_id", "v"), 1)["neighbor_id"].alias("cell"),
+        "v",
+        "nv",
     )
 
 
@@ -1176,13 +1187,15 @@ def topk_vs_ref_udf(
     *,
     k: int,
     sim_decimals: int = 6,
+    exclude_self: bool = True,
 ):
     """vec_id, v(double[]) → top-k references by 6-dp cosine similarity
-    (sim desc, ref id asc; self excluded) as array<struct<neighbor_id,
-    sim>> — the per-row-local half of cosine_topk_bruteforce when the
-    CORPUS side is the bounded set (label-spread seeds): similarity
-    quantizes to integers before ranking, so selection and tie-break
-    are exact."""
+    (sim desc, ref id asc; self excluded unless ``exclude_self=False``
+    — IVF cell assignment keeps self-matches) as array<struct<
+    neighbor_id, sim>> — the per-row-local half of
+    cosine_topk_bruteforce when the CORPUS side is the bounded set
+    (label-spread seeds): similarity quantizes to integers before
+    ranking, so selection and tie-break are exact."""
     from pyspark.sql.functions import pandas_udf
 
     rnorm = fold_norms(ref_mat)
@@ -1199,8 +1212,11 @@ def topk_vs_ref_udf(
         idv = ids.to_numpy()
         out = []
         for j in range(len(V)):
-            keep = ref_ids != idv[j]
-            kj, rj = ki[j][keep], ref_ids[keep]
+            if exclude_self:
+                keep = ref_ids != idv[j]
+                kj, rj = ki[j][keep], ref_ids[keep]
+            else:
+                kj, rj = ki[j], ref_ids
             order = np.lexsort((rj, -kj))[:k]
             out.append(
                 [
@@ -1211,3 +1227,98 @@ def topk_vs_ref_udf(
         return pd.Series(out)
 
     return topk
+
+
+def sims_vs_ref_udf(
+    ref_ids: np.ndarray,
+    ref_mat: np.ndarray,
+    *,
+    sim_decimals: int = 6,
+):
+    """vec_id, v(double[]) → ALL (ref_id, sim) pairs for the row (self
+    excluded), 6-dp-quantized — the scored relation of
+    cosine_topk_bruteforce when the QUERY side is the pinned bounded
+    set; the caller explodes and runs the usual salted top-k, so the
+    global ranking stays distributed and bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    rnorm = fold_norms(ref_mat)
+    scale = float(10**sim_decimals)
+
+    @pandas_udf("array<struct<query_id:bigint,sim:double>>")
+    def sims(ids: pd.Series, vs: pd.Series) -> pd.Series:
+        if ref_ids.size == 0:
+            return pd.Series([[] for _ in range(len(ids))])
+        V = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        qn = fold_norms(V)
+        sim = fold_dots(V, ref_mat) / (qn[:, None] * rnorm[None, :])
+        ki = np.floor(sim * scale + 0.5)
+        idv = ids.to_numpy()
+        out = []
+        for j in range(len(V)):
+            keep = ref_ids != idv[j]
+            out.append(
+                [
+                    {"query_id": int(q), "sim": float(k) / scale}
+                    for q, k in zip(ref_ids[keep], ki[j][keep])
+                ]
+            )
+        return pd.Series(out)
+
+    return sims
+
+
+def cosine_topk_vs_pinned_queries(
+    corpus: DataFrame,
+    ref_ids: np.ndarray,
+    ref_mat: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Drop-in replacement for cosine_topk_bruteforce when the query
+    set is already pinned driver-side (bounded by construction):
+    identical output columns (query_id, neighbor_id, sim, rank) and
+    bit-identical values — the per-pair cosine runs in the exact-fold
+    numpy kernel instead of interpreted Catalyst array folds, and the
+    per-query global top-k stays the salted two-level window."""
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("__v"),
+        )
+        .select(
+            "neighbor_id",
+            F.explode(
+                sims_vs_ref_udf(ref_ids, ref_mat, sim_decimals=sim_decimals)(
+                    "neighbor_id", "__v"
+                )
+            ).alias("__s"),
+        )
+        .select("__s.query_id", "neighbor_id", "__s.sim")
+    )
+    return topk_per_group(scored, group_col="query_id", k=k)
+
+
+def pair_cosine_udf(sim_decimals: int = 6):
+    """va(double[]), vb(double[]) → 6-dp cosine — the pair-verify dot
+    for blocked near-dup joins, exact-fold (bit-identical to
+    rnd(dot(va,vb)/(norm_safe(va)·norm_safe(vb)), d) in Catalyst),
+    vectorized across the joined pair rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    scale = float(10**sim_decimals)
+
+    @pandas_udf("double")
+    def pc(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        sim = acc / (fold_norms(A) * fold_norms(B))
+        return pd.Series(np.floor(sim * scale + 0.5) / scale)
+
+    return pc

@@ -45,12 +45,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, JVM array math, per-query window top-k. The LSH variant
     (ann_cosine_lsh) is the approximate scale path.
     """
-    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+    from etl_weather_spark.operators.similarity import (
+        collect_ref_vectors,
+        cosine_topk_vs_pinned_queries,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk_bruteforce(
-        emb, emb.filter(F.col("vec_id") < 5), k=10
-    )
+    q_ids, q_mat = collect_ref_vectors(emb.filter(F.col("vec_id") < 5))
+    return cosine_topk_vs_pinned_queries(emb, q_ids, q_mat, k=10)
 
 @query(
     "ann_cosine_lsh",
@@ -76,14 +78,16 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the hash.
     """
     from etl_weather_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        collect_ref_vectors,
         cosine_topk_lsh,
+        cosine_topk_vs_pinned_queries,
         recall_gate,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
-    exact = cosine_topk_bruteforce(emb, qs, k=10)
+    q_ids, q_mat = collect_ref_vectors(qs)
+    exact = cosine_topk_vs_pinned_queries(emb, q_ids, q_mat, k=10)
     approx = cosine_topk_lsh(emb, qs, k=10, n_planes=6, n_tables=24)
     return recall_gate(exact, approx, threshold=0.3)
 
@@ -138,15 +142,17 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression of the quantizer or probe pruning.
     """
     from etl_weather_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        collect_ref_vectors,
         cosine_topk_ivf,
+        cosine_topk_vs_pinned_queries,
         recall_gate,
         train_ivf_centroids,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    exact = cosine_topk_bruteforce(emb, qs, k=10)
+    q_ids, q_mat = collect_ref_vectors(qs)
+    exact = cosine_topk_vs_pinned_queries(emb, q_ids, q_mat, k=10)
     # IVF is train-once / probe-many: memoize the trained quantizer per
     # (corpus, params) — an IVF index is a built artifact, not part of
     # each query's cost (at scale it persists next to the table the way
@@ -188,15 +194,17 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     real codebook/ADC regressions.
     """
     from etl_weather_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        collect_ref_vectors,
         cosine_topk_pq,
+        cosine_topk_vs_pinned_queries,
         pq_train_codebooks,
         recall_gate,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
-    exact = cosine_topk_bruteforce(emb, qs, k=10)
+    q_ids, q_mat = collect_ref_vectors(qs)
+    exact = cosine_topk_vs_pinned_queries(emb, q_ids, q_mat, k=10)
     key = (sf_dir, "pq", 8, 16, 42)
     books = _IVF_CENTROIDS.get(key)
     if books is None:
@@ -243,7 +251,8 @@ def ann_pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_weather_spark.operators.ann_index import build_pq_index, load_pq_index
     from etl_weather_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        collect_ref_vectors,
+        cosine_topk_vs_pinned_queries,
         recall_gate,
     )
 
@@ -254,7 +263,8 @@ def ann_pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_pq_index(emb, path)
     idx = load_pq_index(spark, path)
     qs = emb.filter(F.col("vec_id") < 5)
-    exact = cosine_topk_bruteforce(emb, qs, k=10)
+    q_ids, q_mat = collect_ref_vectors(qs)
+    exact = cosine_topk_vs_pinned_queries(emb, q_ids, q_mat, k=10)
     approx = idx.query(emb, qs, k=10, shortlist=100)
     return recall_gate(exact, approx, threshold=0.3)
 
@@ -487,11 +497,11 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell"), F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
-    from etl_weather_spark.operators.similarity import dot as _dot
+    from etl_weather_spark.operators.similarity import pair_cosine_udf
 
-    # norms precomputed once per vector in ivf_cells_seeded — identical
-    # value to the oracle's per-pair sqrt(list_dot_product(v,v))
-    sim = rnd(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    # pair verify in the exact-fold Arrow kernel (identical 6-dp values
+    # to the interpreted per-pair fold it replaces)
+    sim = pair_cosine_udf(6)(F.col("va"), F.col("vb"))
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1551,23 +1561,31 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized cosine, rank by sim desc then neighbor id) on sliced
     arrays; the audit join moves only (query, neighbor, dim) triples.
 
-    Scale: probes broadcast (≤5), corpus scanned once per dim with the
-    salted two-level top-k; the overlap join is (5·k·dims) rows.
+    Scale: probes pinned driver-side once (≤5 — the PQ-codebook
+    convention) and sliced per truncation dim in the exact-fold numpy
+    kernel (column slicing changes no doubles); corpus scanned once per
+    dim with the salted two-level top-k; the overlap join is
+    (5·k·dims) rows. The full-dim ground-truth leg is fenced — it
+    feeds both the per-dim union and the overlap spine.
     """
-    from etl_weather_spark.operators.similarity import cosine_topk_bruteforce
+    from etl_weather_spark.operators.similarity import (
+        collect_ref_vectors,
+        cosine_topk_vs_pinned_queries,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
+    q_ids, q_mat = collect_ref_vectors(qs)
     dims = [64, 32, 16, 8]
     legs = []
     for d in dims:
         ce = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        qe = qs.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
         legs.append(
-            cosine_topk_bruteforce(ce, qe, k=10)
+            cosine_topk_vs_pinned_queries(ce, q_ids, q_mat[:, :d], k=10)
             .select("query_id", "neighbor_id")
             .withColumn("dim", F.lit(d).cast("long"))
         )
+    legs[0] = legs[0].localCheckpoint(eager=False)
     alltk = legs[0]
     for leg in legs[1:]:
         alltk = alltk.unionByName(leg)
@@ -2042,7 +2060,8 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_weather_spark.operators.similarity import (
         as_double_array,
-        cosine_topk_bruteforce,
+        collect_ref_vectors,
+        cosine_topk_vs_pinned_queries,
         dot,
         kmeans_lloyd_full,
         norm_safe,
@@ -2119,9 +2138,13 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = approx.localCheckpoint(eager=False)
-    exact = cosine_topk_bruteforce(emb, queries_df, k=topk).select(
-        "query_id", "neighbor_id"
-    )
+    # ground-truth leg: the 8 audit queries are pinned driver-side and
+    # the per-pair cosine runs in the exact-fold numpy kernel (same
+    # values, same salted top-k — see cosine_topk_vs_pinned_queries)
+    q_ids, q_mat = collect_ref_vectors(queries_df)
+    exact = cosine_topk_vs_pinned_queries(
+        emb, q_ids, q_mat, k=topk
+    ).select("query_id", "neighbor_id")
     exact = exact.localCheckpoint(eager=False)
     hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
         "query_id"

@@ -544,7 +544,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_weather_spark.operators.dedup import tokens
     from etl_weather_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        collect_ref_vectors,
+        cosine_topk_vs_pinned_queries,
         topk_per_group,
     )
 
@@ -575,9 +576,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rank_kw",
     ).select("doc_id", "rank_kw")
 
-    qvec = emb.orderBy("vec_id").limit(1)
+    q_ids, q_mat = collect_ref_vectors(emb, limit=1)
     vr = (
-        cosine_topk_bruteforce(emb, qvec, k=30)
+        cosine_topk_vs_pinned_queries(emb, q_ids, q_mat, k=30)
         .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_vec"))
     )
 

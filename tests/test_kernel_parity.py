@@ -1,0 +1,146 @@
+"""Bit-exactness of the round-10 exact-fold numpy kernels vs the
+Catalyst higher-order-function folds they replace.
+
+The kernels promise BIT-IDENTICAL doubles (same IEEE-754 op sequence:
+fold_dots / fold_norms iterate the dimension axis, never BLAS matmul),
+so every assertion here is ==, not approx.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_weather_spark.operators.similarity import (
+    as_double_array,
+    collect_ref_vectors,
+    cosine_topk_bruteforce,
+    cosine_topk_vs_pinned_queries,
+    dot,
+    fold_dots,
+    fold_norms,
+    norm_safe,
+    pair_cosine_udf,
+    topk_vs_ref_udf,
+)
+
+
+def _emb(spark, n=60, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    # adversarial values: mix of magnitudes + exact duplicates to force
+    # quantized ties through the tie-break paths
+    rows = []
+    for i in range(n):
+        v = (rng.standard_normal(d) * rng.choice([1e-3, 1.0, 37.5])).tolist()
+        rows.append((i, [float(x) for x in v]))
+    rows.append((n, rows[0][1]))  # exact duplicate of vec 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_fold_dot_and_norm_bit_identical_to_catalyst(spark):
+    emb = _emb(spark)
+    e = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    jvm = {
+        r.vec_id: (r.d, r.n)
+        for r in e.select(
+            "vec_id",
+            dot(F.col("v"), F.col("v")).alias("d"),
+            norm_safe(F.col("v")).alias("n"),
+        ).collect()
+    }
+    ids, mat = collect_ref_vectors(emb)
+    np_d = fold_dots(mat, mat)  # diagonal = self dots
+    np_n = fold_norms(mat)
+    for j, i in enumerate(ids):
+        assert np_d[j, j] == jvm[i][0], i  # bitwise equal
+        assert np_n[j] == jvm[i][1], i
+
+
+def test_pinned_query_topk_equals_bruteforce(spark):
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") < 5)
+    ref = cosine_topk_bruteforce(emb, qs, k=7).collect()
+    q_ids, q_mat = collect_ref_vectors(qs)
+    got = cosine_topk_vs_pinned_queries(emb, q_ids, q_mat, k=7).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted([(r.query_id, r.rank, r.neighbor_id, r.sim) for r in ref]) == sorted(
+        [(r.query_id, r.rank, r.neighbor_id, r.sim) for r in got]
+    )
+
+
+def test_topk_vs_ref_local_matches_bruteforce(spark):
+    emb = _emb(spark)
+    seeds = emb.filter(F.col("vec_id") % 3 == 0)
+    targets = emb.filter(F.col("vec_id") % 3 != 0)
+    ref = cosine_topk_bruteforce(seeds, targets, k=3).collect()
+    s_ids, s_mat = collect_ref_vectors(seeds)
+    top3 = topk_vs_ref_udf(s_ids, s_mat, k=3)
+    got = (
+        targets.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                top3("vec_id", as_double_array(F.col("embedding")))
+            ).alias("pos", "nb"),
+        )
+        .select(
+            "query_id",
+            F.col("nb.neighbor_id").alias("neighbor_id"),
+            F.col("nb.sim").alias("sim"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+        .collect()
+    )
+    assert sorted([(r.query_id, r.rank, r.neighbor_id, r.sim) for r in ref]) == sorted(
+        [(r.query_id, r.rank, r.neighbor_id, r.sim) for r in got]
+    )
+
+
+def test_pair_cosine_matches_catalyst_expression(spark):
+    emb = _emb(spark)
+    e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    jvm_sim = F.floor(
+        dot(F.col("va"), F.col("vb"))
+        / (norm_safe(F.col("va")) * norm_safe(F.col("vb")))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    got = pairs.select(
+        "id_a",
+        "id_b",
+        jvm_sim.alias("s_jvm"),
+        pair_cosine_udf(6)(F.col("va"), F.col("vb")).alias("s_np"),
+    ).collect()
+    assert got, "no pairs"
+    for r in got:
+        assert r.s_jvm == r.s_np, (r.id_a, r.id_b)
+
+
+def test_topk_vs_ref_exclude_self_switch(spark):
+    emb = _emb(spark, n=10)
+    ids, mat = collect_ref_vectors(emb)
+    incl = topk_vs_ref_udf(ids, mat, k=1, exclude_self=False)
+    got = (
+        emb.select(
+            "vec_id",
+            F.element_at(
+                incl("vec_id", as_double_array(F.col("embedding"))), 1
+            )["neighbor_id"].alias("top"),
+        )
+        .collect()
+    )
+    # with self kept, every vector's best match is itself (sim 1.0),
+    # ties broken to the lowest id — vec 10 duplicates vec 0, so both
+    # resolve to 0; everything else resolves to itself
+    for r in got:
+        expect = 0 if r.vec_id in (0, 10) else r.vec_id
+        assert r.top == expect, (r.vec_id, r.top)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
