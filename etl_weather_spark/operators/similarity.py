@@ -298,11 +298,13 @@ def embedding_near_dupes(
             "block_col=None is an all-pairs cross join; pass "
             "allow_full_cross=True to confirm the corpus is small enough"
         )
-    # pair verify runs in the exact-fold Arrow kernel (bit-identical to
-    # the interpreted rnd(dot/..) Catalyst fold it replaces — see
-    # pair_cosine_udf); norms recompute per pair inside the kernel, so
-    # the join payload and the values are unchanged
-    sim = pair_cosine_udf(sim_decimals)(F.col("va"), F.col("vb"))
+    # NOTE (optimization round 10): a pair-verify Arrow kernel was
+    # measured here and REJECTED — unlike the bounded-reference kernels
+    # (one array per row), the pair form ships BOTH joined arrays per
+    # candidate row across the Python boundary, and the extra
+    # serialization was a wash-to-loss vs this interpreted fold (A/B
+    # 2.82/2.94 s on semantic_dedup). Kept as the Catalyst expression.
+    sim = rnd(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), sim_decimals)
     if block_col is not None and block_cap is not None:
         base = emb.select(
             F.col(id_col).alias("vec_id"),
@@ -328,31 +330,35 @@ def embedding_near_dupes(
         )
         # oversized leg: deterministic IVF cells — centroids are the K
         # lowest-id vectors of the FULL table (same geometry as
-        # ivf_cells_seeded, so the SQL oracle is unchanged), but the
-        # N×K scoring touches only oversized-block rows
+        # ivf_cells_seeded, so the SQL oracle is unchanged); cell
+        # assignment runs in the exact-fold Arrow kernel (identical
+        # 6-dp csim and (csim desc, cid asc) tie-break; self-matches
+        # kept), replacing an N_big×K crossJoin + per-vector window
+        # argmax — the kernel ships one array per row and A/B'd 2×
+        # faster in ivf_cells_seeded
         n = emb.count()
         k = max(1, int(cells_per_sqrt_n) * math.ceil(math.sqrt(max(n, 1))))
-        cent = (
-            base.orderBy("vec_id")
-            .limit(k)
-            .select(
-                F.col("vec_id").alias("cid"),
-                F.col("v").alias("cv"),
-                F.col("nv").alias("nc"),
-            )
+        cent_rows = base.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
+        c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+        c_mat = (
+            np.array([list(r.v) for r in cent_rows], dtype=np.float64)
+            if cent_rows
+            else np.zeros((0, 0), dtype=np.float64)
         )
-        csim = rnd(
-            dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")),
-            sim_decimals,
+        top1 = topk_vs_ref_udf(
+            c_ids, c_mat, k=1, sim_decimals=sim_decimals, exclude_self=False
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
         big = (
             sized.filter(F.col("__bs") > block_cap)
-            .crossJoin(F.broadcast(cent))
-            .select("__blk", "vec_id", "v", "nv", "cid", csim.alias("csim"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__blk", F.col("cid").alias("cell"), "vec_id", "v", "nv")
+            .select(
+                "__blk",
+                F.element_at(top1("vec_id", "v"), 1)["neighbor_id"].alias(
+                    "cell"
+                ),
+                "vec_id",
+                "v",
+                "nv",
+            )
             # fenced: the a and b sides below would otherwise each
             # recompute the scoring pipeline (the multi-consumer
             # recompute trap verify_candidates_jaccard documents)
@@ -1300,25 +1306,3 @@ def cosine_topk_vs_pinned_queries(
         .select("__s.query_id", "neighbor_id", "__s.sim")
     )
     return topk_per_group(scored, group_col="query_id", k=k)
-
-
-def pair_cosine_udf(sim_decimals: int = 6):
-    """va(double[]), vb(double[]) → 6-dp cosine — the pair-verify dot
-    for blocked near-dup joins, exact-fold (bit-identical to
-    rnd(dot(va,vb)/(norm_safe(va)·norm_safe(vb)), d) in Catalyst),
-    vectorized across the joined pair rows."""
-    from pyspark.sql.functions import pandas_udf
-
-    scale = float(10**sim_decimals)
-
-    @pandas_udf("double")
-    def pc(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
-        acc = np.zeros(len(A))
-        for i in range(A.shape[1]):
-            acc = acc + A[:, i] * B[:, i]
-        sim = acc / (fold_norms(A) * fold_norms(B))
-        return pd.Series(np.floor(sim * scale + 0.5) / scale)
-
-    return pc

@@ -497,11 +497,14 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell"), F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
-    from etl_weather_spark.operators.similarity import pair_cosine_udf
+    from etl_weather_spark.operators.similarity import dot as _dot
 
-    # pair verify in the exact-fold Arrow kernel (identical 6-dp values
-    # to the interpreted per-pair fold it replaces)
-    sim = pair_cosine_udf(6)(F.col("va"), F.col("vb"))
+    # norms precomputed once per vector in ivf_cells_seeded — identical
+    # value to the oracle's per-pair sqrt(list_dot_product(v,v)).
+    # (A pair-verify Arrow kernel was measured and rejected here — see
+    # embedding_near_dupes: shipping both joined arrays through the
+    # Python boundary cost more than the interpreted fold.)
+    sim = rnd(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -21,7 +21,6 @@ from etl_weather_spark.operators.similarity import (
     fold_dots,
     fold_norms,
     norm_safe,
-    pair_cosine_udf,
     topk_vs_ref_udf,
 )
 
@@ -96,29 +95,6 @@ def test_topk_vs_ref_local_matches_bruteforce(spark):
     assert sorted([(r.query_id, r.rank, r.neighbor_id, r.sim) for r in ref]) == sorted(
         [(r.query_id, r.rank, r.neighbor_id, r.sim) for r in got]
     )
-
-
-def test_pair_cosine_matches_catalyst_expression(spark):
-    emb = _emb(spark)
-    e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    jvm_sim = F.floor(
-        dot(F.col("va"), F.col("vb"))
-        / (norm_safe(F.col("va")) * norm_safe(F.col("vb")))
-        * 1000000
-        + F.lit(0.5)
-    ) / 1000000
-    got = pairs.select(
-        "id_a",
-        "id_b",
-        jvm_sim.alias("s_jvm"),
-        pair_cosine_udf(6)(F.col("va"), F.col("vb")).alias("s_np"),
-    ).collect()
-    assert got, "no pairs"
-    for r in got:
-        assert r.s_jvm == r.s_np, (r.id_a, r.id_b)
 
 
 def test_topk_vs_ref_exclude_self_switch(spark):
