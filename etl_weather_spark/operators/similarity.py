@@ -18,6 +18,7 @@ computes one dot product per candidate pair.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -335,22 +336,26 @@ def embedding_near_dupes(
         # 6-dp csim and (csim desc, cid asc) tie-break; self-matches
         # kept), replacing an N_big×K crossJoin + per-vector window
         # argmax — the kernel ships one array per row and A/B'd 2×
-        # faster in ivf_cells_seeded
+        # faster in ivf_cells_seeded. Same K gate as ivf_cells_seeded:
+        # past IVF_KERNEL_MAX_CENTROIDS the closure pin stops being
+        # broadcast-small and the Catalyst form takes over
+        # (bit-identical fold by construction).
         n = emb.count()
         k = max(1, int(cells_per_sqrt_n) * math.ceil(math.sqrt(max(n, 1))))
-        cent_rows = base.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
-        c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
-        c_mat = (
-            np.array([list(r.v) for r in cent_rows], dtype=np.float64)
-            if cent_rows
-            else np.zeros((0, 0), dtype=np.float64)
-        )
-        top1 = topk_vs_ref_udf(
-            c_ids, c_mat, k=1, sim_decimals=sim_decimals, exclude_self=False
-        )
-        big = (
-            sized.filter(F.col("__bs") > block_cap)
-            .select(
+        if k <= IVF_KERNEL_MAX_CENTROIDS:
+            cent_rows = (
+                base.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
+            )
+            c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+            c_mat = (
+                np.array([list(r.v) for r in cent_rows], dtype=np.float64)
+                if cent_rows
+                else np.zeros((0, 0), dtype=np.float64)
+            )
+            top1 = topk_vs_ref_udf(
+                c_ids, c_mat, k=1, sim_decimals=sim_decimals, exclude_self=False
+            )
+            assigned = sized.filter(F.col("__bs") > block_cap).select(
                 "__blk",
                 F.element_at(top1("vec_id", "v"), 1)["neighbor_id"].alias(
                     "cell"
@@ -359,11 +364,37 @@ def embedding_near_dupes(
                 "v",
                 "nv",
             )
-            # fenced: the a and b sides below would otherwise each
-            # recompute the scoring pipeline (the multi-consumer
-            # recompute trap verify_candidates_jaccard documents)
-            .localCheckpoint(eager=False)
-        )
+        else:
+            cent = (
+                base.orderBy("vec_id")
+                .limit(k)
+                .select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("v").alias("cv"),
+                    F.col("nv").alias("nc"),
+                )
+            )
+            csim = rnd(
+                dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")),
+                sim_decimals,
+            )
+            wc = Window.partitionBy("vec_id").orderBy(
+                F.col("csim").desc(), F.col("cid")
+            )
+            assigned = (
+                sized.filter(F.col("__bs") > block_cap)
+                .crossJoin(F.broadcast(cent))
+                .select(
+                    "__blk", "vec_id", "v", "nv", "cid", csim.alias("csim")
+                )
+                .withColumn("__rn", F.row_number().over(wc))
+                .filter(F.col("__rn") == 1)
+                .select("__blk", F.col("cid").alias("cell"), "vec_id", "v", "nv")
+            )
+        # fenced: the a and b sides below would otherwise each
+        # recompute the scoring pipeline (the multi-consumer
+        # recompute trap verify_candidates_jaccard documents)
+        big = assigned.localCheckpoint(eager=False)
         pairs_big = (
             big.select("__blk", "cell", F.col("vec_id").alias("id_a"),
                        F.col("v").alias("va"), F.col("nv").alias("na"))
@@ -465,9 +496,14 @@ def ivf_cells_seeded(
 
     Scale: K ∝ √N keeps expected cell size ∝ √N, so blocked pair
     generation costs Θ(N·√N) instead of the Θ(N²/L) of a fixed L-label
-    block (VERDICT r2 "What's wrong" #3); assignment is N×K rounded
-    dots with the K-row centroid side broadcast. Both stages are plain
-    equi-join shapes.
+    block (VERDICT r2 "What's wrong" #3). Assignment runs in the
+    exact-fold Arrow kernel while K ≤
+    :data:`IVF_KERNEL_MAX_CENTROIDS` (the kernel pins K vectors in the
+    UDF closure and allocates a (batch × K) accumulator per dimension
+    step — broadcast-small territory only); past the cap it falls back
+    to the Catalyst broadcast-crossJoin + window-argmax form, whose
+    fold the kernel replicates bit-for-bit, so the two paths agree on
+    every row at any K.
     """
     # norms are computed ONCE per side, not per (vector, centroid) pair:
     # the value is the identical sequential aggregate over the identical
@@ -497,21 +533,37 @@ def ivf_cells_seeded(
     # nearest centroid via the exact-fold Arrow kernel (self-matches
     # KEPT — a centroid assigns to itself): identical 6-dp csim values
     # and (csim desc, cid asc) tie-break as the crossJoin + per-vector
-    # window argmax this replaces, which paid N×K interpreted fold-dots
-    # plus an N×K-row window shuffle
-    cent_rows = cent.orderBy("cid").collect()
-    c_ids = np.array([r.cid for r in cent_rows], dtype=np.int64)
-    c_mat = (
-        np.array([list(r.cv) for r in cent_rows], dtype=np.float64)
-        if cent_rows
-        else np.zeros((0, 0), dtype=np.float64)
+    # window argmax it replaces, which paid N×K interpreted fold-dots
+    # plus an N×K-row window shuffle. Gated on K: past
+    # IVF_KERNEL_MAX_CENTROIDS the centroid pin is no longer
+    # broadcast-small and the Catalyst form below wins the memory trade.
+    if k <= IVF_KERNEL_MAX_CENTROIDS:
+        cent_rows = cent.orderBy("cid").collect()
+        c_ids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+        c_mat = (
+            np.array([list(r.cv) for r in cent_rows], dtype=np.float64)
+            if cent_rows
+            else np.zeros((0, 0), dtype=np.float64)
+        )
+        top1 = topk_vs_ref_udf(c_ids, c_mat, k=1, exclude_self=False)
+        return e.select(
+            "vec_id",
+            F.element_at(top1("vec_id", "v"), 1)["neighbor_id"].alias("cell"),
+            "v",
+            "nv",
+        )
+    csim = rnd(
+        dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")),
+        sim_decimals,
     )
-    top1 = topk_vs_ref_udf(c_ids, c_mat, k=1, exclude_self=False)
-    return e.select(
-        "vec_id",
-        F.element_at(top1("vec_id", "v"), 1)["neighbor_id"].alias("cell"),
-        "v",
-        "nv",
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "nv", "cid", csim.alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "v", "nv")
     )
 
 
@@ -1114,6 +1166,39 @@ def power_iteration_top_component(
 # ---------------------------------------------------------------------------
 
 
+#: hard cap on any driver-side reference pin (collect_ref_vectors) —
+#: the bounded-reference convention enforced by code, not call-site
+#: discipline: every current caller is ≤256 rows; 64k rows × 64 dims of
+#: float64 is ~32 MB, still driver/broadcast-safe, anything larger is a
+#: bug heading for a driver OOM at corpus scale.
+REF_PIN_MAX_ROWS = 65536
+
+#: centroid-count gate for the exact-fold cell-assignment kernel: the
+#: kernel allocates an (arrow_batch × K) float64 accumulator per
+#: dimension step and pins K centroid vectors in the UDF closure, so it
+#: is only the right shape while K is broadcast-small. K = 4·⌈√N⌉ grows
+#: with the corpus; past this cap the Catalyst broadcast-crossJoin +
+#: window-argmax form (bit-identical by construction — the kernel
+#: replicates ITS fold) is used instead. Env-tunable for cluster runs.
+IVF_KERNEL_MAX_CENTROIDS = int(
+    os.environ.get("SPARK_GRAFT_IVF_KERNEL_MAX_CENTROIDS", 8192)
+)
+
+
+def _assert_finite(a: np.ndarray, what: str) -> None:
+    """NaN/Inf guard for the exact-fold kernels: the Catalyst windows
+    they replace sort NaN as the LARGEST double, while int64
+    quantization would send NaN to INT64_MIN (ranked last) — a silent
+    parity break. No current input can produce NaN (norms are
+    eps-clamped), so any non-finite value is a corrupt embedding and
+    must fail loudly, not silently diverge from the oracle."""
+    if not np.isfinite(a).all():
+        raise ValueError(
+            f"non-finite {what} in exact-fold kernel: parity with the "
+            "Catalyst NaN ordering is undefined; check input embeddings"
+        )
+
+
 def fold_dots(V: np.ndarray, R: np.ndarray) -> np.ndarray:
     """(n, m) dot products replicating the JVM fold exactly: for each
     dimension index i (in order), acc ← acc + V[:,i]·R[:,i] — the same
@@ -1139,18 +1224,35 @@ def collect_ref_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     limit: int | None = None,
+    max_rows: int = REF_PIN_MAX_ROWS,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic driver-side pin of a BOUNDED reference vector set
     (ordered by id, optionally capped): (ids int64 (m,), mat float64
     (m, D)). float→double casts are exact, so the matrix holds the
-    identical doubles the JVM sees."""
+    identical doubles the JVM sees.
+
+    The pin is HARD-capped at ``max_rows`` (default
+    :data:`REF_PIN_MAX_ROWS`): the bounded-reference convention is
+    enforced here, not by call-site discipline — an unbounded caller
+    raises instead of collecting a corpus to the driver."""
+    if limit is not None and limit > max_rows:
+        raise ValueError(
+            f"collect_ref_vectors limit={limit} exceeds the reference-pin "
+            f"cap ({max_rows}); reference sets must be bounded"
+        )
     sel = df.select(
         F.col(id_col).cast("long").alias("i"),
         as_double_array(F.col(vec_col)).alias("v"),
     ).orderBy("i")
-    if limit is not None:
-        sel = sel.limit(limit)
+    # limit(max_rows + 1) keeps the collect bounded even for an
+    # unbounded caller; the +1 row is the overflow detector
+    sel = sel.limit(limit if limit is not None else max_rows + 1)
     rows = sel.collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"collect_ref_vectors got >{max_rows} rows with no explicit "
+            "limit; reference sets must be bounded by construction"
+        )
     ids = np.array([r.i for r in rows], dtype=np.int64)
     if not rows:
         return ids, np.zeros((0, 0), dtype=np.float64)
@@ -1174,6 +1276,7 @@ def knn_mean_dist_udf(ref_ids: np.ndarray, ref_mat: np.ndarray, *, k: int = 5):
         V = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         nv = fold_norms(V)
         dist = 1.0 - fold_dots(V, ref_mat) / (nv[:, None] * rnorm[None, :])
+        _assert_finite(dist, "distance")
         ki = np.floor(dist * 1000000 + 0.5).astype(np.int64)
         idv = ids.to_numpy()
         out = np.empty(len(V), dtype=np.float64)
@@ -1214,6 +1317,7 @@ def topk_vs_ref_udf(
         V = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         qn = fold_norms(V)
         sim = fold_dots(V, ref_mat) / (qn[:, None] * rnorm[None, :])
+        _assert_finite(sim, "similarity")
         ki = np.floor(sim * scale + 0.5).astype(np.int64)
         idv = ids.to_numpy()
         out = []
@@ -1258,6 +1362,7 @@ def sims_vs_ref_udf(
         V = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         qn = fold_norms(V)
         sim = fold_dots(V, ref_mat) / (qn[:, None] * rnorm[None, :])
+        _assert_finite(sim, "similarity")
         ki = np.floor(sim * scale + 0.5)
         idv = ids.to_numpy()
         out = []
