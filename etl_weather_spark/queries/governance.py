@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from etl_weather_spark.functions.rounding import dsum, rnd, sql_dsum
-from etl_weather_spark.queries._registry import _ORACLES, load, query
+from etl_weather_spark.queries._registry import (
+    _ORACLES,
+    _build_concurrently,
+    load,
+    query,
+)
 from etl_weather_spark.queries.text import gopher_quality_gate, script_mixture_audit
 from etl_weather_spark.queries.dedup import decontaminate_overlap, dedup_exact
 from etl_weather_spark.queries.similarity import semantic_decontaminate
@@ -356,49 +361,63 @@ def corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself joins eight 1-row relations (broadcast by construction).
     """
     docs = load(spark, sf_dir, "documents")
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    tr = docs.filter(F.col("doc_id") % 50 != 0).agg(
-        F.count(F.lit(1)).cast("long").alias("n_train")
-    )
-    dup = dedup_exact(spark, sf_dir).agg(
-        (F.sum("n_docs") - F.count(F.lit(1))).cast("long").alias("removed")
-    )
-    pii = pii_scrub_stats(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("pii_n"),
-        F.sum(
-            F.when(
-                F.col("n_email") + F.col("n_ip") + F.col("n_phone")
-                + F.col("n_num16")
-                > 0,
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("pii_hits"),
-    )
-    shing = decontaminate_overlap(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("flagged")
-    )
-    sem = semantic_decontaminate(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("sem_n"),
-        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
-        .cast("long")
-        .alias("sem_hits"),
-    )
-    kan = k_anonymity_audit(spark, sf_dir).agg(
-        F.max("risk_share4").alias("k_anon_risk_share4")
-    )
-    gq = gopher_quality_gate(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("gq_n"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("gq_kept"),
-    )
-    scr = script_mixture_audit(spark, sf_dir).agg(
-        F.sum("n_docs").cast("long").alias("scr_n"),
-        F.sum(F.when(F.col("mixed_script"), F.col("n_docs")).otherwise(0))
-        .cast("long")
-        .alias("scr_mixed"),
+    # the nine legs are independent registered audits — build them
+    # concurrently (round 11, _registry._build_concurrently: leg
+    # construction runs blocking fence/reference-pin jobs serially
+    # otherwise)
+    tot, tr, dup, pii, shing, sem, kan, gq, scr = _build_concurrently(
+        [
+            lambda: docs.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs")
+            ),
+            lambda: docs.filter(F.col("doc_id") % 50 != 0).agg(
+                F.count(F.lit(1)).cast("long").alias("n_train")
+            ),
+            lambda: dedup_exact(spark, sf_dir).agg(
+                (F.sum("n_docs") - F.count(F.lit(1)))
+                .cast("long")
+                .alias("removed")
+            ),
+            lambda: pii_scrub_stats(spark, sf_dir).agg(
+                F.count(F.lit(1)).cast("long").alias("pii_n"),
+                F.sum(
+                    F.when(
+                        F.col("n_email") + F.col("n_ip") + F.col("n_phone")
+                        + F.col("n_num16")
+                        > 0,
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("pii_hits"),
+            ),
+            lambda: decontaminate_overlap(spark, sf_dir).agg(
+                F.count(F.lit(1)).cast("long").alias("flagged")
+            ),
+            lambda: semantic_decontaminate(spark, sf_dir).agg(
+                F.count(F.lit(1)).cast("long").alias("sem_n"),
+                F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+                .cast("long")
+                .alias("sem_hits"),
+            ),
+            lambda: k_anonymity_audit(spark, sf_dir).agg(
+                F.max("risk_share4").alias("k_anon_risk_share4")
+            ),
+            lambda: gopher_quality_gate(spark, sf_dir).agg(
+                F.count(F.lit(1)).cast("long").alias("gq_n"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                .cast("long")
+                .alias("gq_kept"),
+            ),
+            lambda: script_mixture_audit(spark, sf_dir).agg(
+                F.sum("n_docs").cast("long").alias("scr_n"),
+                F.sum(
+                    F.when(F.col("mixed_script"), F.col("n_docs")).otherwise(0)
+                )
+                .cast("long")
+                .alias("scr_mixed"),
+            ),
+        ]
     )
     out = tot
     for leg in (tr, dup, pii, shing, sem, kan, gq, scr):

@@ -2071,11 +2071,31 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_per_group,
     )
 
+    from etl_weather_spark.queries._registry import _build_concurrently
+
     nprobe, topk = 2, 10
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    assign, cent = kmeans_lloyd_full(emb, k=4, iters=3)
-    assign = assign.localCheckpoint(eager=False)
+
+    def build_exact():
+        # ground-truth leg: the 8 audit queries are pinned driver-side
+        # and the per-pair cosine runs in the exact-fold numpy kernel
+        # (same values, same salted top-k — cosine_topk_vs_pinned_queries)
+        q_ids, q_mat = collect_ref_vectors(queries_df)
+        return (
+            cosine_topk_vs_pinned_queries(emb, q_ids, q_mat, k=topk)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=False)
+        )
+
+    def build_assign():
+        assign, cent = kmeans_lloyd_full(emb, k=4, iters=3)
+        return assign.localCheckpoint(eager=False), cent
+
+    # the IVF chain and the brute-force leg are independent until the
+    # hits join — build concurrently (round 11, _build_concurrently:
+    # the quantizer fit and the exact leg each run blocking jobs)
+    (assign, cent), exact = _build_concurrently([build_assign, build_exact])
     qcomp = queries_df.select(
         "vec_id",
         F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x"),
@@ -2141,14 +2161,6 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = approx.localCheckpoint(eager=False)
-    # ground-truth leg: the 8 audit queries are pinned driver-side and
-    # the per-pair cosine runs in the exact-fold numpy kernel (same
-    # values, same salted top-k — see cosine_topk_vs_pinned_queries)
-    q_ids, q_mat = collect_ref_vectors(queries_df)
-    exact = cosine_topk_vs_pinned_queries(
-        emb, q_ids, q_mat, k=topk
-    ).select("query_id", "neighbor_id")
-    exact = exact.localCheckpoint(eager=False)
     hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
         "query_id"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))

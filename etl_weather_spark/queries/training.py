@@ -15,7 +15,13 @@ from etl_weather_spark.operators.artifacts import (
     dataset_fingerprint,
     dataset_key,
 )
-from etl_weather_spark.queries._registry import _ORACLES, _QUERIES, load, query
+from etl_weather_spark.queries._registry import (
+    _ORACLES,
+    _QUERIES,
+    _build_concurrently,
+    load,
+    query,
+)
 from etl_weather_spark.queries.relational import (
     _BOOT_B,
     _BUDGET_FRACS,
@@ -199,10 +205,15 @@ def corpus_prep_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel_stage_report(
         spark,
         sf_dir,
-        [
-            (name, flt(_QUERIES[key](spark, sf_dir)).select("doc_id"))
-            for name, key, _cond, flt, _core in _FUNNEL_GATES
-        ],
+        _build_concurrently(
+            [
+                lambda name=name, key=key, flt=flt: (
+                    name,
+                    flt(_QUERIES[key](spark, sf_dir)).select("doc_id"),
+                )
+                for name, key, _cond, flt, _core in _FUNNEL_GATES
+            ]
+        ),
     )
 
 def _funnel_stage_report(
@@ -211,8 +222,9 @@ def _funnel_stage_report(
     """Shared stage-attrition report for funnels whose gates are all
     globally fit (v2 and v4): one flags relation (LEFT joins of the
     narrow keep-sets onto the doc spine), per-doc survival depth =
-    count of leading gates passed, one aggregation pass producing every
-    stage row. Stage i survivors == the sequential chain's, because
+    count of leading gates passed, one unfenced aggregation pass
+    producing every stage row. Stage i survivors == the sequential
+    chain's, because
     intersecting globally-fit keep-sets is order-insensitive; n_kept /
     id_checksum use count(when)/sum(when) so empty stages yield 0/NULL
     exactly like an aggregate over an empty survivor relation."""
@@ -223,18 +235,23 @@ def _funnel_stage_report(
             keep.select("doc_id", F.lit(1).alias(f"__k{i}")),
             "doc_id",
             "left",
-        ).withColumn(
-            f"k{i}", F.coalesce(F.col(f"__k{i}"), F.lit(0))
-        ).drop(f"__k{i}")
-    # survival depth: number of LEADING gates passed (first fail stops)
-    depth = F.col("k1")
-    prefix = F.col("k1")
-    for i in range(2, len(gates) + 1):
-        prefix = prefix * F.col(f"k{i}")
+        )
+    # survival depth: number of LEADING gates passed (first fail stops).
+    # The null→0 coalesces and the depth fold land in ONE projection
+    # (round 11: the per-gate join+withColumn+drop re-analyzed the whole
+    # growing flags tree three times per gate — these queries are
+    # driver-bound, 85-95% plan construction at sf0.1), and the old
+    # localCheckpoint fence on `per` is GONE: since round 10 collapsed
+    # the 8 stage rows into this single aggregation pass, the fence had
+    # exactly one consumer — at scale it materialized a corpus-sized
+    # relation nothing re-read.
+    ks = [F.coalesce(F.col(f"__k{i}"), F.lit(0)) for i in range(1, len(gates) + 1)]
+    depth = ks[0]
+    prefix = ks[0]
+    for i in range(1, len(gates)):
+        prefix = prefix * ks[i]
         depth = depth + prefix
-    per = flags.select("doc_id", depth.alias("__depth")).localCheckpoint(
-        eager=False
-    )
+    per = flags.select("doc_id", depth.alias("__depth"))
     names = ["all_docs"] + [name for name, _keep in gates]
     aggs = []
     for i in range(len(names)):
@@ -381,24 +398,31 @@ def quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_weather_spark.operators.similarity import topk_per_group
 
     docs = load(spark, sf_dir, "documents")
-    r1 = _scalable_rank(
-        _quality_logistic_core(docs).select(
-            "doc_id", rnd("z", 3).alias("s")
-        ),
-        desc=True,
-    ).withColumnRenamed("rnk", "r_quality")
-    r2 = _scalable_rank(
-        _bigram_logprob_core(docs).select(
-            "doc_id", rnd("avg_nll2", 3).alias("s")
-        ),
-        desc=False,
-    ).withColumnRenamed("rnk", "r_fluency")
-    r3 = _scalable_rank(
-        token_entropy_quality(spark, sf_dir).select(
-            "doc_id", rnd("token_entropy", 3).alias("s")
-        ),
-        desc=True,
-    ).withColumnRenamed("rnk", "r_entropy")
+    # the three signal legs are independent and each contains a
+    # blocking _scalable_rank fence — build them concurrently
+    # (round 11, see _build_concurrently)
+    r1, r2, r3 = _build_concurrently(
+        [
+            lambda: _scalable_rank(
+                _quality_logistic_core(docs).select(
+                    "doc_id", rnd("z", 3).alias("s")
+                ),
+                desc=True,
+            ).withColumnRenamed("rnk", "r_quality"),
+            lambda: _scalable_rank(
+                _bigram_logprob_core(docs).select(
+                    "doc_id", rnd("avg_nll2", 3).alias("s")
+                ),
+                desc=False,
+            ).withColumnRenamed("rnk", "r_fluency"),
+            lambda: _scalable_rank(
+                token_entropy_quality(spark, sf_dir).select(
+                    "doc_id", rnd("token_entropy", 3).alias("s")
+                ),
+                desc=True,
+            ).withColumnRenamed("rnk", "r_entropy"),
+        ]
+    )
     term = lambda c: rnd(F.lit(1.0) / (F.lit(60) + F.col(c)), 6)  # noqa: E731
     f = (
         r1.join(r2, "doc_id")
@@ -459,20 +483,29 @@ def curated_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     flags = docs.select("doc_id")
     n_gates = len(_FUNNEL_GATES)
-    for i, (name, key, _cond, flt, _core) in enumerate(
-        _FUNNEL_GATES, start=1
-    ):
-        keep = flt(_QUERIES[key](spark, sf_dir)).select(
-            "doc_id", F.lit(1).alias(f"__k{i}")
-        )
+    keeps = _build_concurrently(
+        [
+            lambda i=i, key=key, flt=flt: flt(
+                _QUERIES[key](spark, sf_dir)
+            ).select("doc_id", F.lit(1).alias(f"__k{i}"))
+            for i, (_name, key, _cond, flt, _core) in enumerate(
+                _FUNNEL_GATES, start=1
+            )
+        ]
+    )
+    for keep in keeps:
         flags = flags.join(keep, "doc_id", "left")
+    # no fence on survivors (round 11): the left_semi below is its only
+    # consumer, so the localCheckpoint bought no reuse — it just ran a
+    # blocking job at construction and materialized a corpus-sized
+    # relation nothing re-read
     survivors = flags.filter(
         sum(
             (F.coalesce(F.col(f"__k{i}"), F.lit(0)) for i in range(1, n_gates + 1)),
             start=F.lit(0),
         )
         == n_gates
-    ).select("doc_id").localCheckpoint(eager=False)
+    ).select("doc_id")
     keepers = (
         docs.select(
             "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
@@ -571,18 +604,34 @@ def gate_attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     flags = docs
     n = len(_FUNNEL_GATES)
-    for i, (name, key, _cond, flt, _core) in enumerate(_FUNNEL_GATES, start=1):
-        keep = flt(_QUERIES[key](spark, sf_dir)).select(
-            "doc_id", F.lit(1).alias(f"__k{i}")
-        )
-        flags = flags.join(keep, "doc_id", "left").withColumn(
-            f"k{i}", F.coalesce(F.col(f"__k{i}"), F.lit(0))
-        ).drop(f"__k{i}")
-    flags = flags.localCheckpoint(eager=False)
+    keeps = _build_concurrently(
+        [
+            lambda i=i, key=key, flt=flt: flt(
+                _QUERIES[key](spark, sf_dir)
+            ).select("doc_id", F.lit(1).alias(f"__k{i}"))
+            for i, (_name, key, _cond, flt, _core) in enumerate(
+                _FUNNEL_GATES, start=1
+            )
+        ]
+    )
+    for keep in keeps:
+        flags = flags.join(keep, "doc_id", "left")
+    # all 7 null→0 coalesces in ONE projection, and no fence: the round
+    # 10 single-agg collapse left the flags relation with exactly one
+    # consumer, so the localCheckpoint only cost a full-tree plan pass
+    # at construction (these queries are driver-bound at sf0.1) and a
+    # corpus-sized materialization nothing re-read at scale (round 11)
+    flags = flags.select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"__k{i}"), F.lit(0)).alias(f"k{i}")
+            for i in range(1, n + 1)
+        ],
+    )
     # ONE aggregation pass computes every gate's failure counts
     # (optimization round 10 — the per-gate agg form re-scanned the
-    # fenced flags relation 7 times and union-chained 7 single-row
-    # jobs); rates are derived per row AFTER the agg from the identical
+    # flags relation 7 times and union-chained 7 single-row jobs);
+    # rates are derived per row AFTER the agg from the identical
     # count/sum doubles, so values are unchanged
     aggs = [F.count(F.lit(1)).alias("__cnt")]
     for i, (name, _key, _cond, _flt, _core) in enumerate(
@@ -693,19 +742,37 @@ def gate_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     flags = docs
     n = len(_FUNNEL_GATES)
-    for i, (name, key, _cond, flt, _core) in enumerate(_FUNNEL_GATES, start=1):
-        keep = flt(_QUERIES[key](spark, sf_dir)).select(
-            "doc_id", F.lit(1).alias(f"__k{i}")
-        )
-        flags = flags.join(keep, "doc_id", "left").withColumn(
-            f"k{i}", F.coalesce(F.col(f"__k{i}"), F.lit(0))
-        ).drop(f"__k{i}")
-    flags = flags.localCheckpoint(eager=False)
-    # ONE per-lang aggregation + ONE global aggregation cover all 7
-    # gates (optimization round 10 — the per-gate form ran 7 lang
-    # groupBys + 7 global aggs + 7 crossJoins over the same fenced
-    # flags); per-cell rates derive from the identical count/sum
-    # doubles after the explode, so values are unchanged
+    keeps = _build_concurrently(
+        [
+            lambda i=i, key=key, flt=flt: flt(
+                _QUERIES[key](spark, sf_dir)
+            ).select("doc_id", F.lit(1).alias(f"__k{i}"))
+            for i, (_name, key, _cond, flt, _core) in enumerate(
+                _FUNNEL_GATES, start=1
+            )
+        ]
+    )
+    for keep in keeps:
+        flags = flags.join(keep, "doc_id", "left")
+    flags = flags.select(
+        "doc_id",
+        "lang",
+        *[
+            F.coalesce(F.col(f"__k{i}"), F.lit(0)).alias(f"k{i}")
+            for i in range(1, n + 1)
+        ],
+    )
+    # ONE per-lang aggregation covers all 7 gates (optimization round
+    # 10 — the per-gate form ran 7 lang groupBys + 7 global aggs + 7
+    # crossJoins over the same fenced flags). Round 11: the corpus-wide
+    # keep rates derive from the per-lang rollup itself via a global
+    # window over the tiny (lang)-sized relation — SUM(kept_i) and
+    # COUNT(*) over langs are the identical longs the second flags agg
+    # summed, so the rates are unchanged, the second corpus pass and
+    # the crossJoin are gone, and with exactly one flags consumer left
+    # the localCheckpoint fence is vestigial (it cost a blocking
+    # construction-time job and a corpus-sized materialization nothing
+    # re-read).
     per_lang = flags.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         *[
@@ -713,16 +780,20 @@ def gate_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, n + 1)
         ],
     )
-    overall = flags.agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        *[F.sum(f"k{i}").alias(f"__osum{i}") for i in range(1, n + 1)],
-    ).select(
+    wall = Window.partitionBy()
+    per_lang = per_lang.select(
+        "lang",
+        "n_docs",
+        *[F.col(f"__kept{i}") for i in range(1, n + 1)],
         *[
-            rnd(F.col(f"__osum{i}") * 1.0 / F.col("__cnt"), 6).alias(
-                f"__orate{i}"
-            )
+            rnd(
+                F.sum(f"__kept{i}").over(wall)
+                * 1.0
+                / F.sum("n_docs").over(wall),
+                6,
+            ).alias(f"__orate{i}")
             for i in range(1, n + 1)
-        ]
+        ],
     )
     cells = F.array(
         *[
@@ -739,8 +810,7 @@ def gate_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep_rate6 = rnd(F.col("r.n_kept") * 1.0 / F.col("n_docs"), 6)
     return (
-        per_lang.crossJoin(F.broadcast(overall))
-        .select("lang", "n_docs", F.explode(cells).alias("r"))
+        per_lang.select("lang", "n_docs", F.explode(cells).alias("r"))
         .select(
             F.col("r.gate").alias("gate"),
             F.col("r.gate_name").alias("gate_name"),
@@ -2424,14 +2494,20 @@ def corpus_prep_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_qct_z() > 0)
         .select("doc_id")
     )
-    gates = []
-    for name, key, _cond, flt, _core in _FUNNEL_GATES:
+    def builder(name, key, flt):
         if name == "quality_keep":
-            gates.append(("quality_trained_keep", trained_keep))
-        else:
-            gates.append(
-                (name, flt(_QUERIES[key](spark, sf_dir)).select("doc_id"))
-            )
+            return lambda: ("quality_trained_keep", trained_keep)
+        return lambda: (
+            name,
+            flt(_QUERIES[key](spark, sf_dir)).select("doc_id"),
+        )
+
+    gates = _build_concurrently(
+        [
+            builder(name, key, flt)
+            for name, key, _cond, flt, _core in _FUNNEL_GATES
+        ]
+    )
     return _funnel_stage_report(spark, sf_dir, gates)
 
 _INCR_STAGES = (
@@ -2575,12 +2651,16 @@ def corpus_prep_funnel_incremental(
         )
         return out
 
-    stages = chain(delta)
-    standing_fp = (
-        chain(standing_src)[-1]
-        .select(doc_fingerprint(F.col("text")).alias("fingerprint"))
-        .distinct()
+    # the delta and standing chains are independent (both hang off the
+    # shared trained_keep fence) — build concurrently (round 11, see
+    # _registry._build_concurrently: each chain level's fence runs a
+    # blocking job at construction)
+    stages, standing_last = _build_concurrently(
+        [lambda: chain(delta), lambda: chain(standing_src)[-1]]
     )
+    standing_fp = standing_last.select(
+        doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).distinct()
     d4fp = stages[-1].select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -3213,33 +3293,49 @@ def corpus_release_report_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     `cli.py artifacts release-show`.
     """
     _ensure_release(spark, sf_dir)
-    v1 = _QUERIES["corpus_release_report"](spark, sf_dir)
-    prt_rows = _QUERIES["quality_pr_curve_trained"](spark, sf_dir).filter(
-        F.col("model") == "trained"
-    )
-    prt = prt_rows.agg(
-        F.max("f1_6").alias("trained_best_f1_6"),
-        F.max(
-            F.when(
-                F.col("threshold") == 0.0,
-                rnd(
-                    (F.col("tp") + F.col("fp"))
-                    * 1.0
-                    / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
-                    6,
-                ),
-            )
-        ).alias("trained_keep_rate6"),
-    )
-    cal = _QUERIES["quality_calibration_curve"](spark, sf_dir).agg(
-        F.max("ece6").alias("calibration_ece6")
-    )
-    tc = _QUERIES["t_closeness_audit"](spark, sf_dir).agg(
-        F.max("max_tvd6").alias("t_closeness_max_tvd6"),
-        F.max("risk_share4").alias("t_risk_share4"),
-    )
-    nd = _cc_membership_committed(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("neardup_docs")
+
+    def build_prt():
+        prt_rows = _QUERIES["quality_pr_curve_trained"](spark, sf_dir).filter(
+            F.col("model") == "trained"
+        )
+        return prt_rows.agg(
+            F.max("f1_6").alias("trained_best_f1_6"),
+            F.max(
+                F.when(
+                    F.col("threshold") == 0.0,
+                    rnd(
+                        (F.col("tp") + F.col("fp"))
+                        * 1.0
+                        / (
+                            F.col("tp")
+                            + F.col("fp")
+                            + F.col("fn")
+                            + F.col("tn")
+                        ),
+                        6,
+                    ),
+                )
+            ).alias("trained_keep_rate6"),
+        )
+
+    # the five legs are independent (each reads the corpus or the one
+    # pinned release) — build concurrently (round 11, see
+    # _build_concurrently: leg construction runs blocking fence jobs)
+    v1, prt, cal, tc, nd = _build_concurrently(
+        [
+            lambda: _QUERIES["corpus_release_report"](spark, sf_dir),
+            build_prt,
+            lambda: _QUERIES["quality_calibration_curve"](spark, sf_dir).agg(
+                F.max("ece6").alias("calibration_ece6")
+            ),
+            lambda: _QUERIES["t_closeness_audit"](spark, sf_dir).agg(
+                F.max("max_tvd6").alias("t_closeness_max_tvd6"),
+                F.max("risk_share4").alias("t_risk_share4"),
+            ),
+            lambda: _cc_membership_committed(spark, sf_dir).agg(
+                F.count(F.lit(1)).cast("long").alias("neardup_docs")
+            ),
+        ]
     )
     out = v1
     for leg in (prt, cal, tc, nd):

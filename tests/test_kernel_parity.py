@@ -118,5 +118,58 @@ def test_topk_vs_ref_exclude_self_switch(spark):
         assert r.top == expect, (r.vec_id, r.top)
 
 
+def test_simhash_votes_kernel_bit_identical_to_aggregate(spark):
+    """Round-11 portable-SimHash votes kernel == the 64-sum aggregate
+    form, bitwise, on adversarial texts: empty string, single token,
+    repeated tokens (vote magnitudes), unicode, long whitespace runs
+    (tokenizer normalization), and md5 collisions-by-prefix shapes."""
+    from etl_weather_spark.operators.dedup import (
+        simhash64_portable,
+        simhash64_portable_kernel,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, "x"),
+        (3, "a a a a a a a a a a a a b"),
+        (4, "  tabs\tand\nnewlines   collapse  "),
+        (5, "naïve café über straße 東京 🙂"),
+        (6, " ".join(f"tok{i}" for i in range(500))),
+        (7, "The Quick BROWN fox"),  # casefold parity
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = {
+        r.doc_id: (r.sig_hi, r.sig_lo)
+        for r in simhash64_portable(docs).collect()
+    }
+    ker = {
+        r.doc_id: (r.sig_hi, r.sig_lo)
+        for r in simhash64_portable_kernel(docs).collect()
+    }
+    assert agg == ker  # bitwise equal longs, same doc set
+
+
+def test_simhash_votes_kernel_corpus_parity(spark, sf_dir):
+    """Full-corpus bitwise parity at the test SF (the A/B asserted the
+    same at sf0.1)."""
+    from etl_weather_spark.operators.dedup import (
+        simhash64_portable,
+        simhash64_portable_kernel,
+    )
+    from etl_weather_spark.queries._registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    agg = {
+        r.doc_id: (r.sig_hi, r.sig_lo)
+        for r in simhash64_portable(docs).collect()
+    }
+    ker = {
+        r.doc_id: (r.sig_hi, r.sig_lo)
+        for r in simhash64_portable_kernel(docs).collect()
+    }
+    assert agg == ker
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -318,14 +318,22 @@ def test_event_mix_drift_single_scan(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
-def test_simhash_portable_stays_jvm_side(spark, sf_dir):
-    """The portable simhash is pure Catalyst (md5 + nibble arithmetic):
-    no Python eval anywhere, one scan of documents, partial aggs."""
+def test_simhash_portable_is_one_arrow_projection(spark, sf_dir):
+    """Round 11: the portable simhash runs in the Arrow votes kernel —
+    exactly ONE ArrowEvalPython projection over the Catalyst token
+    array (bit-parity with the 64-sum aggregate form pinned in
+    test_kernel_parity), no row-at-a-time Python, and no token explode
+    (the old form's Generate + doc-keyed vote exchange are gone)."""
     df = q.simhash_sigs(spark, sf_dir)
     plan = formatted_plan(df)
-    assert "EvalPython" not in plan, plan
-    assert len(read_schema_columns(df)) == 1, plan
-    assert has_partial_aggregation(df), plan
+    # count_occurrences counts plan-TEXT hits: one node = 2 (tree line
+    # + "(n) Node" detail line)
+    assert count_occurrences(df, "ArrowEvalPython") == 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode anywhere
+    # the only exchange is widen_narrow_input's input-widening
+    # repartition; the old form's doc-keyed 64-vote agg exchange is gone
+    assert count_occurrences(df, "Exchange") <= 2, plan
 
 
 def test_verified_dedup_pipelines_never_cartesian(spark, sf_dir):
@@ -559,6 +567,11 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         "ann_ivf_recall_audit", "matryoshka_truncation_audit",
         "ann_cosine_topk", "hybrid_search_rrf",
         "embedding_near_dupes", "semantic_dedup", "semantic_dedup_ivf",
+        # round-11 (optimization): portable-SimHash votes kernel — one
+        # ArrowEvalPython projection over the Catalyst token array,
+        # bit-parity with the 64-sum aggregate form pinned in
+        # tests/test_kernel_parity.py
+        "simhash_sigs", "simhash_near_dupes",
     }
     bad: list[str] = []
     for name, fn in q.queries().items():
