@@ -33,14 +33,62 @@ def _build_concurrently(builders):
     jobs (standard concurrent-jobs-within-one-application scheduling);
     the per-leg plans, and therefore the results, are identical
     (corpus_prep_funnel_v2 A/B: 7.0 s → 4.4 s at sf0.1, rows equal).
-    """
-    from concurrent.futures import ThreadPoolExecutor
 
+    Callers must keep publish-on-absent artifact work OUT of the pool
+    (build/commit it first, serially — the release queries call
+    _ensure_release and the funnels build trained_keep before fanning
+    out): artifact_if_absent's read-else-publish is not safe against
+    two concurrent publishers of the same missing artifact.
+
+    Threads are pyspark.InheritableThread, NOT a ThreadPoolExecutor:
+    under the pinned-thread mode every Python thread pins a dedicated
+    JVM connection thread, and plain pool threads leak that JVM thread
+    on exit (measured: +34 JVM threads per funnel build, ~700 after 8
+    builds — enough to drag a whole 153-query bench session).
+    InheritableThread uninstalls its JVM connection when the target
+    returns (and inherits job-group/local properties, the documented
+    PySpark threading shape).
+    """
     if len(builders) <= 1:
         return [b() for b in builders]
-    with ThreadPoolExecutor(max_workers=len(builders)) as ex:
-        futures = [ex.submit(b) for b in builders]
-        return [f.result() for f in futures]
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(builders)
+    errors: list = [None] * len(builders)
+
+    def run(i: int, b) -> None:
+        try:
+            results[i] = b()
+        except BaseException as e:  # re-raised on the caller thread
+            errors[i] = e
+        finally:
+            # close this thread's pinned py4j connection: the matching
+            # JVM thread only exits when the socket closes, and nothing
+            # closes it on Python-thread death in this PySpark version
+            try:
+                from py4j.clientserver import ClientServer
+                from pyspark import SparkContext
+
+                gw = SparkContext._gateway
+                if isinstance(gw, ClientServer):
+                    conn = gw.java_client.get_thread_connection()
+                    if conn is not None:
+                        conn.close()
+            except Exception:
+                pass  # cleanup is best-effort; never mask the builder
+
+    threads = [
+        InheritableThread(target=run, args=(i, b))
+        for i, b in enumerate(builders)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for e in errors:
+        if e is not None:
+            raise e
+    return results
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

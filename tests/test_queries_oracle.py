@@ -140,3 +140,20 @@ def test_funnel_gate_table_is_single_source(spark):
     for oracle in (v2, v3):
         stages = re.findall(r"'(\w+)' AS stage_name", oracle)
         assert stages == ["all_docs"] + names
+
+
+def test_funnel_gate_keep_sets_unique_per_doc(spark, sf_dir):
+    """ADVICE r10 #3: the flags funnels LEFT-join gate keep-sets onto
+    the doc spine, so a duplicate doc_id in any keep-set would silently
+    multiply spine rows. Rather than paying a dropDuplicates exchange
+    per gate at runtime (A/B'd slower, round 11), pin the invariant the
+    joins rely on: every registered gate emits exactly one row per
+    doc_id (each ends in a per-doc aggregate or per-row projection)."""
+    from etl_weather_spark import queries as q
+    from etl_weather_spark.queries._registry import _QUERIES
+
+    for name, key, _cond, flt, _core in q._FUNNEL_GATES:
+        keep = flt(_QUERIES[key](spark, sf_dir)).select("doc_id")
+        n = keep.count()
+        nd = keep.distinct().count()
+        assert n == nd, f"gate {name} ({key}) emits duplicate doc_ids"
