@@ -1099,12 +1099,19 @@ def prefix_filter_candidates(
     join (completeness asserted against ``ngram_jaccard_pairs`` in
     tests and by the shared oracle of queries.prefix_filter_jaccard).
 
-    The per-doc distinct shingle ARRAYS are fenced once (eager
-    localCheckpoint): the df ranking and the prefix index both re-read
-    the shingle relation, and without the fence each consumer re-ran
-    the tokenize+shingle explode from the raw text (the
-    explode→groupBy(sizes)→join form additionally paid a per-doc size
-    shuffle that ``size()`` on the fenced array answers for free).
+    The per-doc distinct shingle ARRAYS are deliberately UNFENCED
+    (round 11): the df ranking and the prefix index each recompute the
+    tokenize+shingle projection, and that recompute beats materializing
+    the fat array relation — A/B at sf0.1 3.54 s vs 3.32 s (wash,
+    through prefix_filter_jaccard) and at the 10× corpus 13.0 s vs
+    16.6 s (clear win; scripts/exp_r11_remeasure.py), overturning the
+    r10 barrier's "wins grow with corpus size" claim. The r10
+    persist()+count() barrier this replaces was ALSO an accidental
+    cross-query cache (same canonical plan across the whole
+    prefix/containment/lsh family, never unpersisted — see
+    OPTIMIZATION_r11.md), so its bench numbers were not honest wins.
+    The ``size()``-on-array improvement from r10 (vs the old
+    explode→groupBy(sizes)→join size shuffle) is kept.
     """
     toked = widen_narrow_input(docs, id_col).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
@@ -1117,29 +1124,9 @@ def prefix_filter_candidates(
             ).alias("__sh_arr"),
         )
         .withColumn("n_sh", F.size("__sh_arr"))
-        # persist + count, then UNPERSIST once the candidate set below
-        # is materialized — the connected_components convention, closing
-        # VERDICT r10's leak (the r10 form never unpersisted, pinning
-        # one CacheManager relation per invocation forever). persist is
-        # the right fence here and a checkpoint is not: the candidate
-        # machinery replicates this relation ~100x in the plan, and the
-        # InMemoryRelation serves each replica a column-pruned columnar
-        # scan, while checkpoint blocks deserialize the full row (the
-        # fat shingle array) per replica — measured at sf0.1:
-        # prefix_filter_jaccard 2.2 s (persist) vs 3.3 s (lazy ckpt,
-        # which also recomputed the projection across concurrent
-        # branches) vs 6.1 s (eager ckpt).
-        .persist()
     )
-    shsets.count()
     sh = shsets.select(id_col, "n_sh", F.explode("__sh_arr").alias("sh"))
-    cand = _candidates_from_sized_shingles(sh, id_col=id_col, t=min_jaccard)
-    # materialize the NARROW candidate pairs now (eager checkpoint —
-    # cheap leaf), then release the fat shingle cache: nothing
-    # downstream reads it again (verify recomputes shingles from docs)
-    cand = cand.localCheckpoint(eager=True)
-    shsets.unpersist()
-    return cand
+    return _candidates_from_sized_shingles(sh, id_col=id_col, t=min_jaccard)
 
 
 def _candidates_from_sized_shingles(
@@ -1875,25 +1862,20 @@ def containment_candidates(
     queries.containment_pairs' oracle (the naive shares-any-shingle
     SQL) matching at every SF.
     """
-    # per-doc distinct shingle arrays persisted once and UNPERSISTED
-    # after the narrow candidate set below is materialized — see
-    # prefix_filter_candidates for the full rationale (columnar
-    # pruned cache reads beat checkpoint full-row deserialization for
-    # this heavily-replicated relation; the r10 form never unpersisted)
+    # per-doc distinct shingle arrays deliberately UNFENCED — see
+    # prefix_filter_candidates for the A/B evidence (recompute of the
+    # projection beats materializing the fat array relation at 10x and
+    # ties at sf0.1; the r10 persist barrier was also an accidental
+    # cross-query cache)
     toked = widen_narrow_input(docs, id_col).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    shsets = (
-        toked.select(
-            F.col(id_col),
-            F.array_distinct(
-                shingles_of_tokens(F.col("__toks"), shingle_n)
-            ).alias("__sh_arr"),
-        )
-        .withColumn("n_sh", F.size("__sh_arr"))
-        .persist()
-    )
-    shsets.count()
+    shsets = toked.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingles_of_tokens(F.col("__toks"), shingle_n)
+        ).alias("__sh_arr"),
+    ).withColumn("n_sh", F.size("__sh_arr"))
     sized = shsets.select(id_col, "n_sh", F.explode("__sh_arr").alias("sh"))
     dfreq = sized.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
@@ -1922,9 +1904,7 @@ def containment_candidates(
             F.greatest("id_p", "id_f").alias("id_b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    shsets.unpersist()
     return cand
 
 
