@@ -887,6 +887,12 @@ def verify_candidates_jaccard(
     iterative algorithm's per-round action. Both tables are
     candidate-sized, not corpus-sized, so MEMORY_AND_DISK is safe at
     scale.
+
+    Round 11: the verified (narrow) result is eagerly checkpointed and
+    BOTH caches are unpersisted before returning — the r9-r10 form left
+    them pinned in the CacheManager forever, which both leaked and
+    silently served other queries whose candidate plans canonicalize
+    identically (cross-query result caching; see OPTIMIZATION_r11.md).
     """
     pairs = cand.select("id_a", "id_b").persist()
     pairs.count()
@@ -907,7 +913,7 @@ def verify_candidates_jaccard(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .select(
@@ -915,7 +921,11 @@ def verify_candidates_jaccard(
             (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    sh.unpersist()
+    return out
 
 
 def verify_pairs_jaccard_inline(
@@ -1264,12 +1274,23 @@ def pruned_jaccard_pairs(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
     )
-    return fenced.select(
-        "id_a", "id_b",
-        (F.col("__ni") / (F.col("n_a") + F.col("n_b") - F.col("__ni"))).alias(
-            "jaccard"
-        ),
-    ).filter(F.col("jaccard") >= min_jaccard)
+    out = (
+        fenced.select(
+            "id_a", "id_b",
+            (
+                F.col("__ni") / (F.col("n_a") + F.col("n_b") - F.col("__ni"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        # round 11: materialize the narrow verified pairs and release
+        # the shingle cache — the unbalanced persist pinned one
+        # CacheManager relation per invocation AND silently served every
+        # other query whose (docs, n, t) canonicalize identically
+        # (cross-query result caching; see OPTIMIZATION_r11.md)
+        .localCheckpoint(eager=True)
+    )
+    shsets.unpersist()
+    return out
 
 
 _WB = np.uint64(1000003)  # polynomial base; uint64 wraparound = mod 2^64
@@ -1919,7 +1940,8 @@ def verify_candidates_containment(
 ) -> DataFrame:
     """Exact min-side containment for the candidate pairs only:
     (id_a, id_b, n_inter, n_a, n_b, containment) with containment =
-    |A∩B| / min(|A|,|B|) ≥ t. Same semi-join pruning discipline as
+    |A∩B| / min(|A|,|B|) ≥ t. Same semi-join pruning — and round-11
+    checkpoint-then-unpersist cache hygiene — as
     :func:`verify_candidates_jaccard`."""
     pairs = cand.select("id_a", "id_b").persist()
     pairs.count()
@@ -1954,5 +1976,8 @@ def verify_candidates_containment(
             F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")),
         )
         .filter(F.col("containment") >= min_containment)
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    sh.unpersist()
     return out
