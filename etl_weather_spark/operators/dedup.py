@@ -1109,19 +1109,19 @@ def prefix_filter_candidates(
     join (completeness asserted against ``ngram_jaccard_pairs`` in
     tests and by the shared oracle of queries.prefix_filter_jaccard).
 
-    The per-doc distinct shingle ARRAYS are deliberately UNFENCED
-    (round 11): the df ranking and the prefix index each recompute the
-    tokenize+shingle projection, and that recompute beats materializing
-    the fat array relation — A/B at sf0.1 3.54 s vs 3.32 s (wash,
-    through prefix_filter_jaccard) and at the 10× corpus 13.0 s vs
-    16.6 s (clear win; scripts/exp_r11_remeasure.py), overturning the
-    r10 barrier's "wins grow with corpus size" claim. The r10
-    persist()+count() barrier this replaces was ALSO an accidental
-    cross-query cache (same canonical plan across the whole
-    prefix/containment/lsh family, never unpersisted — see
-    OPTIMIZATION_r11.md), so its bench numbers were not honest wins.
-    The ``size()``-on-array improvement from r10 (vs the old
-    explode→groupBy(sizes)→join size shuffle) is kept.
+    The per-doc distinct shingle ARRAYS are persisted for the duration
+    of the operator call ONLY (persist → eager count → build + eagerly
+    checkpoint the NARROW candidate pairs → unpersist): the candidate
+    machinery reads this relation several times within one execution,
+    and with every cache correctly released (round 11 closed the
+    CacheManager leaks that silently served this family cross-query),
+    the honest interleaved A/B is decisive — prefix_filter_jaccard
+    4.91 s with the intra-call fence vs 18.2 s unfenced,
+    lsh_recall_audit 5.94 s vs 17.7 s (min-of-3, leak-free session).
+    Nothing outlives the call: the checkpointed candidate LEAF is the
+    only thing downstream consumers see. The ``size()``-on-array
+    improvement from r10 (vs the old explode→groupBy(sizes)→join size
+    shuffle) is kept.
     """
     toked = widen_narrow_input(docs, id_col).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
@@ -1134,9 +1134,15 @@ def prefix_filter_candidates(
             ).alias("__sh_arr"),
         )
         .withColumn("n_sh", F.size("__sh_arr"))
+        .persist()
     )
+    shsets.count()
     sh = shsets.select(id_col, "n_sh", F.explode("__sh_arr").alias("sh"))
-    return _candidates_from_sized_shingles(sh, id_col=id_col, t=min_jaccard)
+    cand = _candidates_from_sized_shingles(
+        sh, id_col=id_col, t=min_jaccard
+    ).localCheckpoint(eager=True)
+    shsets.unpersist()
+    return cand
 
 
 def _candidates_from_sized_shingles(
@@ -1883,20 +1889,25 @@ def containment_candidates(
     queries.containment_pairs' oracle (the naive shares-any-shingle
     SQL) matching at every SF.
     """
-    # per-doc distinct shingle arrays deliberately UNFENCED — see
-    # prefix_filter_candidates for the A/B evidence (recompute of the
-    # projection beats materializing the fat array relation at 10x and
-    # ties at sf0.1; the r10 persist barrier was also an accidental
-    # cross-query cache)
+    # per-doc distinct shingle arrays persisted for the duration of
+    # THIS call only (persist → count → eager candidate checkpoint →
+    # unpersist) — see prefix_filter_candidates for the leak-free A/B
+    # evidence (intra-call fence 3.7x faster than unfenced once the
+    # accidental cross-query caches were closed)
     toked = widen_narrow_input(docs, id_col).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    shsets = toked.select(
-        F.col(id_col),
-        F.array_distinct(
-            shingles_of_tokens(F.col("__toks"), shingle_n)
-        ).alias("__sh_arr"),
-    ).withColumn("n_sh", F.size("__sh_arr"))
+    shsets = (
+        toked.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_of_tokens(F.col("__toks"), shingle_n)
+            ).alias("__sh_arr"),
+        )
+        .withColumn("n_sh", F.size("__sh_arr"))
+        .persist()
+    )
+    shsets.count()
     sized = shsets.select(id_col, "n_sh", F.explode("__sh_arr").alias("sh"))
     dfreq = sized.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
@@ -1925,7 +1936,9 @@ def containment_candidates(
             F.greatest("id_p", "id_f").alias("id_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    shsets.unpersist()
     return cand
 
 
